@@ -1,0 +1,64 @@
+# Copyright 2026 Conch-TPU authors.
+# SPDX-License-Identifier: Apache-2.0
+
+"""Pallas TPU kernel for SiLU-and-mul (SwiGLU gate).
+
+Re-design of the reference Triton kernel
+(``conch/kernels/activation/silu_and_mul.py:57-91``). Computes
+``silu(x[..., :d]) * x[..., d:]``. For numerics parity with the reference
+(``silu_and_mul.py:45-50``): silu is computed in fp32 and cast back to the
+input dtype *before* the gate multiply.
+
+The two halves are passed as separate block-mapped inputs so each grid step
+sees aligned (tokens, d) tiles — no in-kernel lane slicing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from conch_tpu.kernels.common import cdiv, compute_dtype, round_up, use_interpret_mode
+from conch_tpu.kernels.normalization.rms_norm import _pick_block_tokens
+
+
+def _silu_and_mul_kernel(x_ref, y_ref, o_ref):
+    x = x_ref[...].astype(jnp.float32)
+    silu = (x * jax.nn.sigmoid(x)).astype(o_ref.dtype)
+    o_ref[...] = silu * y_ref[...]
+
+
+@jax.jit
+def silu_and_mul_launcher(x: jax.Array) -> jax.Array:
+    """SwiGLU over a 2D (num_tokens, 2*d) input; returns (num_tokens, d)."""
+    num_tokens, two_d = x.shape
+    orig_dtype = x.dtype
+    x = x.astype(compute_dtype(orig_dtype))
+    d = two_d // 2
+    gate, up = x[:, :d], x[:, d:]
+
+    d_padded = round_up(d, 128)
+    if d_padded != d:
+        gate = jnp.pad(gate, ((0, 0), (0, d_padded - d)))
+        up = jnp.pad(up, ((0, 0), (0, d_padded - d)))
+
+    block_tokens = _pick_block_tokens(num_tokens, d_padded, x.dtype.itemsize, 3)
+    grid = (cdiv(num_tokens, block_tokens),)
+    spec = pl.BlockSpec((block_tokens, d_padded), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        _silu_and_mul_kernel,
+        out_shape=jax.ShapeDtypeStruct((num_tokens, d_padded), x.dtype),
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=spec,
+        interpret=use_interpret_mode(),
+    )(gate, up)
+
+    if d_padded != d:
+        out = out[:, :d]
+    return out.astype(orig_dtype)

@@ -1,0 +1,377 @@
+# Copyright 2026 Conch-TPU authors.
+# SPDX-License-Identifier: Apache-2.0
+
+"""Pallas TPU GEMM kernels: mixed-precision (packed sub-byte weights) and scaled.
+
+TPU-native re-design of the reference's unified Triton GEMM
+(``conch/kernels/quantization/gemm.py:219-457``, GemLite/GPTQ-triton
+lineage). Two frontends, as in the reference:
+
+- **mixed-precision** (``mixed_precision_gemm_launcher``):
+  ``C = A @ dequant(B_packed)`` with w{2,4,8}-bit weights packed into int32
+  words in standard GPTQ row layout (word ``r`` holds elements
+  ``k = r*pack + i`` in bit-field ``i``), per-group scales and optional
+  zero-points. The packed block is unpacked *in VMEM registers* right before
+  the MXU dot: shift/mask per bit-field, stack, reshape — no scalar loop.
+- **scaled** (``scaled_gemm_launcher``): int8/fp8 A and B with per-channel
+  (or per-tensor) activation and weight scales applied to the accumulator
+  in the epilogue (reference ``gemm.py:407-440``). int8 uses the native
+  int8 MXU path with an int32 accumulator; fp8 dequantizes to bf16 in-VMEM
+  (no native fp8 MXU before v6e — see ``conch_tpu.platforms``).
+
+Design notes vs the reference:
+- No pointer arithmetic or eviction policies: blocks are tiled via
+  BlockSpecs; the Mosaic pipeliner double-buffers HBM->VMEM DMAs.
+- No swizzled tile order: XLA/Mosaic grid iteration is already sequential
+  per-core; K is the innermost ("arbitrary") grid dimension accumulating
+  into a VMEM scratch, M/N are parallel (megacore-splittable).
+- Dequantized weights are computed in fp32 and cast to the activation dtype
+  before the dot, matching the reference's meta-dtype semantics.
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from conch_tpu.kernels.common import cdiv, round_up, use_interpret_mode
+
+
+class WeightGroupMode(enum.Enum):
+    """Dequantization weight group modes (parity: reference ``gemm.py:34-49``)."""
+
+    NONE = 0
+    SHIFT = 1
+    SYMMETRIC_NO_SHIFT = 2
+    SYMMETRIC_WITH_SHIFT = 3
+    ASYMMETRIC = 4
+
+
+class ChannelScaleMode(enum.Enum):
+    """Epilogue channel-scaling modes (parity: reference ``gemm.py:68-81``)."""
+
+    NONE = 0
+    WEIGHT_ONLY = 1
+    ACTIVATION_ONLY = 2
+    WEIGHT_AND_ACTIVATION = 3
+
+
+@dataclass
+class MixedPrecisionMatmulMetadata:
+    """Metadata for the mixed-precision GEMM (parity: reference ``gemm.py``)."""
+
+    m_dim: int
+    k_dim: int
+    n_dim: int
+    weight_size_bits: int
+    weight_bias: int
+    group_size: int
+    elements_per_sample: int
+    zero_is_scalar: bool
+    unpack_mask: int
+    input_dtype: jnp.dtype
+    output_dtype: jnp.dtype
+    acc_dtype: jnp.dtype
+    meta_dtype: jnp.dtype
+    channel_scale_mode: ChannelScaleMode
+    weight_group_mode: WeightGroupMode
+
+
+@dataclass
+class ScaledMatmulMetadata:
+    """Metadata for the scaled GEMM (parity: reference ``gemm.py``)."""
+
+    m_dim: int
+    k_dim: int
+    n_dim: int
+    input_dtype: jnp.dtype
+    output_dtype: jnp.dtype
+    acc_dtype: jnp.dtype
+    meta_dtype: jnp.dtype
+    channel_scale_mode: ChannelScaleMode
+    weight_group_mode: WeightGroupMode
+
+
+def _unpack_block(packed: jax.Array, nbits: int, epp: int, bk: int, bn: int) -> jax.Array:
+    """Unpack a (bk//epp, bn) int32 block to (bk, bn) unsigned codes in VMEM.
+
+    Element order matches GPTQ row packing: word ``r`` bit-field ``i`` is
+    logical row ``r*epp + i``.
+    """
+    mask = (1 << nbits) - 1
+    fields = [(jax.lax.shift_right_logical(packed, nbits * i) & mask) for i in range(epp)]
+    stacked = jnp.stack(fields, axis=1)  # (bk//epp, epp, bn)
+    return stacked.reshape(bk, bn)
+
+
+def _mixed_gemm_kernel(
+    x_ref,
+    b_ref,
+    s_ref,
+    zp_ref,
+    o_ref,
+    acc_ref,
+    *,
+    nbits: int,
+    epp: int,
+    weight_bias: int,
+    group_size: int,
+    bk: int,
+    bn: int,
+    has_zp: bool,
+    zero_is_scalar: bool,
+    num_k: int,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    codes = _unpack_block(b_ref[...], nbits, epp, bk, bn).astype(jnp.float32)
+    w = codes - float(weight_bias)
+
+    def expand_groups(meta):
+        # meta block is (max(bk // group_size, 1), bn); broadcast each group
+        # row over its group_size rows of the K tile.
+        if bk >= group_size:
+            reps = group_size
+            return jnp.repeat(meta, reps, axis=0, total_repeat_length=bk)
+        return jnp.broadcast_to(meta, (bk, bn))
+
+    if has_zp:
+        if zero_is_scalar:
+            w = w - zp_ref[0]
+        else:
+            w = w - expand_groups(zp_ref[...].astype(jnp.float32))
+
+    scales = expand_groups(s_ref[...].astype(jnp.float32))
+    w = w * scales
+
+    x = x_ref[...]
+    acc_ref[...] += jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+
+    @pl.when(k == num_k - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("weight_size_bits", "weight_bias", "group_size", "zero_is_scalar", "out_dtype"),
+)
+def mixed_precision_gemm_launcher(
+    x: jax.Array,
+    w_q_packed: jax.Array,
+    w_s: jax.Array,
+    w_zp: jax.Array | None,
+    *,
+    weight_size_bits: int,
+    weight_bias: int,
+    group_size: int,
+    zero_is_scalar: bool = False,
+    out_dtype=None,
+) -> jax.Array:
+    """``C = x @ dequant(w_q_packed)`` with groupwise scales/zero-points.
+
+    Args:
+        x: (M, K) activations (fp32/bf16/fp16).
+        w_q_packed: (K // pack_factor, N) int32 packed weights (GPTQ row layout).
+        w_s: (K // group_size, N) per-group scales.
+        w_zp: optional (K // group_size, N) zero-points, or a single element
+            when ``zero_is_scalar``.
+        weight_size_bits: bit-width of each packed weight (2/4/8).
+        weight_bias: value subtracted from unpacked codes (e.g. 8 for uint4b8).
+        group_size: quantization group size along K.
+
+    Returns:
+        (M, N) output in ``out_dtype`` (defaults to ``x.dtype``).
+    """
+    m_dim, k_dim = x.shape
+    _, n_dim = w_q_packed.shape
+    epp = 32 // weight_size_bits
+    out_dtype = out_dtype or x.dtype
+    if x.dtype == jnp.float16 and not use_interpret_mode():
+        x = x.astype(jnp.float32)  # Mosaic has no f16 compute path
+
+    has_zp = w_zp is not None
+
+    # Tile sizes: bn lanes, bk along K aligned to both the pack factor and
+    # the quantization group, bm >= one sublane tile.
+    bn = min(round_up(n_dim, 128), 256)
+    bk = 256
+    while k_dim % bk != 0 or (bk % group_size != 0 and group_size % bk != 0) or bk % epp != 0:
+        bk //= 2
+        if bk < 32:
+            bk = group_size  # fall back to one group per tile; pad K below
+            break
+    bm = min(round_up(m_dim, 16), 256)
+
+    # Pad every operand to tile multiples (zero-padded K contributes nothing
+    # because the padded rows of x are zero).
+    mp, kp, np_ = round_up(m_dim, bm), round_up(k_dim, bk), round_up(n_dim, bn)
+    num_groups = w_s.shape[0]
+    gp = max(kp // group_size, 1)
+
+    if (mp, kp) != (m_dim, k_dim):
+        x = jnp.pad(x, ((0, mp - m_dim), (0, kp - k_dim)))
+    if (kp // epp, np_) != w_q_packed.shape:
+        w_q_packed = jnp.pad(
+            w_q_packed, ((0, kp // epp - w_q_packed.shape[0]), (0, np_ - n_dim))
+        )
+    if (gp, np_) != w_s.shape:
+        w_s = jnp.pad(w_s, ((0, gp - num_groups), (0, np_ - n_dim)), constant_values=1)
+    if has_zp and not zero_is_scalar and (gp, np_) != w_zp.shape:
+        w_zp = jnp.pad(w_zp, ((0, gp - w_zp.shape[0]), (0, np_ - n_dim)))
+
+    grid = (mp // bm, np_ // bn, kp // bk)
+    bsg = max(bk // group_size, 1)
+
+    def s_index(i, j, k):
+        return ((k * bk) // (group_size * bsg), j)
+
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk // epp, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bsg, bn), s_index, memory_space=pltpu.VMEM),
+    ]
+    operands = [x, w_q_packed, w_s]
+    if has_zp:
+        if zero_is_scalar:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            operands.append(w_zp.reshape(1).astype(jnp.float32))
+        else:
+            in_specs.append(pl.BlockSpec((bsg, bn), s_index, memory_space=pltpu.VMEM))
+            operands.append(w_zp)
+    else:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.zeros((1,), dtype=jnp.float32))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _mixed_gemm_kernel,
+            nbits=weight_size_bits,
+            epp=epp,
+            weight_bias=weight_bias,
+            group_size=group_size,
+            bk=bk,
+            bn=bn,
+            has_zp=has_zp,
+            zero_is_scalar=zero_is_scalar,
+            num_k=kp // bk,
+        ),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp * 2 + kp * np_ // epp * 4 + mp * np_ * 2,
+            transcendentals=0,
+        ),
+        interpret=use_interpret_mode(),
+    )(*operands)
+
+    return out[:m_dim, :n_dim]
+
+
+def _scaled_gemm_kernel(a_ref, b_ref, sa_ref, sb_ref, o_ref, acc_ref, *, num_k: int, int_path: bool):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if int_path:
+        acc_ref[...] += jnp.dot(a_ref[...], b_ref[...], preferred_element_type=jnp.int32)
+    else:
+        a = a_ref[...].astype(jnp.bfloat16)
+        b = b_ref[...].astype(jnp.bfloat16)
+        acc_ref[...] += jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    @pl.when(k == num_k - 1)
+    def _():
+        scaled = acc_ref[...].astype(jnp.float32) * sa_ref[...] * sb_ref[...]
+        o_ref[...] = scaled.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def scaled_gemm_launcher(
+    a: jax.Array,
+    b: jax.Array,
+    scale_a: jax.Array,
+    scale_b: jax.Array,
+    *,
+    out_dtype,
+) -> jax.Array:
+    """``C = (a @ b) * scale_a[:, None] * scale_b[None, :]`` for int8/fp8 inputs.
+
+    Args:
+        a: (M, K) int8 or float8_e4m3fn activations.
+        b: (K, N) int8 or float8_e4m3fn weights.
+        scale_a: per-row scales, shape (M,), (M, 1) or scalar.
+        scale_b: per-column scales, shape (N,), (N, 1) or scalar.
+
+    Returns:
+        (M, N) output in ``out_dtype``.
+    """
+    m_dim, k_dim = a.shape
+    _, n_dim = b.shape
+    int_path = jnp.issubdtype(a.dtype, jnp.integer)
+
+    # Normalize scales to broadcastable 2D vectors.
+    sa = jnp.broadcast_to(scale_a.astype(jnp.float32).reshape(-1, 1), (m_dim, 1)) if scale_a.size > 1 else jnp.full((m_dim, 1), scale_a.astype(jnp.float32).reshape(()))
+    sb = jnp.broadcast_to(scale_b.astype(jnp.float32).reshape(1, -1), (1, n_dim)) if scale_b.size > 1 else jnp.full((1, n_dim), scale_b.astype(jnp.float32).reshape(()))
+
+    bn = min(round_up(n_dim, 128), 256)
+    bk = 256
+    while k_dim % bk != 0 and bk > 128:
+        bk //= 2
+    bm = min(round_up(m_dim, 32), 256)
+
+    mp, kp, np_ = round_up(m_dim, bm), round_up(k_dim, bk), round_up(n_dim, bn)
+    if (mp, kp) != (m_dim, k_dim):
+        a = jnp.pad(a, ((0, mp - m_dim), (0, kp - k_dim)))
+    if (kp, np_) != (k_dim, n_dim):
+        b = jnp.pad(b, ((0, kp - k_dim), (0, np_ - n_dim)))
+    if mp != m_dim:
+        sa = jnp.pad(sa, ((0, mp - m_dim), (0, 0)))
+    if np_ != n_dim:
+        sb = jnp.pad(sb, ((0, 0), (0, np_ - n_dim)))
+
+    grid = (mp // bm, np_ // bn, kp // bk)
+
+    out = pl.pallas_call(
+        functools.partial(_scaled_gemm_kernel, num_k=kp // bk, int_path=bool(int_path)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32 if int_path else jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_ + mp * np_ * 2,
+            transcendentals=0,
+        ),
+        interpret=use_interpret_mode(),
+    )(a, b, sa, sb)
+
+    return out[:m_dim, :n_dim]

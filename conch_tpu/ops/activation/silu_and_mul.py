@@ -1,0 +1,24 @@
+# Copyright 2026 Conch-TPU authors.
+# SPDX-License-Identifier: Apache-2.0
+
+"""SiLU-and-mul public op (parity: ``conch/ops/activation/silu_and_mul.py:11-29``)."""
+
+from __future__ import annotations
+
+import jax
+
+from conch_tpu.kernels.activation.silu_and_mul import silu_and_mul_launcher
+
+
+def silu_and_mul(x: jax.Array) -> jax.Array:
+    """SwiGLU activation: ``silu(x[..., :d]) * x[..., d:]`` with ``d = x.shape[-1] // 2``.
+
+    Args:
+        x: Input of shape (num_tokens, 2*d) or (batch, seq, 2*d).
+
+    Returns:
+        Output of shape (..., d).
+    """
+    two_d = x.shape[-1]
+    out = silu_and_mul_launcher(x.reshape(-1, two_d))
+    return out.reshape(x.shape[:-1] + (two_d // 2,))

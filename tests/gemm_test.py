@@ -1,0 +1,146 @@
+# Copyright 2026 Conch-TPU authors.
+# SPDX-License-Identifier: Apache-2.0
+
+"""Tests for mixed-precision and scaled GEMM ops.
+
+Mirrors the reference's ``tests/mixed_precision_gemm_test.py`` and
+``tests/scaled_gemm_test.py``: bit-width/group-size sweeps, zero-point
+variants, K-scaled tolerances (``atol=min(5e-2*sqrt(K), 1), rtol=1e-1``).
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conch_tpu.ops.quantization.gemm import mixed_precision_gemm, scaled_gemm
+from conch_tpu.reference.quantization.gemm import (
+    mixed_precision_gemm as mixed_ref,
+    scaled_gemm as scaled_ref,
+)
+from conch_tpu.types import scalar_types
+from conch_tpu.utils.quant_utils import pack_rows, quantize_weights
+
+MNK_SHAPES = [(1, 256, 512), (16, 512, 256), (128, 1024, 512), (33, 384, 640)]
+
+
+def _mixed_tolerance(k):
+    return min(5e-2 * math.sqrt(k), 1.0)
+
+
+@pytest.mark.parametrize("m,k,n", MNK_SHAPES)
+@pytest.mark.parametrize("num_bits", [4, 8])
+@pytest.mark.parametrize("group_size", [64, 128])
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float16])
+def test_mixed_precision_gemm(m, k, n, num_bits, group_size, dtype, rng):
+    quant_type = scalar_types.uint4b8 if num_bits == 4 else scalar_types.uint8b128
+    w = rng.normal(size=(k, n)).astype(np.float32) * 0.05
+
+    _, w_q, w_s, _ = quantize_weights(w, quant_type, group_size)
+    w_packed = jnp.asarray(pack_rows(w_q, num_bits))
+    w_s_j = jnp.asarray(w_s, dtype=dtype)
+    x = jnp.asarray(rng.normal(size=(m, k)), dtype=dtype)
+
+    out = mixed_precision_gemm(x, w_packed, w_s_j, None, num_bits, quant_type.bias, group_size)
+    expected = mixed_ref(x, np.asarray(w_packed), w_s_j, None, num_bits, quant_type.bias, group_size)
+
+    assert out.shape == (m, n)
+    assert out.dtype == dtype
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32),
+        np.asarray(expected, dtype=np.float32),
+        atol=_mixed_tolerance(k),
+        rtol=1e-1,
+    )
+
+
+@pytest.mark.parametrize("m,k,n", [(16, 512, 256), (64, 256, 384)])
+def test_mixed_precision_gemm_with_zero_points(m, k, n, rng):
+    group_size = 64
+    w = (rng.normal(size=(k, n)).astype(np.float32) * 0.05) + 0.02  # asymmetric
+
+    _, w_q, w_s, w_zp = quantize_weights(w, scalar_types.uint4, group_size, zero_points=True)
+    w_packed = jnp.asarray(pack_rows(w_q, 4))
+    w_s_j = jnp.asarray(w_s, dtype=jnp.bfloat16)
+    w_zp_j = jnp.asarray(w_zp, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(m, k)), dtype=jnp.bfloat16)
+
+    out = mixed_precision_gemm(x, w_packed, w_s_j, w_zp_j, 4, 0, group_size)
+    expected = mixed_ref(x, np.asarray(w_packed), w_s_j, w_zp_j, 4, 0, group_size)
+
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32),
+        np.asarray(expected, dtype=np.float32),
+        atol=_mixed_tolerance(k),
+        rtol=1e-1,
+    )
+
+
+def test_mixed_precision_gemm_vs_dense(rng):
+    """End-to-end sanity: quantize -> gemm approximates the dense matmul."""
+    m, k, n, group_size = 32, 1024, 256, 128
+    w = rng.normal(size=(k, n)).astype(np.float32) * 0.02
+    w_ref_dense, w_q, w_s, _ = quantize_weights(w, scalar_types.uint4b8, group_size)
+    w_packed = jnp.asarray(pack_rows(w_q, 4))
+    x = jnp.asarray(rng.normal(size=(m, k)), dtype=jnp.bfloat16)
+
+    out = mixed_precision_gemm(x, w_packed, jnp.asarray(w_s, dtype=jnp.bfloat16), None, 4, 8, group_size)
+    dense = np.asarray(x, dtype=np.float32) @ w_ref_dense
+
+    rel_err = np.abs(np.asarray(out, np.float32) - dense).max() / max(np.abs(dense).mean(), 1e-9)
+    assert rel_err < 0.2, rel_err
+
+
+@pytest.mark.parametrize("m,k,n", MNK_SHAPES)
+@pytest.mark.parametrize("per_channel", [True, False])
+def test_scaled_gemm_int8(m, k, n, per_channel, rng):
+    a = jnp.asarray(rng.integers(-127, 128, size=(m, k)), dtype=jnp.int8)
+    b = jnp.asarray(rng.integers(-127, 128, size=(k, n)), dtype=jnp.int8)
+    if per_channel:
+        scale_a = jnp.asarray(rng.uniform(0.001, 0.02, size=(m,)), dtype=jnp.float32)
+        scale_b = jnp.asarray(rng.uniform(0.001, 0.02, size=(n,)), dtype=jnp.float32)
+    else:
+        scale_a = jnp.asarray([0.01], dtype=jnp.float32)
+        scale_b = jnp.asarray([0.02], dtype=jnp.float32)
+
+    out = scaled_gemm(a, b, scale_a, scale_b, jnp.bfloat16)
+    expected = scaled_ref(a, b, scale_a, scale_b, jnp.bfloat16)
+
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32),
+        np.asarray(expected, dtype=np.float32),
+        atol=1e-1,
+        rtol=1e-1,
+    )
+
+
+def test_scaled_gemm_int8_with_bias(rng):
+    m, k, n = 16, 256, 128
+    a = jnp.asarray(rng.integers(-64, 64, size=(m, k)), dtype=jnp.int8)
+    b = jnp.asarray(rng.integers(-64, 64, size=(k, n)), dtype=jnp.int8)
+    scale_a = jnp.asarray([0.01], dtype=jnp.float32)
+    scale_b = jnp.asarray([0.02], dtype=jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(n,)), dtype=jnp.float32)
+
+    out = scaled_gemm(a, b, scale_a, scale_b, jnp.float32, bias=bias)
+    expected = scaled_ref(a, b, scale_a, scale_b, jnp.float32, bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-1, rtol=1e-1)
+
+
+def test_scaled_gemm_fp8(rng):
+    m, k, n = 16, 256, 128
+    a = jnp.asarray(rng.normal(size=(m, k)), dtype=jnp.float8_e4m3fn)
+    b = jnp.asarray(rng.normal(size=(k, n)), dtype=jnp.float8_e4m3fn)
+    scale_a = jnp.asarray([0.5], dtype=jnp.float32)
+    scale_b = jnp.asarray([2.0], dtype=jnp.float32)
+
+    out = scaled_gemm(a, b, scale_a, scale_b, jnp.bfloat16)
+    expected = scaled_ref(a, b, scale_a, scale_b, jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32),
+        np.asarray(expected, dtype=np.float32),
+        atol=1.0,
+        rtol=1e-1,
+    )

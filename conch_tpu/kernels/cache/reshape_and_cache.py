@@ -1,0 +1,73 @@
+# Copyright 2026 Conch-TPU authors.
+# SPDX-License-Identifier: Apache-2.0
+
+"""Paged KV-cache token insertion (vLLM ``reshape_and_cache`` equivalent).
+
+TPU-native re-design of the reference Triton kernel
+(``conch/kernels/vllm/reshape_and_cache.py:111-189``). The reference
+scatters each token's K/V vector through raw pointers; TPU has no raw
+device pointers, so the scatter is expressed as an XLA scatter
+(``cache.at[page, entry].set``) with *donated* cache buffers: XLA performs
+the update in place on the donated memory, making this the functional
+equivalent of the reference's in-place store — one HBM write per token,
+no cache copy.
+
+Semantics parity:
+- slot -> (page = slot // page_size, entry = slot % page_size)
+  (reference ``:66-68``)
+- negative slots are padding and are dropped (reference ``:62-63``);
+  implemented by clamping to an out-of-bounds index with scatter
+  mode='drop'.
+- fp8 cache: values are multiplied by the *inverted* scale before the
+  dtype cast (reference ``:85-93``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, donate_argnums=(2, 3), static_argnames=("apply_fp8_scaling",))
+def reshape_and_cache_launcher(
+    key: jax.Array,
+    value: jax.Array,
+    key_cache: jax.Array,
+    value_cache: jax.Array,
+    slot_mapping: jax.Array,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
+    *,
+    apply_fp8_scaling: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Insert new K/V token vectors into the paged caches.
+
+    Args:
+        key/value: (num_tokens, num_kv_heads, head_size).
+        key_cache/value_cache: (num_pages, page_size, num_kv_heads, head_size);
+            DONATED - callers must use the returned caches.
+        slot_mapping: (num_tokens,) int32 cache slots (negative = skip).
+        k_scale/v_scale: scalar fp8 scales (applied inverted on store).
+
+    Returns:
+        Updated (key_cache, value_cache).
+    """
+    page_size = key_cache.shape[1]
+    num_pages = key_cache.shape[0]
+
+    slots = slot_mapping.astype(jnp.int32)
+    page_idx = jnp.where(slots >= 0, slots // page_size, num_pages)  # OOB -> dropped
+    entry_idx = jnp.where(slots >= 0, slots % page_size, 0)
+
+    if apply_fp8_scaling:
+        key = (key.astype(jnp.float32) * (1.0 / k_scale.astype(jnp.float32).reshape(()))).astype(key_cache.dtype)
+        value = (value.astype(jnp.float32) * (1.0 / v_scale.astype(jnp.float32).reshape(()))).astype(value_cache.dtype)
+    else:
+        key = key.astype(key_cache.dtype)
+        value = value.astype(value_cache.dtype)
+
+    key_cache = key_cache.at[page_idx, entry_idx].set(key, mode="drop")
+    value_cache = value_cache.at[page_idx, entry_idx].set(value, mode="drop")
+    return key_cache, value_cache

@@ -1,0 +1,153 @@
+# Copyright 2026 Conch-TPU authors.
+# SPDX-License-Identifier: Apache-2.0
+
+"""Tests for varlen (prefill+decode) attention vs the golden reference.
+
+Mirrors the reference's sweep (``tests/varlen_attention_test.py:17-36``):
+causal x decode grids, GQA pairs, mixed prefill/decode batches,
+non-power-of-two lengths, softcap, fp8 KV; tolerances fp16 7e-4 -> we use
+fp32 2e-3 / bf16 2e-2 against the fp32 golden reference.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conch_tpu.ops.attention import varlen_attention
+from conch_tpu.reference.attention.attention import varlen_attention as varlen_ref
+from conch_tpu.utils.test_utils import create_paged_fixture
+
+TOLERANCES = {jnp.float32: 2e-3, jnp.bfloat16: 2e-2}
+
+
+def _run_and_compare(fx, dtype, causal, softcap=0.0, kv_cache_dtype="auto", k_scale=1.0, v_scale=1.0):
+    import math
+
+    head_size = fx.query.shape[-1]
+    scale = 1.0 / math.sqrt(head_size)
+
+    kwargs = {}
+    if kv_cache_dtype != "auto":
+        kwargs = {
+            "kv_cache_dtype": kv_cache_dtype,
+            "k_scale": jnp.asarray([k_scale], dtype=jnp.float32),
+            "v_scale": jnp.asarray([v_scale], dtype=jnp.float32),
+        }
+
+    out = varlen_attention(
+        fx.query,
+        fx.key_cache,
+        fx.value_cache,
+        fx.cu_seqlens_q,
+        fx.max_seqlen_q,
+        fx.seq_lens,
+        fx.max_seqlen_k,
+        fx.block_table,
+        causal=causal,
+        scale=scale,
+        softcap=softcap,
+        strict=True,
+        **kwargs,
+    )
+    expected = varlen_ref(
+        fx.query, fx.key_cache, fx.value_cache, fx.cu_seqlens_q, fx.seq_lens, fx.block_table,
+        scale, causal, softcap=softcap, k_scale=k_scale, v_scale=v_scale,
+    )
+    assert out.shape == fx.query.shape
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32), expected, atol=TOLERANCES[dtype], rtol=TOLERANCES[dtype]
+    )
+
+
+@pytest.mark.parametrize("num_q_heads,num_kv_heads", [(8, 8), (32, 8), (4, 1)])
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_varlen_prefill(num_q_heads, num_kv_heads, causal, dtype, rng):
+    """Pure prefill: q_len == seq_len for every sequence."""
+    seq_lens = [33, 128, 257]
+    fx = create_paged_fixture(
+        rng,
+        batch=3,
+        num_q_heads=num_q_heads,
+        num_kv_heads=num_kv_heads,
+        head_size=128,
+        page_size=16,
+        seq_lens=seq_lens,
+        q_lens=seq_lens,
+        dtype=dtype,
+    )
+    _run_and_compare(fx, dtype, causal)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_varlen_mixed_prefill_decode(causal, rng):
+    """Mixed batch: some sequences prefill, some decode one token."""
+    fx = create_paged_fixture(
+        rng,
+        batch=4,
+        num_q_heads=8,
+        num_kv_heads=2,
+        head_size=64,
+        page_size=16,
+        seq_lens=[64, 100, 17, 256],
+        q_lens=[64, 1, 17, 1],
+        dtype=jnp.float32,
+    )
+    _run_and_compare(fx, jnp.float32, causal)
+
+
+def test_varlen_pure_decode(rng):
+    """All decodes (the reference's FlashDecoding regime)."""
+    fx = create_paged_fixture(
+        rng,
+        batch=8,
+        num_q_heads=16,
+        num_kv_heads=4,
+        head_size=128,
+        page_size=32,
+        seq_lens=[1025, 7, 512, 33, 2048, 100, 64, 343],
+        q_lens=[1] * 8,
+        dtype=jnp.float32,
+    )
+    _run_and_compare(fx, jnp.float32, causal=True)
+
+
+def test_varlen_chunked_prefill(rng):
+    """q_len < seq_len: continuation of a partially cached sequence."""
+    fx = create_paged_fixture(
+        rng,
+        batch=2,
+        num_q_heads=4,
+        num_kv_heads=4,
+        head_size=64,
+        page_size=16,
+        seq_lens=[128, 200],
+        q_lens=[32, 50],
+        dtype=jnp.float32,
+    )
+    _run_and_compare(fx, jnp.float32, causal=True)
+
+
+def test_varlen_softcap(rng):
+    fx = create_paged_fixture(
+        rng, batch=2, num_q_heads=4, num_kv_heads=1, head_size=64,
+        page_size=16, seq_lens=[48, 64], q_lens=[48, 64], dtype=jnp.float32,
+    )
+    _run_and_compare(fx, jnp.float32, causal=True, softcap=50.0)
+
+
+def test_varlen_fp8_kv(rng):
+    fx = create_paged_fixture(
+        rng, batch=2, num_q_heads=8, num_kv_heads=2, head_size=128,
+        page_size=16, seq_lens=[96, 40], q_lens=[96, 40], dtype=jnp.bfloat16,
+        cache_dtype=jnp.float8_e4m3fn,
+    )
+    _run_and_compare(fx, jnp.bfloat16, causal=True, kv_cache_dtype="fp8", k_scale=1.25, v_scale=0.5)
+
+
+def test_varlen_single_token_single_seq(rng):
+    fx = create_paged_fixture(
+        rng, batch=1, num_q_heads=2, num_kv_heads=2, head_size=64,
+        page_size=16, seq_lens=[5], q_lens=[1], dtype=jnp.float32,
+    )
+    _run_and_compare(fx, jnp.float32, causal=True)

@@ -1,0 +1,199 @@
+# Copyright 2026 Conch-TPU authors.
+# SPDX-License-Identifier: Apache-2.0
+
+"""Headline benchmark: Llama-3-8B INT4 weight-only decode tokens/s/chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The metric tracks the BASELINE.json north star: decode throughput of a
+full Llama-3-8B-shaped model (32 layers, hidden 4096, 32q/8kv heads,
+head 128, MLP 14336) with int4 weight-only quantization and a paged bf16
+KV cache, on one chip. ``vs_baseline`` is the fraction of the chip's
+HBM-bandwidth roofline achieved (bytes that must move per decoded token:
+packed weights + scales + KV cache read/write), i.e. 1.0 = speed of
+light; the north-star target is >= 0.85 of the BF16 roofline, which
+equals ~0.21 on this int4 metric x4 bytes ratio.
+
+Usage: python bench.py [--preset int4|bf16] [--batch N] [--context N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+HBM_BW_BY_KIND = {
+    # usable HBM bandwidth (bytes/s) per chip generation
+    "tpu v5 lite": 819e9,
+    "tpu v5e": 819e9,
+    "tpu v5p": 2765e9,
+    "tpu v6 lite": 1640e9,
+    "tpu v4": 1228e9,
+}
+
+
+def build_params(config, quant: str):
+    """Random-init packed params directly (no host-side quantization pass)."""
+    import jax.numpy as jnp
+    import jax
+
+    from conch_tpu.models.linear import QuantizedLinear
+    from conch_tpu.reference.embedding.rotary_embedding import compute_cos_sin_cache
+
+    rng = np.random.default_rng(0)
+    h, inter = config.hidden_size, config.intermediate_size
+    q_dim = config.num_heads * config.head_dim
+    kv_dim = config.num_kv_heads * config.head_dim
+    group = 128
+
+    def proj(k, n):
+        if quant == "int4":
+            packed = rng.integers(-(2**31), 2**31 - 1, size=(k // 8, n), dtype=np.int64).astype(np.int32)
+            scales = (rng.random((k // group, n), dtype=np.float32) * 0.01 + 0.005)
+            return QuantizedLinear(
+                "int4",
+                {"packed": jnp.asarray(packed), "scales": jnp.asarray(scales, dtype=jnp.bfloat16)},
+                {"bits": 4, "bias": 8, "group_size": group},
+            )
+        w = rng.standard_normal((k, n), dtype=np.float32) * 0.02
+        return QuantizedLinear.dense(jnp.asarray(w, dtype=jnp.bfloat16))
+
+    def layer():
+        return {
+            "wq": proj(h, q_dim),
+            "wk": proj(h, kv_dim),
+            "wv": proj(h, kv_dim),
+            "wo": proj(q_dim, h),
+            "w_gate": proj(h, inter),
+            "w_up": proj(h, inter),
+            "w_down": proj(inter, h),
+            "input_norm": jnp.ones((h,), dtype=jnp.bfloat16),
+            "post_attn_norm": jnp.ones((h,), dtype=jnp.bfloat16),
+        }
+
+    layers = [layer() for _ in range(config.num_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+    return {
+        "embedding": jnp.asarray(
+            rng.standard_normal((config.vocab_size, h), dtype=np.float32) * 0.02, dtype=jnp.bfloat16
+        ),
+        "layers": stacked,
+        "final_norm": jnp.ones((h,), dtype=jnp.bfloat16),
+        "lm_head": proj(h, config.vocab_size),
+        "cos_sin_cache": compute_cos_sin_cache(config.rope_theta, config.head_dim, config.max_position),
+    }
+
+
+def roofline_bytes_per_token(config, quant: str, context: int) -> float:
+    """Bytes that must cross HBM per decoded token (per sequence)."""
+    h, inter = config.hidden_size, config.intermediate_size
+    q_dim = config.num_heads * config.head_dim
+    kv_dim = config.num_kv_heads * config.head_dim
+    n_weights = config.num_layers * (h * q_dim + 2 * h * kv_dim + q_dim * h + 3 * h * inter)
+    n_weights += config.hidden_size * config.vocab_size  # lm head
+    group = 128
+    if quant == "int4":
+        weight_bytes = n_weights / 2 + (n_weights / group) * 2  # packed + bf16 scales
+    else:
+        weight_bytes = n_weights * 2
+    kv_read = config.num_layers * context * kv_dim * 2 * 2  # K+V, bf16
+    return weight_bytes + kv_read
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--preset", default="int4", choices=["int4", "bf16"])
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--context", type=int, default=1024)
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--small", action="store_true", help="4-layer debug model")
+    parser.add_argument("--tiny", action="store_true", help="tiny CPU-smoke model")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from conch_tpu.models.llama import LlamaConfig, init_kv_caches, llama_decode_step
+    from conch_tpu.platforms import current_platform
+
+    config = LlamaConfig.llama3_8b()
+    if args.small:
+        object.__setattr__(config, "num_layers", 4)
+    if args.tiny:
+        config = LlamaConfig(
+            vocab_size=512, hidden_size=512, intermediate_size=1024,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=128, max_position=4096,
+        )
+    # Cap context to the benchmark block-table width.
+    page_size = 64
+    pages_per_seq = -(-args.context // page_size) + 1
+    num_pages = args.batch * pages_per_seq + 1
+
+    params = build_params(config, args.preset)
+    k_caches, v_caches = init_kv_caches(config, num_pages, page_size)
+
+    rng = np.random.default_rng(0)
+    batch = args.batch
+    token_ids = jnp.asarray(rng.integers(0, config.vocab_size, batch), jnp.int32)
+    positions = jnp.full((batch,), args.context - 1, jnp.int32)
+    seq_lens = jnp.full((batch,), args.context, jnp.int32)
+    block_tables = jnp.asarray(
+        rng.permutation(num_pages - 1)[: batch * pages_per_seq].reshape(batch, pages_per_seq), jnp.int32
+    )
+    slot_mapping = (
+        block_tables[jnp.arange(batch), (args.context - 1) // page_size] * page_size
+        + (args.context - 1) % page_size
+    )
+
+    step = jax.jit(
+        lambda p, t, kc, vc: llama_decode_step(
+            p, config, t, positions, seq_lens, block_tables, slot_mapping, kc, vc
+        ),
+        donate_argnums=(2, 3),
+    )
+
+    logits, k_caches, v_caches = step(params, token_ids, k_caches, v_caches)
+    jax.block_until_ready(logits)
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        logits, k_caches, v_caches = step(params, token_ids, k_caches, v_caches)
+        jax.block_until_ready(logits)
+        times.append(time.perf_counter() - t0)
+
+    median_s = float(np.median(times))
+    tokens_per_s = batch / median_s
+
+    kind = current_platform.get_device_name().lower()
+    bw = next((v for k, v in HBM_BW_BY_KIND.items() if kind.startswith(k)), 819e9)
+    # Batched decode amortizes the weight read across the batch.
+    weight_and_kv = roofline_bytes_per_token(config, args.preset, args.context)
+    kv_only = config.num_layers * args.context * config.num_kv_heads * config.head_dim * 2 * 2
+    batch_bytes = (weight_and_kv - kv_only) + batch * kv_only
+    roofline_step_s = batch_bytes / bw
+    roofline_tokens_per_s = batch / roofline_step_s
+    vs_baseline = tokens_per_s / roofline_tokens_per_s
+
+    print(
+        json.dumps(
+            {
+                "metric": f"llama3_8b_{args.preset}_decode_tokens_per_s_chip"
+                + ("_small" if args.small else "")
+                + ("_tiny" if args.tiny else ""),
+                "value": round(tokens_per_s, 2),
+                "unit": "tokens/s",
+                "vs_baseline": round(vs_baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,28 @@
+# Copyright 2026 Conch-TPU authors.
+# SPDX-License-Identifier: Apache-2.0
+"""bitsandbytes blockwise dequantize microbenchmark (parity: reference
+``benchmarks/bnb_dequantize_blockwise_benchmark.py``)."""
+
+import jax.numpy as jnp
+
+from benchmarks.common import make_parser, rng, run_and_report
+from conch_tpu.ops.quantization.bitsandbytes import dequantize_blockwise, quantize_blockwise
+
+
+def main() -> None:
+    parser = make_parser("bnb dequantize_blockwise benchmark")
+    parser.add_argument("--numel", type=int, default=16 * 1024 * 1024)
+    parser.add_argument("--blocksize", type=int, default=64)
+    parser.add_argument("--quant-type", default="nf4", choices=["nf4", "fp4"])
+    args = parser.parse_args()
+
+    x = jnp.asarray(rng(args).normal(size=(args.numel,)), dtype=jnp.bfloat16)
+    packed, state = quantize_blockwise(x, blocksize=args.blocksize, quant_type=args.quant_type)
+    run_and_report(args, [(
+        f"bnb_dequantize_{args.quant_type}_b{args.blocksize}",
+        lambda: dequantize_blockwise(packed, quant_state=state),
+    )])
+
+
+if __name__ == "__main__":
+    main()

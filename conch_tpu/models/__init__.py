@@ -1,0 +1,6 @@
+# Copyright 2026 Conch-TPU authors.
+# SPDX-License-Identifier: Apache-2.0
+
+from conch_tpu.models.llama import LlamaConfig, init_llama_params, llama_decode_step, llama_prefill
+
+__all__ = ["LlamaConfig", "init_llama_params", "llama_decode_step", "llama_prefill"]

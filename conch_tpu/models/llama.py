@@ -1,0 +1,266 @@
+# Copyright 2026 Conch-TPU authors.
+# SPDX-License-Identifier: Apache-2.0
+
+"""Llama-family transformer built on the conch_tpu op library.
+
+The flagship end-to-end model for the serving path (north star in
+BASELINE.json): decoder-only transformer with RMS norm, NeoX RoPE, GQA
+attention over a *paged* KV cache, and SwiGLU MLP — every hot op is a
+conch_tpu kernel:
+
+- norms:      ``ops.normalization`` (Pallas)
+- rope:       ``ops.embedding.rotary_embedding`` (Pallas)
+- attention:  ``ops.attention.{varlen,paged}_attention`` (Pallas, paged KV)
+- cache:      ``ops.cache.reshape_and_cache`` (donated scatter)
+- mlp gate:   ``ops.activation.silu_and_mul`` (Pallas)
+- matmuls:    ``models.linear.QuantizedLinear`` (dense MXU or
+              mixed-precision dequant-GEMM for int4/int8/nf4 weights)
+
+Layers are *stacked and scanned* (``jax.lax.scan``) so compile time is
+O(1) in depth; the KV caches ride the scan as stacked (L, ...) arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conch_tpu.models.linear import QuantizedLinear, quantize_linear
+from conch_tpu.ops.activation import silu_and_mul_parts
+from conch_tpu.ops.attention import paged_attention, varlen_attention
+from conch_tpu.ops.cache import reshape_and_cache
+from conch_tpu.ops.embedding import rotary_embedding
+from conch_tpu.ops.normalization import rms_norm
+from conch_tpu.reference.embedding.rotary_embedding import compute_cos_sin_cache
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    """Model hyperparameters (defaults: a tiny debug model)."""
+
+    vocab_size: int = 256
+    hidden_size: int = 256
+    intermediate_size: int = 512
+    num_layers: int = 2
+    num_heads: int = 4
+    num_kv_heads: int = 2
+    head_dim: int = 64
+    rope_theta: float = 500000.0
+    rms_norm_eps: float = 1e-5
+    max_position: int = 8192
+    dtype: Any = jnp.bfloat16
+
+    @staticmethod
+    def llama3_8b() -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=128256,
+            hidden_size=4096,
+            intermediate_size=14336,
+            num_layers=32,
+            num_heads=32,
+            num_kv_heads=8,
+            head_dim=128,
+            rope_theta=500000.0,
+            rms_norm_eps=1e-5,
+            max_position=8192,
+        )
+
+    @staticmethod
+    def llama3_70b() -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=128256,
+            hidden_size=8192,
+            intermediate_size=28672,
+            num_layers=80,
+            num_heads=64,
+            num_kv_heads=8,
+            head_dim=128,
+            rope_theta=500000.0,
+            rms_norm_eps=1e-5,
+            max_position=8192,
+        )
+
+    @staticmethod
+    def tiny(**overrides) -> "LlamaConfig":
+        return LlamaConfig(**overrides)
+
+
+def init_llama_params(
+    seed: int, config: LlamaConfig, quant_mode: str = "bf16", group_size: int = 128
+) -> dict:
+    """Random-initialize Llama params; projections stored per ``quant_mode``.
+
+    Layer weights are stacked along a leading layer axis for ``lax.scan``.
+    Quantized projections are stacked per-array (packed/scales).
+    """
+    rng = np.random.default_rng(seed)
+    h, inter = config.hidden_size, config.intermediate_size
+    q_dim = config.num_heads * config.head_dim
+    kv_dim = config.num_kv_heads * config.head_dim
+    std = 0.02
+
+    def make_proj(k_dim: int, n_dim: int) -> QuantizedLinear:
+        w = rng.normal(size=(k_dim, n_dim)).astype(np.float32) * std
+        kwargs = {"group_size": group_size} if quant_mode in ("int4", "int8") else {}
+        return quantize_linear(w, quant_mode, **kwargs)
+
+    def stack_layers(make_fn):
+        layers = [make_fn() for _ in range(config.num_layers)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+    layer_params = stack_layers(
+        lambda: {
+            "wq": make_proj(h, q_dim),
+            "wk": make_proj(h, kv_dim),
+            "wv": make_proj(h, kv_dim),
+            "wo": make_proj(q_dim, h),
+            "w_gate": make_proj(h, inter),
+            "w_up": make_proj(h, inter),
+            "w_down": make_proj(inter, h),
+            "input_norm": jnp.ones((h,), dtype=config.dtype),
+            "post_attn_norm": jnp.ones((h,), dtype=config.dtype),
+        }
+    )
+
+    return {
+        "embedding": jnp.asarray(rng.normal(size=(config.vocab_size, h)) * std, dtype=config.dtype),
+        "layers": layer_params,
+        "final_norm": jnp.ones((h,), dtype=config.dtype),
+        "lm_head": quantize_linear(rng.normal(size=(h, config.vocab_size)).astype(np.float32) * std, quant_mode if quant_mode != "int4" else "bf16"),
+        "cos_sin_cache": compute_cos_sin_cache(config.rope_theta, config.head_dim, config.max_position),
+    }
+
+
+def init_kv_caches(config: LlamaConfig, num_pages: int, page_size: int, cache_dtype=None) -> tuple[jax.Array, jax.Array]:
+    """Allocate stacked (L, P, ps, KH, D) key/value caches."""
+    cache_dtype = cache_dtype or config.dtype
+    shape = (config.num_layers, num_pages, page_size, config.num_kv_heads, config.head_dim)
+    return jnp.zeros(shape, dtype=cache_dtype), jnp.zeros(shape, dtype=cache_dtype)
+
+
+def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, slot_mapping, tp_axis: str | None = None, num_heads: int | None = None, num_kv_heads: int | None = None):
+    """Build the scanned per-layer function shared by prefill and decode.
+
+    With ``tp_axis`` set (inside a shard_map), the per-chip head counts are
+    the *local* counts and the row-parallel projections (wo, w_down) psum
+    their partial outputs over the tensor-parallel axis.
+    """
+    eps = config.rms_norm_eps
+    num_heads = num_heads or config.num_heads
+    num_kv_heads = num_kv_heads or config.num_kv_heads
+    n_tokens_heads = (num_heads, config.head_dim)
+    kv_heads = (num_kv_heads, config.head_dim)
+
+    def reduce_tp(x):
+        return jax.lax.psum(x, tp_axis) if tp_axis else x
+
+    def layer_step(hidden, xs):
+        layer, k_cache, v_cache = xs
+        t = hidden.shape[0]
+
+        attn_in = rms_norm(hidden, layer["input_norm"], eps)
+        q = layer["wq"].apply(attn_in)
+        k = layer["wk"].apply(attn_in)
+        v = layer["wv"].apply(attn_in)
+        q, k = rotary_embedding(positions, q, k, config.head_dim, cos_sin_cache)
+
+        k = k.reshape(t, *kv_heads)
+        v = v.reshape(t, *kv_heads)
+        k_cache, v_cache = reshape_and_cache(k, v, k_cache, v_cache, slot_mapping)
+
+        attn_out = attn_fn(q.reshape(t, *n_tokens_heads), k_cache, v_cache)
+        hidden = hidden + reduce_tp(layer["wo"].apply(attn_out.reshape(t, -1)))
+
+        mlp_in = rms_norm(hidden, layer["post_attn_norm"], eps)
+        gate = layer["w_gate"].apply(mlp_in)
+        up = layer["w_up"].apply(mlp_in)
+        hidden = hidden + reduce_tp(layer["w_down"].apply(silu_and_mul_parts(gate, up)))
+
+        return hidden, (k_cache, v_cache)
+
+    return layer_step
+
+
+def llama_prefill(
+    params: dict,
+    config: LlamaConfig,
+    token_ids: jax.Array,  # (total_tokens,)
+    positions: jax.Array,  # (total_tokens,)
+    cu_seqlens_q: jax.Array,  # (batch+1,)
+    max_seqlen_q: int,
+    seq_lens: jax.Array,  # (batch,)
+    block_tables: jax.Array,  # (batch, max_pages)
+    slot_mapping: jax.Array,  # (total_tokens,)
+    k_caches: jax.Array,  # (L, P, ps, KH, D)
+    v_caches: jax.Array,
+    tp_axis: str | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Prefill (or chunked-prefill) forward pass.
+
+    Returns (last-token logits per sequence (batch, vocab), k_caches, v_caches).
+    Inside a shard_map, ``tp_axis`` names the tensor-parallel mesh axis and
+    all shapes are per-chip shards.
+    """
+    hidden = jnp.take(params["embedding"], token_ids, axis=0)
+    num_kv_heads = k_caches.shape[3]
+    group = config.num_heads // config.num_kv_heads
+
+    def attn_fn(q, k_cache, v_cache):
+        return varlen_attention(
+            q, k_cache, v_cache, cu_seqlens_q, max_seqlen_q, seq_lens,
+            max_seqlen_q, block_tables, causal=True,
+        )
+
+    layer_step = _layer_step_factory(
+        config, attn_fn, params["cos_sin_cache"], positions, slot_mapping,
+        tp_axis=tp_axis, num_heads=num_kv_heads * group, num_kv_heads=num_kv_heads,
+    )
+    hidden, (k_caches, v_caches) = jax.lax.scan(layer_step, hidden, (params["layers"], k_caches, v_caches))
+
+    # Only the last token of each sequence produces next-token logits.
+    last_rows = cu_seqlens_q[1:] - 1
+    hidden_last = jnp.take(hidden, last_rows, axis=0)
+    hidden_last = rms_norm(hidden_last, params["final_norm"], config.rms_norm_eps)
+    logits = params["lm_head"].apply(hidden_last)
+    return logits.astype(jnp.float32), k_caches, v_caches
+
+
+def llama_decode_step(
+    params: dict,
+    config: LlamaConfig,
+    token_ids: jax.Array,  # (batch,)
+    positions: jax.Array,  # (batch,)
+    seq_lens: jax.Array,  # (batch,) lengths INCLUDING the new token
+    block_tables: jax.Array,  # (batch, max_pages)
+    slot_mapping: jax.Array,  # (batch,)
+    k_caches: jax.Array,
+    v_caches: jax.Array,
+    tp_axis: str | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One decode step for a batch of sequences.
+
+    Returns (logits (batch, vocab), k_caches, v_caches). Inside a
+    shard_map, ``tp_axis`` names the tensor-parallel mesh axis and all
+    head-bearing shapes are per-chip shards.
+    """
+    hidden = jnp.take(params["embedding"], token_ids, axis=0)
+    num_kv_heads = k_caches.shape[3]
+    group = config.num_heads // config.num_kv_heads
+
+    def attn_fn(q, k_cache, v_cache):
+        return paged_attention(q, k_cache, v_cache, block_tables, seq_lens)
+
+    layer_step = _layer_step_factory(
+        config, attn_fn, params["cos_sin_cache"], positions, slot_mapping,
+        tp_axis=tp_axis, num_heads=num_kv_heads * group, num_kv_heads=num_kv_heads,
+    )
+    hidden, (k_caches, v_caches) = jax.lax.scan(layer_step, hidden, (params["layers"], k_caches, v_caches))
+
+    hidden = rms_norm(hidden, params["final_norm"], config.rms_norm_eps)
+    logits = params["lm_head"].apply(hidden)
+    return logits.astype(jnp.float32), k_caches, v_caches

@@ -2,6 +2,6 @@
 # SPDX-License-Identifier: Apache-2.0
 
 from conch_tpu.ops.activation.gelu_tanh_and_mul import gelu_tanh_and_mul
-from conch_tpu.ops.activation.silu_and_mul import silu_and_mul
+from conch_tpu.ops.activation.silu_and_mul import silu_and_mul, silu_and_mul_parts
 
-__all__ = ["gelu_tanh_and_mul", "silu_and_mul"]
+__all__ = ["gelu_tanh_and_mul", "silu_and_mul", "silu_and_mul_parts"]

@@ -1,0 +1,86 @@
+# Copyright 2026 Conch-TPU authors.
+# SPDX-License-Identifier: Apache-2.0
+
+"""Tensor-parallel sharding rules for Llama-family params and KV caches.
+
+Megatron-style layout over the ("data", "model") mesh:
+
+- column-parallel: wq/wk/wv (attention heads) and w_gate/w_up (MLP
+  columns) shard their output (N) dimension on "model" — including the
+  *packed* int32 weights and their per-group scales, which share the N
+  dimension (the north-star requirement that quantized weights shard
+  consistently);
+- row-parallel: wo and w_down shard their input (K) dimension on "model";
+  their partial outputs are reduced with one ``psum`` over ICI per layer
+  (inserted by the shard_map step in ``tp_inference.py`` or by GSPMD in
+  the training step);
+- lm_head: column-parallel over the vocab;
+- KV caches: sharded on the kv-head dimension — each chip owns the full
+  sequence for its heads, so paged attention needs no cross-chip
+  communication at all;
+- norms, embedding, rope cache: replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _spec_for(path: str, ndim: int) -> P:
+    """PartitionSpec for a param leaf, identified by its tree path.
+
+    Stacked layer weights carry a leading L dimension; the rules below
+    index from the right so they hold with or without stacking.
+    """
+
+    def last_on_model():
+        return P(*([None] * (ndim - 1) + ["model"]))
+
+    def second_last_on_model():
+        return P(*([None] * (ndim - 2) + ["model", None]))
+
+    if "nf4_packed" in path or "absmax" in path:
+        return P()  # nf4 storage is flat over the tensor: replicate
+    if any(k in path for k in ("wq", "wk", "wv", "w_gate", "w_up", "lm_head")):
+        return last_on_model()  # column-parallel: N (incl. packed/scales)
+    if any(k in path for k in ("wo", "w_down")):
+        # Row-parallel: K for the weight, K-groups for packed words and
+        # per-group scales (all share the K-major leading layout).
+        return second_last_on_model()
+    return P()  # norms, embedding, cos_sin: replicated
+
+
+def llama_param_shardings(params: Any, mesh: Mesh) -> Any:
+    """Build a NamedSharding pytree matching ``params``."""
+
+    def leaf_sharding(path, leaf):
+        path_str = jax.tree_util.keystr(path)
+        return NamedSharding(mesh, _spec_for(path_str, leaf.ndim))
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, params)
+
+
+def llama_param_pspecs(params: Any) -> Any:
+    """PartitionSpec pytree (for shard_map in_specs)."""
+
+    def leaf_spec(path, leaf):
+        return _spec_for(jax.tree_util.keystr(path), leaf.ndim)
+
+    return jax.tree_util.tree_map_with_path(leaf_spec, params)
+
+
+def shard_llama_params(params: Any, mesh: Mesh) -> Any:
+    """Place params on the mesh according to the TP rules."""
+    return jax.device_put(params, llama_param_shardings(params, mesh))
+
+
+def kv_cache_pspec() -> P:
+    """(L, P, ps, KH, D) caches shard the kv-head dimension."""
+    return P(None, None, None, "model", None)
+
+
+def kv_cache_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, kv_cache_pspec())

@@ -1,0 +1,98 @@
+# Copyright 2026 Conch-TPU authors.
+# SPDX-License-Identifier: Apache-2.0
+
+"""Tensor-parallel serving steps via shard_map + explicit ICI collectives.
+
+Pallas kernels need per-chip shapes, so the TP serving path uses
+``jax.shard_map`` (not GSPMD auto-partitioning): every chip runs the
+*same* Pallas-backed Llama step on its head/column shard of the weights
+and its kv-head shard of the paged cache, with exactly two ``psum``s per
+layer (after the row-parallel wo and w_down) plus one logits all-gather —
+the Megatron communication pattern mapped to ICI.
+
+Batch is simultaneously sharded over the "data" axis (pure DP: no
+collectives in the forward).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from conch_tpu.models.llama import LlamaConfig, llama_decode_step, llama_prefill
+from conch_tpu.parallel.sharding import kv_cache_pspec, llama_param_pspecs
+
+
+def make_tp_decode_step(mesh: Mesh, config: LlamaConfig, params_example: Any):
+    """Build a jitted tensor+data-parallel decode step over ``mesh``.
+
+    The returned function has the same signature as ``llama_decode_step``
+    minus ``config``/``tp_axis``; inputs arrive with global shapes and the
+    batch dimension is sharded over "data", heads/vocab over "model".
+    """
+    param_specs = llama_param_pspecs(params_example)
+    data_specs = dict(
+        token_ids=P("data"),
+        positions=P("data"),
+        seq_lens=P("data"),
+        block_tables=P("data", None),
+        slot_mapping=P("data"),
+    )
+
+    def local_step(params, token_ids, positions, seq_lens, block_tables, slot_mapping, k_caches, v_caches):
+        logits, k_caches, v_caches = llama_decode_step(
+            params, config, token_ids, positions, seq_lens, block_tables,
+            slot_mapping, k_caches, v_caches, tp_axis="model",
+        )
+        # Vocab is column-sharded: gather the full logits row.
+        logits = jax.lax.all_gather(logits, "model", axis=1, tiled=True)
+        return logits, k_caches, v_caches
+
+    shard_mapped = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            param_specs,
+            data_specs["token_ids"],
+            data_specs["positions"],
+            data_specs["seq_lens"],
+            data_specs["block_tables"],
+            data_specs["slot_mapping"],
+            kv_cache_pspec(),
+            kv_cache_pspec(),
+        ),
+        out_specs=(P("data"), kv_cache_pspec(), kv_cache_pspec()),
+        check_vma=False,
+    )
+    return jax.jit(shard_mapped, donate_argnums=(6, 7))
+
+
+def make_tp_prefill(mesh: Mesh, config: LlamaConfig, params_example: Any, max_seqlen_q: int):
+    """Build a jitted tensor-parallel prefill (batch replicated across data).
+
+    Prefill batches are ragged (cu_seqlens); for simplicity the token
+    stream is replicated across the "data" axis and sharded over "model"
+    only. (Data-parallel prefill = separate engine shards per host.)
+    """
+    param_specs = llama_param_pspecs(params_example)
+
+    def local_step(params, token_ids, positions, cu_seqlens_q, seq_lens, block_tables, slot_mapping, k_caches, v_caches):
+        logits, k_caches, v_caches = llama_prefill(
+            params, config, token_ids, positions, cu_seqlens_q, max_seqlen_q,
+            seq_lens, block_tables, slot_mapping, k_caches, v_caches, tp_axis="model",
+        )
+        logits = jax.lax.all_gather(logits, "model", axis=1, tiled=True)
+        return logits, k_caches, v_caches
+
+    shard_mapped = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(param_specs, P(), P(), P(), P(), P(), P(), kv_cache_pspec(), kv_cache_pspec()),
+        out_specs=(P(), kv_cache_pspec(), kv_cache_pspec()),
+        check_vma=False,
+    )
+    return jax.jit(shard_mapped, donate_argnums=(7, 8))

@@ -1,0 +1,117 @@
+# Copyright 2026 Conch-TPU authors.
+# SPDX-License-Identifier: Apache-2.0
+
+"""Sharded causal-LM training step (GSPMD over the device mesh).
+
+The multi-chip validation path: dense full-attention Llama forward, causal
+cross-entropy loss, grad, and an Adam-style update — jitted with sharding
+annotations so XLA inserts the collectives (grad psums over "data" on DCN,
+activation/weight collectives over "model" on ICI).
+
+Training uses a dense-attention forward (no paged cache: whole sequences),
+with the sequence dimension of activations shardable over "model"
+(sequence parallelism for the norm/elementwise segments).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from conch_tpu.models.llama import LlamaConfig
+from conch_tpu.parallel.sharding import llama_param_shardings
+from conch_tpu.reference.embedding.rotary_embedding import rotary_embedding as rope_apply
+
+
+def dense_forward(params: Any, config: LlamaConfig, token_ids: jax.Array) -> jax.Array:
+    """Full-context forward over (batch, seq) token ids; returns logits."""
+    b, t = token_ids.shape
+    h = config.hidden_size
+    hidden = jnp.take(params["embedding"], token_ids, axis=0).astype(jnp.float32)
+    positions = jnp.arange(t, dtype=jnp.int32)
+
+    def norm(x, w):
+        ms = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+        return (x * jax.lax.rsqrt(ms + config.rms_norm_eps)) * w.astype(jnp.float32)
+
+    def layer_step(hidden, layer):
+        x = norm(hidden, layer["input_norm"]).astype(config.dtype)
+        flat = x.reshape(b * t, h)
+        q = layer["wq"].apply(flat)
+        k = layer["wk"].apply(flat)
+        v = layer["wv"].apply(flat)
+
+        # Rope per sequence (same positions for every batch row).
+        qr, kr = rope_apply(
+            jnp.tile(positions, b), q, k, params["cos_sin_cache"], config.head_dim, config.head_dim
+        )
+        qh = qr.reshape(b, t, config.num_heads, config.head_dim).astype(jnp.float32)
+        kh = kr.reshape(b, t, config.num_kv_heads, config.head_dim).astype(jnp.float32)
+        vh = v.reshape(b, t, config.num_kv_heads, config.head_dim).astype(jnp.float32)
+
+        group = config.num_heads // config.num_kv_heads
+        kh = jnp.repeat(kh, group, axis=2)
+        vh = jnp.repeat(vh, group, axis=2)
+
+        s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / jnp.sqrt(float(config.head_dim))
+        causal = jnp.tril(jnp.ones((t, t), bool))
+        s = jnp.where(causal[None, None], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", p, vh).reshape(b * t, -1).astype(config.dtype)
+        hidden = hidden + layer["wo"].apply(attn).reshape(b, t, h).astype(jnp.float32)
+
+        x = norm(hidden, layer["post_attn_norm"]).astype(config.dtype).reshape(b * t, h)
+        gate = layer["w_gate"].apply(x).astype(jnp.float32)
+        up = layer["w_up"].apply(x).astype(jnp.float32)
+        act = (gate * jax.nn.sigmoid(gate)).astype(config.dtype) * up.astype(config.dtype)
+        hidden = hidden + layer["w_down"].apply(act).reshape(b, t, h).astype(jnp.float32)
+        return hidden, None
+
+    hidden, _ = jax.lax.scan(layer_step, hidden, params["layers"])
+    hidden = norm(hidden, params["final_norm"]).astype(config.dtype)
+    logits = params["lm_head"].apply(hidden.reshape(b * t, h))
+    return logits.reshape(b, t, -1).astype(jnp.float32)
+
+
+def causal_lm_loss(params: Any, config: LlamaConfig, token_ids: jax.Array) -> jax.Array:
+    """Next-token cross entropy over (batch, seq) token ids."""
+    logits = dense_forward(params, config, token_ids)
+    targets = token_ids[:, 1:]
+    log_probs = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+    nll = -jnp.take_along_axis(log_probs, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)
+
+
+def make_train_step(mesh: Mesh, config: LlamaConfig, params_example: Any, learning_rate: float = 1e-3):
+    """Build (train_step, init_opt_state) sharded over the mesh.
+
+    Shardings: params TP over "model" (Megatron layout), batch DP over
+    "data"; optimizer state inherits the param shardings. XLA/GSPMD
+    inserts the grad all-reduce over "data" and the activation
+    collectives over "model".
+    """
+    optimizer = optax.adamw(learning_rate)
+    param_shardings = llama_param_shardings(params_example, mesh)
+    batch_sharding = NamedSharding(mesh, P("data", None))
+
+    def init_opt_state(params):
+        return optimizer.init(params)
+
+    def train_step(params, opt_state, token_ids):
+        loss, grads = jax.value_and_grad(lambda p: causal_lm_loss(p, config, token_ids))(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    opt_shardings = None  # filled lazily: optimizer state mirrors params
+
+    jitted = jax.jit(
+        train_step,
+        in_shardings=(param_shardings, None, batch_sharding),
+        donate_argnums=(0, 1),
+    )
+    return jitted, init_opt_state, param_shardings, batch_sharding

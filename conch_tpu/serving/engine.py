@@ -1,0 +1,305 @@
+# Copyright 2026 Conch-TPU authors.
+# SPDX-License-Identifier: Apache-2.0
+
+"""Continuous-batching LLM serving engine over paged KV caches.
+
+The TPU-native serving layer required by the north star (BASELINE.json):
+host-side scheduling (pure Python — admission, chunked prefill, page
+allocation) around *shape-stable* jitted device steps, so the decode loop
+never recompiles:
+
+- decode: fixed (max_batch,) shapes; idle rows are padded with seq_len 0
+  and slot -1 (dropped by the cache scatter, zeroed by the attention
+  guard).
+- prefill: token counts padded to power-of-two buckets; long prompts are
+  *chunk-prefilled* across steps (the reference's varlen kernel supports
+  q_len < seq_len for exactly this).
+- KV caches are donated through the jitted steps: the cache stack lives
+  in one device buffer that XLA updates in place.
+
+Scheduling policy: prefill-priority (one prefill batch when any request
+has prompt tokens left, else one decode batch over all running requests),
+admission gated on free pages, vLLM-style.
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conch_tpu.models.llama import (
+    LlamaConfig,
+    init_kv_caches,
+    llama_decode_step,
+    llama_prefill,
+)
+from conch_tpu.serving.block_allocator import BlockAllocator
+from conch_tpu.serving.sampling import SamplingParams, sample_tokens
+
+
+class RequestState(enum.Enum):
+    WAITING = "waiting"
+    PREFILLING = "prefilling"
+    RUNNING = "running"
+    FINISHED = "finished"
+
+
+@dataclass
+class Request:
+    request_id: int
+    prompt: list[int]
+    sampling: SamplingParams
+    state: RequestState = RequestState.WAITING
+    pages: list[int] = field(default_factory=list)
+    num_computed: int = 0  # prompt tokens already prefilled
+    output_tokens: list[int] = field(default_factory=list)
+
+    @property
+    def total_len(self) -> int:
+        return len(self.prompt) + len(self.output_tokens)
+
+
+@dataclass
+class EngineConfig:
+    page_size: int = 16
+    num_pages: int = 512
+    max_batch_size: int = 8
+    max_pages_per_seq: int = 64
+    max_prefill_tokens: int = 512
+    eos_token_id: int | None = None
+    seed: int = 0
+
+
+def _make_allocator(num_pages: int):
+    """Native C++ allocator when built + enabled, else the Python one."""
+    from conch_tpu import envs, native
+
+    if envs.CONCH_ENABLE_CPP_EXT and native.is_available():
+        return native.NativeBlockAllocator(num_pages)
+    return BlockAllocator(num_pages)
+
+
+def _bucket(n: int, floor: int = 16) -> int:
+    b = floor
+    while b < n:
+        b *= 2
+    return b
+
+
+class LLMEngine:
+    """Single-host continuous-batching engine for Llama-family models."""
+
+    def __init__(self, params: dict, model_config: LlamaConfig, engine_config: EngineConfig, cache_dtype=None):
+        self.params = params
+        self.config = model_config
+        self.ecfg = engine_config
+        self.allocator = _make_allocator(engine_config.num_pages)
+        self.k_caches, self.v_caches = init_kv_caches(
+            model_config, engine_config.num_pages, engine_config.page_size, cache_dtype
+        )
+        self.waiting: list[Request] = []
+        self.running: list[Request] = []
+        self._next_id = 0
+        self._rng_key = jax.random.PRNGKey(engine_config.seed)
+
+        self._prefill_fn = jax.jit(
+            functools.partial(llama_prefill, config=model_config),
+            static_argnames=("max_seqlen_q",),
+            donate_argnames=("k_caches", "v_caches"),
+        )
+        self._decode_fn = jax.jit(
+            functools.partial(llama_decode_step, config=model_config),
+            donate_argnames=("k_caches", "v_caches"),
+        )
+
+    # -- public API --------------------------------------------------------
+
+    def add_request(self, prompt: list[int], sampling: SamplingParams | None = None) -> int:
+        rid = self._next_id
+        self._next_id += 1
+        self.waiting.append(Request(rid, list(prompt), sampling or SamplingParams()))
+        return rid
+
+    def generate(self, prompts: list[list[int]], sampling: SamplingParams | None = None) -> list[list[int]]:
+        """Offline batch generation: returns output token lists per prompt."""
+        ids = [self.add_request(p, sampling) for p in prompts]
+        results: dict[int, list[int]] = {}
+        while self.waiting or self.running:
+            for req in self.step():
+                results[req.request_id] = req.output_tokens
+        return [results[i] for i in ids]
+
+    def step(self) -> list[Request]:
+        """Run one engine step; returns requests that finished this step."""
+        self._admit()
+        if not self.running:
+            return []
+
+        prefilling = [r for r in self.running if r.state == RequestState.PREFILLING]
+        if prefilling:
+            self._run_prefill(prefilling)
+        else:
+            self._run_decode([r for r in self.running if r.state == RequestState.RUNNING])
+
+        finished = [r for r in self.running if r.state == RequestState.FINISHED]
+        for req in finished:
+            for page in req.pages:
+                self.allocator.free(page)
+            req.pages = []
+        self.running = [r for r in self.running if r.state != RequestState.FINISHED]
+        return finished
+
+    # -- scheduling --------------------------------------------------------
+
+    def _admit(self) -> None:
+        ps = self.ecfg.page_size
+        while self.waiting and len(self.running) < self.ecfg.max_batch_size:
+            req = self.waiting[0]
+            pages_needed = -(-(len(req.prompt) + req.sampling.max_tokens) // ps)
+            pages_needed = min(pages_needed, self.ecfg.max_pages_per_seq)
+            if not self.allocator.can_allocate(pages_needed):
+                break
+            self.waiting.pop(0)
+            req.pages = [self.allocator.allocate() for _ in range(pages_needed)]
+            req.state = RequestState.PREFILLING
+            self.running.append(req)
+
+    def _slot(self, req: Request, pos: int) -> int:
+        return req.pages[pos // self.ecfg.page_size] * self.ecfg.page_size + pos % self.ecfg.page_size
+
+    def _block_table_rows(self, reqs: list[Request]) -> np.ndarray:
+        bt = np.zeros((len(reqs), self.ecfg.max_pages_per_seq), dtype=np.int32)
+        for i, r in enumerate(reqs):
+            bt[i, : len(r.pages)] = r.pages
+        return bt
+
+    # -- device steps ------------------------------------------------------
+
+    def _run_prefill(self, reqs: list[Request]) -> None:
+        budget = self.ecfg.max_prefill_tokens
+        batch: list[tuple[Request, int]] = []  # (request, chunk_len)
+        for r in reqs:
+            remaining = len(r.prompt) - r.num_computed
+            take = min(remaining, budget)
+            if take <= 0:
+                continue
+            batch.append((r, take))
+            budget -= take
+            if budget <= 0:
+                break
+        if not batch:
+            return
+
+        tokens, positions, slots, q_lens, seq_lens = [], [], [], [], []
+        for r, take in batch:
+            start = r.num_computed
+            tokens.extend(r.prompt[start : start + take])
+            positions.extend(range(start, start + take))
+            slots.extend(self._slot(r, p) for p in range(start, start + take))
+            q_lens.append(take)
+            seq_lens.append(start + take)
+
+        total = len(tokens)
+        total_pad = _bucket(total)
+        max_q = _bucket(max(q_lens))
+        bpad = self.ecfg.max_batch_size
+
+        tokens_arr = np.zeros(total_pad, dtype=np.int32)
+        tokens_arr[:total] = tokens
+        positions_arr = np.zeros(total_pad, dtype=np.int32)
+        positions_arr[:total] = positions
+        slots_arr = np.full(total_pad, -1, dtype=np.int32)
+        slots_arr[:total] = slots
+
+        cu = np.zeros(bpad + 1, dtype=np.int32)
+        cu[1 : len(batch) + 1] = np.cumsum(q_lens)
+        cu[len(batch) + 1 :] = total  # zero-length padding sequences
+        sl = np.zeros(bpad, dtype=np.int32)
+        sl[: len(batch)] = seq_lens
+        bt = np.zeros((bpad, self.ecfg.max_pages_per_seq), dtype=np.int32)
+        bt[: len(batch)] = self._block_table_rows([r for r, _ in batch])
+
+        logits, self.k_caches, self.v_caches = self._prefill_fn(
+            self.params,
+            token_ids=jnp.asarray(tokens_arr),
+            positions=jnp.asarray(positions_arr),
+            cu_seqlens_q=jnp.asarray(cu),
+            max_seqlen_q=max_q,
+            seq_lens=jnp.asarray(sl),
+            block_tables=jnp.asarray(bt),
+            slot_mapping=jnp.asarray(slots_arr),
+            k_caches=self.k_caches,
+            v_caches=self.v_caches,
+        )
+
+        # Advance chunk progress; sample for requests whose prompt completed.
+        done_rows = []
+        for i, (r, take) in enumerate(batch):
+            r.num_computed += take
+            if r.num_computed >= len(r.prompt):
+                done_rows.append(i)
+        if done_rows:
+            sampled = self._sample(logits, [batch[i][0] for i in done_rows], rows=done_rows)
+            for i, tok in zip(done_rows, sampled):
+                r = batch[i][0]
+                r.output_tokens.append(int(tok))
+                r.state = RequestState.RUNNING
+                self._maybe_finish(r)
+
+    def _run_decode(self, reqs: list[Request]) -> None:
+        if not reqs:
+            return
+        bpad = self.ecfg.max_batch_size
+
+        tokens = np.zeros(bpad, dtype=np.int32)
+        positions = np.zeros(bpad, dtype=np.int32)
+        seq_lens = np.zeros(bpad, dtype=np.int32)
+        slots = np.full(bpad, -1, dtype=np.int32)
+        bt = np.zeros((bpad, self.ecfg.max_pages_per_seq), dtype=np.int32)
+
+        for i, r in enumerate(reqs):
+            pos = r.total_len - 1  # position of the newest (already sampled) token
+            tokens[i] = r.output_tokens[-1]
+            positions[i] = pos
+            seq_lens[i] = r.total_len
+            slots[i] = self._slot(r, pos)
+        bt[: len(reqs)] = self._block_table_rows(reqs)
+
+        logits, self.k_caches, self.v_caches = self._decode_fn(
+            self.params,
+            token_ids=jnp.asarray(tokens),
+            positions=jnp.asarray(positions),
+            seq_lens=jnp.asarray(seq_lens),
+            block_tables=jnp.asarray(bt),
+            slot_mapping=jnp.asarray(slots),
+            k_caches=self.k_caches,
+            v_caches=self.v_caches,
+        )
+
+        sampled = self._sample(logits, reqs, rows=list(range(len(reqs))))
+        for r, tok in zip(reqs, sampled):
+            r.output_tokens.append(int(tok))
+            self._maybe_finish(r)
+
+    def _sample(self, logits: jax.Array, reqs: list[Request], rows: list[int]) -> np.ndarray:
+        self._rng_key, key = jax.random.split(self._rng_key)
+        temps = np.zeros(logits.shape[0], dtype=np.float32)
+        top_ps = np.ones(logits.shape[0], dtype=np.float32)
+        for row, r in zip(rows, reqs):
+            temps[row] = r.sampling.temperature
+            top_ps[row] = r.sampling.top_p
+        toks = sample_tokens(logits, key, jnp.asarray(temps), top_k=0, top_p=jnp.asarray(top_ps))
+        return np.asarray(toks)[rows]
+
+    def _maybe_finish(self, req: Request) -> None:
+        eos = self.ecfg.eos_token_id
+        hit_eos = eos is not None and req.output_tokens and req.output_tokens[-1] == eos
+        out_of_len = len(req.output_tokens) >= req.sampling.max_tokens
+        out_of_pages = req.total_len >= len(req.pages) * self.ecfg.page_size
+        if hit_eos or out_of_len or out_of_pages:
+            req.state = RequestState.FINISHED

@@ -1,0 +1,94 @@
+# Copyright 2026 Conch-TPU authors.
+# SPDX-License-Identifier: Apache-2.0
+
+"""Multi-device sharding tests on the 8-device virtual CPU mesh.
+
+Validates the TPU parallelism layers without TPU hardware (SURVEY.md §4):
+tensor-parallel decode must agree numerically with the single-device
+serving step, and the sharded training step must run and reduce loss.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conch_tpu.models.llama import LlamaConfig, init_kv_caches, init_llama_params, llama_decode_step
+from conch_tpu.parallel.mesh import create_mesh
+from conch_tpu.parallel.sharding import kv_cache_sharding, shard_llama_params
+from conch_tpu.parallel.tp_inference import make_tp_decode_step
+from conch_tpu.parallel.train import make_train_step
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def tp_model():
+    config = LlamaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_layers=2, num_heads=8, num_kv_heads=4, head_dim=32,
+        max_position=256, dtype=jnp.float32,
+    )
+    params = init_llama_params(0, config, "bf16")
+    return config, params
+
+
+def test_tp_decode_matches_single_device(tp_model):
+    """shard_map TP decode == single-device decode, bit-for-bit-ish."""
+    config, params = tp_model
+    mesh = create_mesh(data=2, model=4)
+    rng = np.random.default_rng(0)
+
+    batch = 4
+    num_pages, page_size = 16, 16
+    token_ids = jnp.asarray(rng.integers(0, config.vocab_size, batch), jnp.int32)
+    positions = jnp.asarray([0, 2, 5, 1], jnp.int32)
+    seq_lens = positions + 1
+    block_tables = jnp.asarray(rng.permutation(num_pages).reshape(batch, 4), jnp.int32)
+    slot_mapping = block_tables[jnp.arange(batch), positions // page_size] * page_size + positions % page_size
+
+    # Single-device baseline (fresh caches).
+    k0, v0 = init_kv_caches(config, num_pages, page_size)
+    ref_logits, _, _ = llama_decode_step(
+        params, config, token_ids, positions, seq_lens, block_tables, slot_mapping, k0, v0
+    )
+
+    # Tensor-parallel version.
+    sharded = shard_llama_params(params, mesh)
+    kc, vc = init_kv_caches(config, num_pages, page_size)
+    kc = jax.device_put(kc, kv_cache_sharding(mesh))
+    vc = jax.device_put(vc, kv_cache_sharding(mesh))
+    step = make_tp_decode_step(mesh, config, sharded)
+    tp_logits, kc, vc = step(sharded, token_ids, positions, seq_lens, block_tables, slot_mapping, kc, vc)
+
+    np.testing.assert_allclose(
+        np.asarray(tp_logits), np.asarray(ref_logits), atol=2e-3, rtol=2e-3
+    )
+
+
+def test_train_step_reduces_loss(tp_model):
+    config, params = tp_model
+    mesh = create_mesh(data=2, model=4)
+    rng = np.random.default_rng(1)
+
+    train_step, init_opt, param_shardings, batch_sharding = make_train_step(
+        mesh, config, params, learning_rate=1e-2
+    )
+    params = jax.device_put(params, param_shardings)
+    opt_state = init_opt(params)
+    tokens = jax.device_put(
+        jnp.asarray(rng.integers(0, config.vocab_size, (4, 16)), jnp.int32), batch_sharding
+    )
+
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = train_step(params, opt_state, tokens)
+        losses.append(float(loss))
+
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError, match="needs"):
+        create_mesh(data=16, model=16)

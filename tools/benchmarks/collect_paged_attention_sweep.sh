@@ -1,0 +1,16 @@
+#!/usr/bin/env bash
+# Copyright 2026 Conch-TPU authors.
+# SPDX-License-Identifier: Apache-2.0
+# Long-context paged attention sweep (parity: reference
+# tools/benchmarks/collect_paged_attention_vs_flash.sh - Llama-3.1-405B
+# attention shape, seq 32 -> 131072, capped to fit one chip's HBM).
+set -euo pipefail
+cd "$(dirname "$0")/../.."
+for seq in 32 128 512 2048 8192 32768 131072; do
+  batch=4
+  # keep KV cache under ~8 GB: batch * seq * 8 heads * 128 * 2 * 2B
+  if [ "$seq" -ge 32768 ]; then batch=1; fi
+  python benchmarks/paged_attention_benchmark.py --csv \
+    --batch "$batch" --num-q-heads 32 --num-kv-heads 8 --head-size 128 \
+    --seq-len "$seq" --iterations "${ITERATIONS:-20}"
+done

@@ -1,0 +1,66 @@
+# Copyright 2026 Conch-TPU authors.
+# SPDX-License-Identifier: Apache-2.0
+
+"""Run every op microbenchmark and render a results table.
+
+Parity with the reference's ``tools/create_benchmark_results_table.py``:
+collects each ``benchmarks/*_benchmark.py`` CSV output and prints a
+markdown table (written to stdout or --output).
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import subprocess
+import sys
+
+BENCH_DIR = pathlib.Path(__file__).resolve().parent.parent / "benchmarks"
+
+
+def run_benchmark(path: pathlib.Path, iterations: int) -> list[tuple[str, float]]:
+    """Run one benchmark CLI; returns [(tag, median_ms)]."""
+    proc = subprocess.run(
+        [sys.executable, str(path), "--csv", "--iterations", str(iterations)],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        cwd=str(BENCH_DIR.parent),
+    )
+    rows = []
+    for line in proc.stdout.splitlines():
+        parts = line.strip().split(",")
+        if len(parts) >= 5 and parts[0] != "tag":
+            try:
+                rows.append((parts[0], float(parts[4])))
+            except ValueError:
+                continue
+    if proc.returncode != 0:
+        print(f"[warn] {path.name} failed:\n{proc.stderr[-500:]}", file=sys.stderr)
+    return rows
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--iterations", type=int, default=50)
+    parser.add_argument("--output", type=pathlib.Path, default=None)
+    parser.add_argument("--only", default=None, help="substring filter on benchmark file names")
+    args = parser.parse_args()
+
+    lines = ["| Benchmark | Case | Median (ms) |", "|---|---|---|"]
+    for bench in sorted(BENCH_DIR.glob("*_benchmark.py")):
+        if args.only and args.only not in bench.name:
+            continue
+        for tag, median in run_benchmark(bench, args.iterations):
+            lines.append(f"| {bench.stem} | {tag} | {median:.4f} |")
+            print(f"{bench.stem}: {tag} = {median:.4f} ms", file=sys.stderr)
+
+    table = "\n".join(lines)
+    if args.output:
+        args.output.write_text(table + "\n")
+    else:
+        print(table)
+
+
+if __name__ == "__main__":
+    main()

@@ -36,26 +36,26 @@ def _gelu_tanh_and_mul_kernel(x_ref, y_ref, o_ref):
 
 
 @jax.jit
-def gelu_tanh_and_mul_launcher(x: jax.Array) -> jax.Array:
-    """GeGLU over a 2D (num_tokens, 2*d) input; returns (num_tokens, d)."""
-    num_tokens, two_d = x.shape
-    orig_dtype = x.dtype
-    x = x.astype(compute_dtype(orig_dtype))
-    d = two_d // 2
-    gate, up = x[:, :d], x[:, d:]
+def gelu_tanh_and_mul_parts_launcher(gate: jax.Array, up: jax.Array) -> jax.Array:
+    """GeGLU on separate (num_tokens, d) gate/up halves (TP-friendly)."""
+    num_tokens, d = gate.shape
+    orig_dtype = gate.dtype
+    io_dtype = compute_dtype(orig_dtype)
+    gate = gate.astype(io_dtype)
+    up = up.astype(io_dtype)
 
     d_padded = round_up(d, 128)
     if d_padded != d:
         gate = jnp.pad(gate, ((0, 0), (0, d_padded - d)))
         up = jnp.pad(up, ((0, 0), (0, d_padded - d)))
 
-    block_tokens = _pick_block_tokens(num_tokens, d_padded, x.dtype.itemsize, 3)
+    block_tokens = _pick_block_tokens(num_tokens, d_padded, gate.dtype.itemsize, 3)
     grid = (cdiv(num_tokens, block_tokens),)
     spec = pl.BlockSpec((block_tokens, d_padded), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         _gelu_tanh_and_mul_kernel,
-        out_shape=jax.ShapeDtypeStruct((num_tokens, d_padded), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((num_tokens, d_padded), gate.dtype),
         grid=grid,
         in_specs=[spec, spec],
         out_specs=spec,
@@ -65,3 +65,10 @@ def gelu_tanh_and_mul_launcher(x: jax.Array) -> jax.Array:
     if d_padded != d:
         out = out[:, :d]
     return out.astype(orig_dtype)
+
+
+@jax.jit
+def gelu_tanh_and_mul_launcher(x: jax.Array) -> jax.Array:
+    """GeGLU over a 2D (num_tokens, 2*d) input; returns (num_tokens, d)."""
+    d = x.shape[-1] // 2
+    return gelu_tanh_and_mul_parts_launcher(x[:, :d], x[:, d:])

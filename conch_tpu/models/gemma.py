@@ -1,0 +1,208 @@
+# Copyright 2026 Conch-TPU authors.
+# SPDX-License-Identifier: Apache-2.0
+
+"""Gemma-family transformer (second model family on the op library).
+
+Differences from Llama, all exercised through conch_tpu ops:
+
+- Gemma RMS norm (fp32 end-to-end, ``(1 + w)`` weighting) —
+  ``ops.normalization.gemma_rms_norm``;
+- GeGLU MLP (tanh-approximate GeLU gate) —
+  ``ops.activation.gelu_tanh_and_mul_parts``;
+- embedding scaling by sqrt(hidden_size);
+- optional attention logit softcapping (Gemma-2 style) — flows into the
+  paged/varlen attention kernels' ``softcap`` path;
+- tied embedding / lm-head weights.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conch_tpu.models.linear import QuantizedLinear, quantize_linear
+from conch_tpu.ops.activation import gelu_tanh_and_mul_parts
+from conch_tpu.ops.attention import paged_attention, varlen_attention
+from conch_tpu.ops.cache import reshape_and_cache
+from conch_tpu.ops.embedding import rotary_embedding
+from conch_tpu.ops.normalization import gemma_rms_norm
+from conch_tpu.reference.embedding.rotary_embedding import compute_cos_sin_cache
+
+
+@dataclass(frozen=True)
+class GemmaConfig:
+    """Gemma hyperparameters (defaults: a tiny debug model)."""
+
+    vocab_size: int = 256
+    hidden_size: int = 256
+    intermediate_size: int = 512
+    num_layers: int = 2
+    num_heads: int = 4
+    num_kv_heads: int = 1
+    head_dim: int = 64
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-6
+    max_position: int = 8192
+    attn_logit_softcap: float = 0.0
+    final_logit_softcap: float = 0.0
+    query_pre_attn_scalar: float | None = None  # defaults to head_dim
+    dtype: Any = jnp.bfloat16
+
+    @staticmethod
+    def gemma2_2b() -> "GemmaConfig":
+        return GemmaConfig(
+            vocab_size=256128,
+            hidden_size=2304,
+            intermediate_size=9216,
+            num_layers=26,
+            num_heads=8,
+            num_kv_heads=4,
+            head_dim=256,
+            attn_logit_softcap=50.0,
+            final_logit_softcap=30.0,
+            query_pre_attn_scalar=256.0,
+        )
+
+
+def init_gemma_params(seed: int, config: GemmaConfig, quant_mode: str = "bf16", group_size: int = 128) -> dict:
+    """Random-initialize Gemma params (embedding tied to lm head)."""
+    rng = np.random.default_rng(seed)
+    h, inter = config.hidden_size, config.intermediate_size
+    q_dim = config.num_heads * config.head_dim
+    kv_dim = config.num_kv_heads * config.head_dim
+    std = 0.02
+
+    def make_proj(k_dim: int, n_dim: int) -> QuantizedLinear:
+        w = rng.normal(size=(k_dim, n_dim)).astype(np.float32) * std
+        kwargs = {"group_size": group_size} if quant_mode in ("int4", "int8") else {}
+        return quantize_linear(w, quant_mode, **kwargs)
+
+    def stack_layers(make_fn):
+        layers = [make_fn() for _ in range(config.num_layers)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+    layer_params = stack_layers(
+        lambda: {
+            "wq": make_proj(h, q_dim),
+            "wk": make_proj(h, kv_dim),
+            "wv": make_proj(h, kv_dim),
+            "wo": make_proj(q_dim, h),
+            "w_gate": make_proj(h, inter),
+            "w_up": make_proj(h, inter),
+            "w_down": make_proj(inter, h),
+            "input_norm": jnp.zeros((h,), dtype=config.dtype),  # Gemma: (1 + w)
+            "post_attn_norm": jnp.zeros((h,), dtype=config.dtype),
+        }
+    )
+
+    embedding = jnp.asarray(rng.normal(size=(config.vocab_size, h)) * std, dtype=config.dtype)
+    return {
+        "embedding": embedding,  # tied: logits = hidden @ embedding.T
+        "layers": layer_params,
+        "final_norm": jnp.zeros((config.hidden_size,), dtype=config.dtype),
+        "cos_sin_cache": compute_cos_sin_cache(config.rope_theta, config.head_dim, config.max_position),
+    }
+
+
+def init_gemma_kv_caches(config: GemmaConfig, num_pages: int, page_size: int, cache_dtype=None):
+    cache_dtype = cache_dtype or config.dtype
+    shape = (config.num_layers, num_pages, page_size, config.num_kv_heads, config.head_dim)
+    return jnp.zeros(shape, dtype=cache_dtype), jnp.zeros(shape, dtype=cache_dtype)
+
+
+def _gemma_layers(config: GemmaConfig, params, hidden, positions, slot_mapping, attn_fn, k_caches, v_caches, tp_axis=None):
+    eps = config.rms_norm_eps
+    num_kv_heads = k_caches.shape[3]
+    group = config.num_heads // config.num_kv_heads
+    num_heads = num_kv_heads * group
+
+    def reduce_tp(x):
+        return jax.lax.psum(x, tp_axis) if tp_axis else x
+
+    def layer_step(hidden, xs):
+        layer, k_cache, v_cache = xs
+        t = hidden.shape[0]
+
+        attn_in = gemma_rms_norm(hidden, layer["input_norm"], eps)
+        q = layer["wq"].apply(attn_in)
+        k = layer["wk"].apply(attn_in)
+        v = layer["wv"].apply(attn_in)
+        q, k = rotary_embedding(positions, q, k, config.head_dim, params["cos_sin_cache"])
+
+        k = k.reshape(t, num_kv_heads, config.head_dim)
+        v = v.reshape(t, num_kv_heads, config.head_dim)
+        k_cache, v_cache = reshape_and_cache(k, v, k_cache, v_cache, slot_mapping)
+
+        attn_out = attn_fn(q.reshape(t, num_heads, config.head_dim), k_cache, v_cache)
+        hidden = hidden + reduce_tp(layer["wo"].apply(attn_out.reshape(t, -1)))
+
+        mlp_in = gemma_rms_norm(hidden, layer["post_attn_norm"], eps)
+        gate = layer["w_gate"].apply(mlp_in)
+        up = layer["w_up"].apply(mlp_in)
+        hidden = hidden + reduce_tp(layer["w_down"].apply(gelu_tanh_and_mul_parts(gate, up)))
+        return hidden, (k_cache, v_cache)
+
+    return jax.lax.scan(layer_step, hidden, (params["layers"], k_caches, v_caches))
+
+
+def _final_logits(params, config: GemmaConfig, hidden: jax.Array) -> jax.Array:
+    hidden = gemma_rms_norm(hidden, params["final_norm"], config.rms_norm_eps)
+    logits = jnp.dot(
+        hidden, params["embedding"].T.astype(hidden.dtype), preferred_element_type=jnp.float32
+    )
+    if config.final_logit_softcap > 0.0:
+        logits = config.final_logit_softcap * jnp.tanh(logits / config.final_logit_softcap)
+    return logits.astype(jnp.float32)
+
+
+def _attn_scale(config: GemmaConfig) -> float:
+    scalar = config.query_pre_attn_scalar or float(config.head_dim)
+    return scalar**-0.5
+
+
+def gemma_prefill(
+    params, config: GemmaConfig, token_ids, positions, cu_seqlens_q, max_seqlen_q: int,
+    seq_lens, block_tables, slot_mapping, k_caches, v_caches, tp_axis=None,
+):
+    """Prefill forward; returns (last-token logits, k_caches, v_caches)."""
+    hidden = jnp.take(params["embedding"], token_ids, axis=0)
+    hidden = hidden * jnp.asarray(config.hidden_size**0.5, hidden.dtype)
+
+    def attn_fn(q, kc, vc):
+        return varlen_attention(
+            q, kc, vc, cu_seqlens_q, max_seqlen_q, seq_lens, max_seqlen_q,
+            block_tables, causal=True, scale=_attn_scale(config),
+            softcap=config.attn_logit_softcap,
+        )
+
+    hidden, (k_caches, v_caches) = _gemma_layers(
+        config, params, hidden, positions, slot_mapping, attn_fn, k_caches, v_caches, tp_axis
+    )
+    last_rows = cu_seqlens_q[1:] - 1
+    logits = _final_logits(params, config, jnp.take(hidden, last_rows, axis=0))
+    return logits, k_caches, v_caches
+
+
+def gemma_decode_step(
+    params, config: GemmaConfig, token_ids, positions, seq_lens, block_tables,
+    slot_mapping, k_caches, v_caches, tp_axis=None,
+):
+    """One decode step; returns (logits, k_caches, v_caches)."""
+    hidden = jnp.take(params["embedding"], token_ids, axis=0)
+    hidden = hidden * jnp.asarray(config.hidden_size**0.5, hidden.dtype)
+
+    def attn_fn(q, kc, vc):
+        return paged_attention(
+            q, kc, vc, block_tables, seq_lens, scale=_attn_scale(config),
+            softcap=config.attn_logit_softcap,
+        )
+
+    hidden, (k_caches, v_caches) = _gemma_layers(
+        config, params, hidden, positions, slot_mapping, attn_fn, k_caches, v_caches, tp_axis
+    )
+    logits = _final_logits(params, config, hidden)
+    return logits, k_caches, v_caches

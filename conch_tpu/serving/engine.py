@@ -32,12 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from conch_tpu.models.llama import (
-    LlamaConfig,
-    init_kv_caches,
-    llama_decode_step,
-    llama_prefill,
-)
+from conch_tpu.models.llama import LlamaConfig, llama_decode_step, llama_prefill
 from conch_tpu.serving.block_allocator import BlockAllocator
 from conch_tpu.serving.sampling import SamplingParams, sample_tokens
 
@@ -92,28 +87,48 @@ def _bucket(n: int, floor: int = 16) -> int:
 
 
 class LLMEngine:
-    """Single-host continuous-batching engine for Llama-family models."""
+    """Single-host continuous-batching engine (model-agnostic scheduler).
 
-    def __init__(self, params: dict, model_config: LlamaConfig, engine_config: EngineConfig, cache_dtype=None):
+    Serves Llama by default; pass ``prefill_fn``/``decode_fn`` (e.g. the
+    Gemma forwards from ``conch_tpu.models.gemma``) to serve any model
+    family with the (params, config, tokens, ..., caches) step signature.
+    """
+
+    def __init__(
+        self,
+        params: dict,
+        model_config,
+        engine_config: EngineConfig,
+        cache_dtype=None,
+        prefill_fn=None,
+        decode_fn=None,
+    ):
         self.params = params
         self.config = model_config
         self.ecfg = engine_config
         self.allocator = _make_allocator(engine_config.num_pages)
-        self.k_caches, self.v_caches = init_kv_caches(
-            model_config, engine_config.num_pages, engine_config.page_size, cache_dtype
+        cache_shape = (
+            model_config.num_layers,
+            engine_config.num_pages,
+            engine_config.page_size,
+            model_config.num_kv_heads,
+            model_config.head_dim,
         )
+        dtype = cache_dtype or model_config.dtype
+        self.k_caches = jnp.zeros(cache_shape, dtype=dtype)
+        self.v_caches = jnp.zeros(cache_shape, dtype=dtype)
         self.waiting: list[Request] = []
         self.running: list[Request] = []
         self._next_id = 0
         self._rng_key = jax.random.PRNGKey(engine_config.seed)
 
         self._prefill_fn = jax.jit(
-            functools.partial(llama_prefill, config=model_config),
+            functools.partial(prefill_fn or llama_prefill, config=model_config),
             static_argnames=("max_seqlen_q",),
             donate_argnames=("k_caches", "v_caches"),
         )
         self._decode_fn = jax.jit(
-            functools.partial(llama_decode_step, config=model_config),
+            functools.partial(decode_fn or llama_decode_step, config=model_config),
             donate_argnames=("k_caches", "v_caches"),
         )
 

@@ -1,0 +1,44 @@
+# Copyright 2026 Conch-TPU authors.
+# SPDX-License-Identifier: Apache-2.0
+
+"""Tests for checkpoint save/restore of dense and quantized params."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conch_tpu.models.llama import LlamaConfig, init_llama_params
+from conch_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+
+@pytest.mark.parametrize("quant_mode", ["bf16", "int4", "nf4"])
+def test_checkpoint_roundtrip(tmp_path, quant_mode):
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=2, num_kv_heads=1, head_dim=32, max_position=128,
+    )
+    params = init_llama_params(0, cfg, quant_mode, group_size=32)
+    save_checkpoint(tmp_path / "ckpt", params)
+
+    template = init_llama_params(1, cfg, quant_mode, group_size=32)  # different values
+    restored = restore_checkpoint(tmp_path / "ckpt", template)
+
+    orig_leaves = jax.tree_util.tree_leaves(params)
+    rest_leaves = jax.tree_util.tree_leaves(restored)
+    assert len(orig_leaves) == len(rest_leaves)
+    for a, b in zip(orig_leaves, rest_leaves):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a).view(np.uint8), np.asarray(b).view(np.uint8))
+
+
+def test_checkpoint_leaf_mismatch_raises(tmp_path):
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=2, num_kv_heads=1, head_dim=32, max_position=128,
+    )
+    params = init_llama_params(0, cfg, "bf16")
+    save_checkpoint(tmp_path / "ckpt", params)
+    wrong_template = init_llama_params(0, cfg, "int4", group_size=32)
+    with pytest.raises(ValueError, match="mismatch"):
+        restore_checkpoint(tmp_path / "ckpt", wrong_template)

@@ -15,8 +15,6 @@ sees aligned (tokens, d) tiles — no in-kernel lane slicing.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from conch_tpu.kernels.common import cdiv, round_up, use_interpret_mode
+from conch_tpu.kernels.common import round_up, use_interpret_mode
 
 _NEG_INF = -1e30
 

@@ -19,7 +19,6 @@ aliasing within one call), so gather-then-scatter is exact.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 @jax.jit

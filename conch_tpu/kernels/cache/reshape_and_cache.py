@@ -62,8 +62,16 @@ def reshape_and_cache_launcher(
     entry_idx = jnp.where(slots >= 0, slots % page_size, 0)
 
     if apply_fp8_scaling:
-        key = (key.astype(jnp.float32) * (1.0 / k_scale.astype(jnp.float32).reshape(()))).astype(key_cache.dtype)
-        value = (value.astype(jnp.float32) * (1.0 / v_scale.astype(jnp.float32).reshape(()))).astype(value_cache.dtype)
+
+        def quantize(x, scale, cache_dtype):
+            scaled = x.astype(jnp.float32) * (1.0 / scale.astype(jnp.float32).reshape(()))
+            if jnp.issubdtype(cache_dtype, jnp.integer):
+                info = jnp.iinfo(cache_dtype)
+                scaled = jnp.clip(jnp.round(scaled), info.min, info.max)
+            return scaled.astype(cache_dtype)
+
+        key = quantize(key, k_scale, key_cache.dtype)
+        value = quantize(value, v_scale, value_cache.dtype)
     else:
         key = key.astype(key_cache.dtype)
         value = value.astype(value_cache.dtype)

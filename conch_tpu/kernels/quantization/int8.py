@@ -11,8 +11,6 @@ semantics, reference ``int8.py:46-58``).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

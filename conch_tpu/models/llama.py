@@ -22,7 +22,6 @@ O(1) in depth; the KV caches ride the scan as stacked (L, ...) arrays.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Any
 

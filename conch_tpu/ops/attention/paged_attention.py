@@ -115,7 +115,9 @@ def paged_attention(
         if key_cache.dtype == jnp.uint8:
             key_cache = jax.lax.bitcast_convert_type(key_cache, jnp.float8_e4m3fn)
             value_cache = jax.lax.bitcast_convert_type(value_cache, jnp.float8_e4m3fn)
-    elif kv_cache_dtype != "auto":
+    elif kv_cache_dtype not in ("auto", "int8"):
+        # int8 caches need no bitcast: the kernel's astype(f32) * scale
+        # dequant handles integer storage identically.
         msg = f"Unsupported kv_cache_dtype: '{kv_cache_dtype}'"
         raise ValueError(msg)
 

@@ -15,7 +15,7 @@ import jax
 
 from conch_tpu.kernels.cache.reshape_and_cache import reshape_and_cache_launcher
 
-_FP8_KV_DTYPES: Final = {"fp8", "fp8_e4m3"}
+_SCALED_KV_DTYPES: Final = {"fp8", "fp8_e4m3", "int8"}
 
 
 def _validate_sizes(
@@ -79,11 +79,11 @@ def reshape_and_cache(
     """
     if strict:
         _validate_sizes(key, value, key_cache, value_cache, slot_mapping)
-        if kv_cache_dtype != "auto" and kv_cache_dtype not in _FP8_KV_DTYPES:
+        if kv_cache_dtype != "auto" and kv_cache_dtype not in _SCALED_KV_DTYPES:
             msg = f"Unsupported kv_cache_dtype: '{kv_cache_dtype}'"
             raise ValueError(msg)
 
-    apply_fp8 = kv_cache_dtype in _FP8_KV_DTYPES
+    apply_fp8 = kv_cache_dtype in _SCALED_KV_DTYPES
     return reshape_and_cache_launcher(
         key,
         value,

@@ -16,12 +16,10 @@ collectives in the forward).
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from conch_tpu.models.llama import LlamaConfig, llama_decode_step, llama_prefill
 from conch_tpu.parallel.sharding import kv_cache_pspec, llama_param_pspecs

@@ -12,7 +12,6 @@ fp32 (no online softmax), computed per sequence.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 

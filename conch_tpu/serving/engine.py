@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from conch_tpu.models.llama import LlamaConfig, llama_decode_step, llama_prefill
+from conch_tpu.models.llama import llama_decode_step, llama_prefill
 from conch_tpu.serving.block_allocator import BlockAllocator
 from conch_tpu.serving.sampling import SamplingParams, sample_tokens
 

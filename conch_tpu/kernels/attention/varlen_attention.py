@@ -49,8 +49,8 @@ def _varlen_attention_kernel(
     seq_lens_k_ref,  # (B,) int32
     # inputs
     q_ref,  # (1, 1, cq_rows, D)
-    k_ref,  # (1, ps, 1, D)
-    v_ref,  # (1, ps, 1, D)
+    k_ref,  # (1, 1, ps, D)
+    v_ref,  # (1, 1, ps, D)
     qk_scale_ref,  # (1,) SMEM: scale * q_scale * k_scale
     v_scale_ref,  # (1,) SMEM
     # outputs
@@ -94,7 +94,7 @@ def _varlen_attention_kernel(
     @pl.when(chunk_active & page_active & causal_active)
     def _():
         q = q_ref[0, 0].astype(jnp.float32)  # (cq_rows, D)
-        k = k_ref[0, :, 0, :].astype(jnp.float32)  # (ps, D)
+        k = k_ref[0, 0].astype(jnp.float32)  # (ps, D)
 
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -124,7 +124,7 @@ def _varlen_attention_kernel(
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
-        v = v_ref[0, :, 0, :].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
         acc_scr[...] = acc_scr[...] * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
         m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
@@ -161,7 +161,7 @@ def varlen_attention_launcher(
         query: (total_num_q, num_q_heads, head_size) ragged queries; the
             queries of sequence b are rows cu_seqlens_q[b]..cu_seqlens_q[b+1],
             and are the *trailing* tokens of that sequence.
-        key_cache/value_cache: (num_pages, page_size, num_kv_heads, head).
+        key_cache/value_cache: (num_pages, num_kv_heads, page_size, head).
         cu_seqlens_q: (batch+1,) cumulative query counts.
         max_seqlen_q: static upper bound on per-sequence query count.
         seq_lens: (batch,) KV sequence lengths.
@@ -172,7 +172,7 @@ def varlen_attention_launcher(
         (bf16 for fp8 queries).
     """
     total_q, num_q_heads, head_size = query.shape
-    _, page_size, num_kv_heads, _ = key_cache.shape
+    _, num_kv_heads, page_size, _ = key_cache.shape
     batch = cu_seqlens_q.shape[0] - 1
     max_pages = block_table.shape[1]
     group = num_q_heads // num_kv_heads
@@ -217,15 +217,15 @@ def varlen_attention_launcher(
 
     def kv_index(b, h, t, i, bt, slq, slk):
         page = jnp.where(i * page_size < slk[b], bt[b, i], 0)
-        return (page, 0, h, 0)
+        return (page, h, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(batch, num_kv_heads, num_q_chunks, max_pages),
         in_specs=[
             pl.BlockSpec((1, 1, cq_rows, head_size), q_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, page_size, 1, head_size), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, page_size, 1, head_size), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, page_size, head_size), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, page_size, head_size), kv_index, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],

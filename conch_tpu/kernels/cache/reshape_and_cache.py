@@ -46,7 +46,7 @@ def reshape_and_cache_launcher(
 
     Args:
         key/value: (num_tokens, num_kv_heads, head_size).
-        key_cache/value_cache: (num_pages, page_size, num_kv_heads, head_size);
+        key_cache/value_cache: (num_pages, num_kv_heads, page_size, head_size);
             DONATED - callers must use the returned caches.
         slot_mapping: (num_tokens,) int32 cache slots (negative = skip).
         k_scale/v_scale: scalar fp8 scales (applied inverted on store).
@@ -54,8 +54,8 @@ def reshape_and_cache_launcher(
     Returns:
         Updated (key_cache, value_cache).
     """
-    page_size = key_cache.shape[1]
     num_pages = key_cache.shape[0]
+    page_size = key_cache.shape[2]
 
     slots = slot_mapping.astype(jnp.int32)
     page_idx = jnp.where(slots >= 0, slots // page_size, num_pages)  # OOB -> dropped
@@ -76,6 +76,8 @@ def reshape_and_cache_launcher(
         key = key.astype(key_cache.dtype)
         value = value.astype(value_cache.dtype)
 
-    key_cache = key_cache.at[page_idx, entry_idx].set(key, mode="drop")
-    value_cache = value_cache.at[page_idx, entry_idx].set(value, mode="drop")
+    # Advanced indices at dims 0 and 2 with a slice between: result dims
+    # are (tokens, kv_heads, head), matching the key/value layout.
+    key_cache = key_cache.at[page_idx, :, entry_idx].set(key, mode="drop")
+    value_cache = value_cache.at[page_idx, :, entry_idx].set(value, mode="drop")
     return key_cache, value_cache

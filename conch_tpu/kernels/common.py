@@ -44,6 +44,17 @@ def use_interpret_mode() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
+def pick_block_rows(num_rows: int, bytes_per_row: int, budget: int = 3 * 1024 * 1024) -> int:
+    """Row-block size keeping one block set within a VMEM budget.
+
+    Mosaic double-buffers grid blocks, so the live footprint is ~2x the
+    budget; 3 MB per set stays well under the 16 MB VMEM everywhere.
+    """
+    block = max(8, budget // max(bytes_per_row, 1))
+    block = min(block, round_up(num_rows, 8), 1024)
+    return round_up(block, 8)
+
+
 def compute_dtype(dtype):
     """Map a dtype to one Mosaic can compute in.
 

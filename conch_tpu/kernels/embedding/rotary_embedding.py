@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from conch_tpu.kernels.common import cdiv, compute_dtype, round_up, use_interpret_mode
+from conch_tpu.kernels.common import cdiv, compute_dtype, pick_block_rows, use_interpret_mode
 
 
 def _rope_kernel(q_ref, k_ref, cos_ref, sin_ref, q_out_ref, k_out_ref, *, num_q_heads: int, num_k_heads: int, rot_dim: int, head_size: int):
@@ -87,7 +87,9 @@ def rotary_embedding_launcher(
     cos_sin = jnp.take(cos_sin_cache, positions, axis=0).astype(jnp.float32)
     cos, sin = cos_sin[:, :half], cos_sin[:, half:]
 
-    block_tokens = min(round_up(num_tokens, 8), 512)
+    itemsize = jnp.dtype(io_dtype).itemsize
+    bytes_per_token = 2 * (query.shape[-1] + key.shape[-1]) * itemsize + rot_dim * 4
+    block_tokens = pick_block_rows(num_tokens, bytes_per_token)
     grid = (cdiv(num_tokens, block_tokens),)
 
     def tok_spec(width):

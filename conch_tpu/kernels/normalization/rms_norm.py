@@ -25,13 +25,10 @@ from conch_tpu.kernels.common import cdiv, compute_dtype, round_up, use_interpre
 
 
 def _pick_block_tokens(num_tokens: int, hidden_padded: int, itemsize: int, num_bufs: int) -> int:
-    """Choose a token-block size that keeps all buffers within a VMEM budget."""
-    budget = 8 * 1024 * 1024  # half of a 16MB VMEM, leaving room for pipelining
-    per_token_bytes = hidden_padded * itemsize * num_bufs
-    block = max(8, budget // max(per_token_bytes, 1))
-    block = min(block, round_up(num_tokens, 8), 1024)
-    # Keep it a multiple of 8 sublanes for fp32 tiling.
-    return round_up(block, 8)
+    """Token-block size keeping all row buffers within the VMEM budget."""
+    from conch_tpu.kernels.common import pick_block_rows
+
+    return pick_block_rows(num_tokens, hidden_padded * itemsize * num_bufs)
 
 
 def _rms_norm_kernel(x_ref, w_ref, o_ref, *, epsilon: float, hidden_size: int):

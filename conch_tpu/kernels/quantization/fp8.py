@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from conch_tpu.kernels.common import cdiv, compute_dtype, round_up, use_interpret_mode
+from conch_tpu.kernels.common import cdiv, compute_dtype, pick_block_rows, round_up, use_interpret_mode
 
 
 def _static_scaled_fp8_quant_kernel(x_ref, scale_ref, o_ref):
@@ -38,7 +38,8 @@ def static_scaled_fp8_quant_launcher(x: jax.Array, scale: jax.Array) -> jax.Arra
     if hidden_padded != hidden_size:
         x = jnp.pad(x, ((0, 0), (0, hidden_padded - hidden_size)))
 
-    block_tokens = min(round_up(num_tokens, 32), 1024)
+    block_tokens = pick_block_rows(num_tokens, hidden_padded * (x.dtype.itemsize + 4))
+    block_tokens = round_up(block_tokens, 32)
     grid = (cdiv(num_tokens, block_tokens),)
 
     out = pl.pallas_call(

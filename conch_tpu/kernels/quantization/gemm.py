@@ -137,22 +137,26 @@ def _mixed_gemm_kernel(
     codes = _unpack_block(b_ref[...], nbits, epp, bk, bn).astype(jnp.float32)
     w = codes - float(weight_bias)
 
-    def expand_groups(meta):
-        # meta block is (max(bk // group_size, 1), bn); broadcast each group
-        # row over its group_size rows of the K tile.
-        if bk >= group_size:
-            reps = group_size
-            return jnp.repeat(meta, reps, axis=0, total_repeat_length=bk)
-        return jnp.broadcast_to(meta, (bk, bn))
+    # Per-row group selection as a one-hot matmul: rows of this K tile map
+    # to group ids (k*bk + r) // group_size; a (bk, num_groups) one-hot
+    # times the full meta strip broadcasts each group row over its K rows.
+    # (Vectorized alternative to tiny dynamic sublane slices, which Mosaic
+    # cannot load, and jnp.repeat, which lowers to scatter.)
+    num_groups_total = s_ref.shape[0]
+    row_group = (k * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, num_groups_total), 0)) // group_size
+    group_col = jax.lax.broadcasted_iota(jnp.int32, (bk, num_groups_total), 1)
+    onehot = (row_group == group_col).astype(jnp.float32)
+
+    def expand_groups(meta_ref):
+        return jnp.dot(onehot, meta_ref[...].astype(jnp.float32), preferred_element_type=jnp.float32)
 
     if has_zp:
         if zero_is_scalar:
             w = w - zp_ref[0]
         else:
-            w = w - expand_groups(zp_ref[...].astype(jnp.float32))
+            w = w - expand_groups(zp_ref)
 
-    scales = expand_groups(s_ref[...].astype(jnp.float32))
-    w = w * scales
+    w = w * expand_groups(s_ref)
 
     x = x_ref[...]
     acc_ref[...] += jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
@@ -231,15 +235,16 @@ def mixed_precision_gemm_launcher(
         w_zp = jnp.pad(w_zp, ((0, gp - w_zp.shape[0]), (0, np_ - n_dim)))
 
     grid = (mp // bm, np_ // bn, kp // bk)
-    bsg = max(bk // group_size, 1)
 
-    def s_index(i, j, k):
-        return ((k * bk) // (group_size * bsg), j)
+    # Scales/zeros: the whole (num_groups, bn) column strip rides along for
+    # every K step (it is small); the kernel slices its group rows. This
+    # keeps block sublane counts Mosaic-legal for any group_size/bk combo.
+    meta_spec = pl.BlockSpec((gp, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM)
 
     in_specs = [
         pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
         pl.BlockSpec((bk // epp, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bsg, bn), s_index, memory_space=pltpu.VMEM),
+        meta_spec,
     ]
     operands = [x, w_q_packed, w_s]
     if has_zp:
@@ -247,7 +252,7 @@ def mixed_precision_gemm_launcher(
             in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
             operands.append(w_zp.reshape(1).astype(jnp.float32))
         else:
-            in_specs.append(pl.BlockSpec((bsg, bn), s_index, memory_space=pltpu.VMEM))
+            in_specs.append(meta_spec)
             operands.append(w_zp)
     else:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))

@@ -110,13 +110,13 @@ def init_gemma_params(seed: int, config: GemmaConfig, quant_mode: str = "bf16", 
 
 def init_gemma_kv_caches(config: GemmaConfig, num_pages: int, page_size: int, cache_dtype=None):
     cache_dtype = cache_dtype or config.dtype
-    shape = (config.num_layers, num_pages, page_size, config.num_kv_heads, config.head_dim)
+    shape = (config.num_layers, num_pages, config.num_kv_heads, page_size, config.head_dim)
     return jnp.zeros(shape, dtype=cache_dtype), jnp.zeros(shape, dtype=cache_dtype)
 
 
 def _gemma_layers(config: GemmaConfig, params, hidden, positions, slot_mapping, attn_fn, k_caches, v_caches, tp_axis=None):
     eps = config.rms_norm_eps
-    num_kv_heads = k_caches.shape[3]
+    num_kv_heads = k_caches.shape[2]
     group = config.num_heads // config.num_kv_heads
     num_heads = num_kv_heads * group
 

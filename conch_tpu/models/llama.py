@@ -136,9 +136,9 @@ def init_llama_params(
 
 
 def init_kv_caches(config: LlamaConfig, num_pages: int, page_size: int, cache_dtype=None) -> tuple[jax.Array, jax.Array]:
-    """Allocate stacked (L, P, ps, KH, D) key/value caches."""
+    """Allocate stacked (L, P, KH, ps, D) key/value caches."""
     cache_dtype = cache_dtype or config.dtype
-    shape = (config.num_layers, num_pages, page_size, config.num_kv_heads, config.head_dim)
+    shape = (config.num_layers, num_pages, config.num_kv_heads, page_size, config.head_dim)
     return jnp.zeros(shape, dtype=cache_dtype), jnp.zeros(shape, dtype=cache_dtype)
 
 
@@ -195,7 +195,7 @@ def llama_prefill(
     seq_lens: jax.Array,  # (batch,)
     block_tables: jax.Array,  # (batch, max_pages)
     slot_mapping: jax.Array,  # (total_tokens,)
-    k_caches: jax.Array,  # (L, P, ps, KH, D)
+    k_caches: jax.Array,  # (L, P, KH, ps, D)
     v_caches: jax.Array,
     tp_axis: str | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -206,7 +206,7 @@ def llama_prefill(
     all shapes are per-chip shards.
     """
     hidden = jnp.take(params["embedding"], token_ids, axis=0)
-    num_kv_heads = k_caches.shape[3]
+    num_kv_heads = k_caches.shape[2]
     group = config.num_heads // config.num_kv_heads
 
     def attn_fn(q, k_cache, v_cache):
@@ -248,7 +248,7 @@ def llama_decode_step(
     head-bearing shapes are per-chip shards.
     """
     hidden = jnp.take(params["embedding"], token_ids, axis=0)
-    num_kv_heads = k_caches.shape[3]
+    num_kv_heads = k_caches.shape[2]
     group = config.num_heads // config.num_kv_heads
 
     def attn_fn(q, k_cache, v_cache):

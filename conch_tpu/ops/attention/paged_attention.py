@@ -55,7 +55,7 @@ def _check_size_compatibility(
         raise ValueError(msg)
 
     batch_size, num_query_heads, head_size = query.shape
-    num_cache_blocks, _, num_kv_heads, head_size_kv = key_cache.shape
+    num_cache_blocks, num_kv_heads, _, head_size_kv = key_cache.shape
     if head_size_kv != head_size:
         msg = f"Head size of kv cache ({head_size_kv}) does not match query ({head_size})"
         raise ValueError(msg)
@@ -95,7 +95,7 @@ def paged_attention(
 
     Args:
         query: (batch, num_q_heads, head_size) - one token per sequence.
-        key_cache/value_cache: (num_pages, page_size, num_kv_heads, head_size).
+        key_cache/value_cache: (num_pages, num_kv_heads, page_size, head_size).
         block_table: (batch, max_pages_per_seq) physical page ids.
         seq_lens: (batch,) sequence lengths.
         scale: softmax scale; defaults to 1/sqrt(head_size).

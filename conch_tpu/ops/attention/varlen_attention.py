@@ -43,7 +43,7 @@ def _check_size_compatibility(
         raise ValueError(msg)
 
     _, num_query_heads, head_size = query.shape
-    _, _, num_kv_heads, head_size_kv = key_cache.shape
+    _, num_kv_heads, _, head_size_kv = key_cache.shape
     if head_size_kv != head_size:
         msg = f"Head size of key/value cache ({head_size_kv}) does not match query ({head_size})"
         raise ValueError(msg)
@@ -82,7 +82,7 @@ def varlen_attention(
 
     Args:
         query: (total_num_q, num_q_heads, head_size) ragged queries.
-        key_cache/value_cache: (num_pages, page_size, num_kv_heads, head).
+        key_cache/value_cache: (num_pages, num_kv_heads, page_size, head).
         cu_seqlens_q: (batch+1,) cumulative query counts.
         max_seqlen_q: max per-sequence query count (static).
         seq_lens: (batch,) KV sequence lengths.

@@ -40,7 +40,7 @@ def _validate_sizes(
         msg = f"Number of dimensions in key cache ({len(key_cache.shape)}) did not match expected ({expected_cache_dims})"
         raise ValueError(msg)
     _, num_kv_heads, head_size = key.shape
-    _, _, num_kv_heads_c, head_size_c = key_cache.shape
+    _, num_kv_heads_c, _, head_size_c = key_cache.shape
     if num_kv_heads != num_kv_heads_c:
         msg = f"Number of kv heads in key/value ({num_kv_heads}) does not match cache ({num_kv_heads_c})"
         raise ValueError(msg)
@@ -67,7 +67,7 @@ def reshape_and_cache(
 
     Args:
         key/value: (num_tokens, num_kv_heads, head_size).
-        key_cache/value_cache: (num_pages, page_size, num_kv_heads, head_size).
+        key_cache/value_cache: (num_pages, num_kv_heads, page_size, head_size).
             These buffers are DONATED; use the returned caches.
         slot_mapping: (num_tokens,) slots; negative entries are skipped.
         kv_cache_dtype: "auto", or "fp8"/"fp8_e4m3" to quantize-on-store

@@ -78,8 +78,8 @@ def shard_llama_params(params: Any, mesh: Mesh) -> Any:
 
 
 def kv_cache_pspec() -> P:
-    """(L, P, ps, KH, D) caches shard the kv-head dimension."""
-    return P(None, None, None, "model", None)
+    """(L, P, KH, ps, D) caches shard the kv-head dimension."""
+    return P(None, None, "model", None, None)
 
 
 def kv_cache_sharding(mesh: Mesh) -> NamedSharding:

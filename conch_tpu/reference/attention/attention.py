@@ -18,11 +18,14 @@ import numpy as np
 def gather_cache_for_sequence(
     cache: np.ndarray, block_table_row: np.ndarray, seq_len: int
 ) -> np.ndarray:
-    """Gather one sequence's (seq_len, kv_heads, head) from a paged cache."""
-    num_pages, page_size, num_kv_heads, head_size = cache.shape
+    """Gather one sequence's (seq_len, kv_heads, head) from a paged cache.
+
+    Cache layout: (num_pages, num_kv_heads, page_size, head_size).
+    """
+    num_pages, num_kv_heads, page_size, head_size = cache.shape
     num_needed = -(-seq_len // page_size)
-    pages = cache[block_table_row[:num_needed]]  # (n, ps, KH, D)
-    contiguous = pages.reshape(num_needed * page_size, num_kv_heads, head_size)
+    pages = cache[block_table_row[:num_needed]]  # (n, KH, ps, D)
+    contiguous = pages.transpose(0, 2, 1, 3).reshape(num_needed * page_size, num_kv_heads, head_size)
     return contiguous[:seq_len]
 
 

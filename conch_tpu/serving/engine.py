@@ -110,8 +110,8 @@ class LLMEngine:
         cache_shape = (
             model_config.num_layers,
             engine_config.num_pages,
-            engine_config.page_size,
             model_config.num_kv_heads,
+            engine_config.page_size,
             model_config.head_dim,
         )
         dtype = cache_dtype or model_config.dtype

@@ -61,8 +61,8 @@ def create_paged_fixture(
     for b in range(batch):
         block_table[b] = perm[b * pages_per_seq : (b + 1) * pages_per_seq]
 
-    key_cache = rng.normal(size=(total_pages, page_size, num_kv_heads, head_size)).astype(np.float32)
-    value_cache = rng.normal(size=(total_pages, page_size, num_kv_heads, head_size)).astype(np.float32)
+    key_cache = rng.normal(size=(total_pages, num_kv_heads, page_size, head_size)).astype(np.float32)
+    value_cache = rng.normal(size=(total_pages, num_kv_heads, page_size, head_size)).astype(np.float32)
 
     total_q = sum(q_lens)
     query = rng.normal(size=(total_q, num_q_heads, head_size)).astype(np.float32)

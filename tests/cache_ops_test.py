@@ -16,7 +16,8 @@ from conch_tpu.ops.cache import copy_blocks, reshape_and_cache
 
 
 def _make_cache(rng, num_pages, page_size, kv_heads, head, dtype=jnp.float32):
-    arr = rng.normal(size=(num_pages, page_size, kv_heads, head)).astype(np.float32)
+    # Canonical TPU cache layout: (num_pages, num_kv_heads, page_size, head).
+    arr = rng.normal(size=(num_pages, kv_heads, page_size, head)).astype(np.float32)
     return jnp.asarray(arr, dtype=dtype)
 
 
@@ -41,15 +42,15 @@ def test_reshape_and_cache_basic(dtype, rng):
     nv = np.asarray(new_value_cache, dtype=np.float32)
     for t, slot in enumerate(slots):
         page, entry = slot // page_size, slot % page_size
-        np.testing.assert_allclose(nk[page, entry], np.asarray(key, np.float32)[t], rtol=1e-6)
-        np.testing.assert_allclose(nv[page, entry], np.asarray(value, np.float32)[t], rtol=1e-6)
+        np.testing.assert_allclose(nk[page, :, entry], np.asarray(key, np.float32)[t], rtol=1e-6)
+        np.testing.assert_allclose(nv[page, :, entry], np.asarray(value, np.float32)[t], rtol=1e-6)
 
     # Untouched slots keep their old contents.
     touched = {(s // page_size, s % page_size) for s in slots}
     for page in range(num_pages):
         for entry in range(page_size):
             if (page, entry) not in touched:
-                np.testing.assert_allclose(nk[page, entry], old_key_cache[page, entry], rtol=1e-6)
+                np.testing.assert_allclose(nk[page, :, entry], old_key_cache[page, :, entry], rtol=1e-6)
 
 
 def test_reshape_and_cache_negative_slots_skipped(rng):
@@ -65,20 +66,20 @@ def test_reshape_and_cache_negative_slots_skipped(rng):
     nk, nv = reshape_and_cache(key, value, key_cache, value_cache, slots)
     nk = np.asarray(nk)
 
-    np.testing.assert_allclose(nk[5 // page_size, 5 % page_size], np.asarray(key)[0], rtol=1e-6)
-    np.testing.assert_allclose(nk[12 // page_size, 12 % page_size], np.asarray(key)[2], rtol=1e-6)
+    np.testing.assert_allclose(nk[5 // page_size, :, 5 % page_size], np.asarray(key)[0], rtol=1e-6)
+    np.testing.assert_allclose(nk[12 // page_size, :, 12 % page_size], np.asarray(key)[2], rtol=1e-6)
     # The negative slot wrote nowhere: every other slot is unchanged.
     touched = {(5 // page_size, 5 % page_size), (12 // page_size, 12 % page_size)}
     for page in range(num_pages):
         for entry in range(page_size):
             if (page, entry) not in touched:
-                np.testing.assert_allclose(nk[page, entry], before[page, entry], rtol=1e-6)
+                np.testing.assert_allclose(nk[page, :, entry], before[page, :, entry], rtol=1e-6)
 
 
 def test_reshape_and_cache_fp8(rng):
     num_pages, page_size, kv_heads, head = 4, 8, 2, 64
-    key_cache = jnp.zeros((num_pages, page_size, kv_heads, head), dtype=jnp.float8_e4m3fn)
-    value_cache = jnp.zeros((num_pages, page_size, kv_heads, head), dtype=jnp.float8_e4m3fn)
+    key_cache = jnp.zeros((num_pages, kv_heads, page_size, head), dtype=jnp.float8_e4m3fn)
+    value_cache = jnp.zeros((num_pages, kv_heads, page_size, head), dtype=jnp.float8_e4m3fn)
 
     key = jnp.asarray(rng.normal(size=(4, kv_heads, head)), dtype=jnp.bfloat16)
     value = jnp.asarray(rng.normal(size=(4, kv_heads, head)), dtype=jnp.bfloat16)
@@ -93,7 +94,7 @@ def test_reshape_and_cache_fp8(rng):
     assert nk.dtype == jnp.float8_e4m3fn
 
     # Stored value is x / scale (inverted-scale store), within fp8 precision.
-    stored = np.asarray(nk, dtype=np.float32)[0, 0]
+    stored = np.asarray(nk, dtype=np.float32)[0, :, 0]
     expected = np.asarray(key, np.float32)[0] / 0.5
     np.testing.assert_allclose(stored, expected, rtol=0.15, atol=0.05)
 

@@ -16,8 +16,8 @@ from conch_tpu.utils.test_utils import create_paged_fixture
 
 def test_reshape_and_cache_int8_store(rng):
     num_pages, page_size, kv_heads, head = 4, 8, 2, 64
-    key_cache = jnp.zeros((num_pages, page_size, kv_heads, head), dtype=jnp.int8)
-    value_cache = jnp.zeros((num_pages, page_size, kv_heads, head), dtype=jnp.int8)
+    key_cache = jnp.zeros((num_pages, kv_heads, page_size, head), dtype=jnp.int8)
+    value_cache = jnp.zeros((num_pages, kv_heads, page_size, head), dtype=jnp.int8)
 
     key = jnp.asarray(rng.normal(size=(4, kv_heads, head)), dtype=jnp.bfloat16)
     value = jnp.asarray(rng.normal(size=(4, kv_heads, head)), dtype=jnp.bfloat16)
@@ -31,7 +31,7 @@ def test_reshape_and_cache_int8_store(rng):
     )
     assert nk.dtype == jnp.int8
     # Stored = round(x / scale), clamped; dequant recovers within scale/2.
-    stored = np.asarray(nk, dtype=np.float32)[0, 0] * 0.05
+    stored = np.asarray(nk, dtype=np.float32)[0, :, 0] * 0.05
     np.testing.assert_allclose(stored, np.asarray(key, np.float32)[0], atol=0.03)
 
 

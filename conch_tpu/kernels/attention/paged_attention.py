@@ -7,27 +7,29 @@ TPU-native re-design of the reference's FlashDecoding Triton kernels
 (``conch/kernels/attention/paged_attention.py:18-584``). Key differences,
 by design:
 
-- **Block-table indirection via scalar prefetch** instead of pointer
-  arithmetic: the block table and sequence lengths are
-  ``PrefetchScalarGridSpec`` scalar operands, and the K/V page BlockSpec
-  *index maps* read them to steer the pipelined HBM->VMEM DMAs
-  (``pltpu.PrefetchScalarGridSpec``), so the Mosaic pipeliner
-  double-buffers non-contiguous pages automatically.
+- **Manual double-buffered page DMAs**: the KV caches stay in HBM
+  (``memory_space=ANY``); the kernel walks each sequence's block table
+  with ``pltpu.make_async_copy``, prefetching page ``i+1`` while the MXU
+  works on page ``i``. The grid is just (batch, kv_heads) — one grid
+  step per (sequence, head) amortizes all per-step pipeline overhead
+  across the whole sequence, and the page loop bound is the *actual*
+  per-sequence page count (no wasted DMAs for short sequences in a
+  padded batch).
 - **No two-stage KV-split + LSE merge**: the reference splits a long
-  sequence across SMs and merges partials by log-sum-exp because CUDA SMs
-  need the parallelism (``:297-421``). A TPU core runs the grid
-  sequentially with DMA/compute overlap, so a single online-softmax pass
-  over the pages is both simpler and faster; batch and kv-head grid
-  dimensions are parallel (megacore-splittable).
+  sequence across SMs and merges partials by log-sum-exp because CUDA
+  SMs need the parallelism (``:297-421``). A TPU core pipelines pages
+  through VMEM in one online-softmax pass.
 - **GQA via query-group packing**: queries are reshaped to
-  (batch, kv_heads, group, head) so each grid step issues one
-  (group, head) x (head, page) MXU dot, mirroring the reference's
-  query-group packing (``varlen_attention.py:635-658``).
-- **fp8 KV dequantization is folded into scalars**: because dequant is
-  linear, ``q . (k * ks) = (q . k) * ks`` — the k-scale folds into the
-  softmax scale (before softcap) and the v-scale multiplies the final
-  accumulator once (reference dequantizes every element:
-  ``paged_attention.py:194-198,246-250``).
+  (batch, kv_heads, group, head) so each page contributes one
+  (group, head) x (head, page) MXU dot (reference packs query groups the
+  same way, ``varlen_attention.py:635-658``).
+- **fp8/int8 KV dequantization folds into scalars**: ``q.(k*ks) =
+  (q.k)*ks`` — k-scale folds into the softmax scale (before softcap),
+  v-scale multiplies the final accumulator once (the reference
+  dequantizes per element, ``paged_attention.py:194-198,246-250``).
+
+Cache layout: (num_pages, num_kv_heads, page_size, head_size) — one
+(page, head) slice is a Mosaic-native (page_size, head) tile.
 """
 
 from __future__ import annotations
@@ -49,39 +51,65 @@ def _paged_attention_kernel(
     block_tables_ref,  # (B, max_pages) int32
     seq_lens_ref,  # (B,) int32
     # inputs
-    q_ref,  # (1, 1, G_pad, D)
-    k_ref,  # (1, 1, ps, D)
-    v_ref,  # (1, 1, ps, D)
+    q_ref,  # (1, 1, G_pad, D) VMEM
+    k_hbm,  # (P, KH, ps, D) ANY/HBM
+    v_hbm,  # (P, KH, ps, D) ANY/HBM
     k_scale_ref,  # (1,) SMEM
     v_scale_ref,  # (1,) SMEM
     # outputs
-    o_ref,  # (1, 1, G_pad, D)
+    o_ref,  # (1, 1, G_pad, D) VMEM
     # scratch
+    k_buf,  # (2, ps, D) VMEM
+    v_buf,  # (2, ps, D) VMEM
+    sems,  # DMA semaphores (2, 2)
     m_scr,  # (G_pad, 128) f32
-    l_scr,  # (G_pad, 128) f32
+    l_scr,
     acc_scr,  # (G_pad, D) f32
     *,
     page_size: int,
     scale: float,
     softcap: float,
-    num_pages: int,
 ):
     b = pl.program_id(0)
-    i = pl.program_id(2)
+    h = pl.program_id(1)
     seq_len = seq_lens_ref[b]
+    num_pages = jax.lax.div(seq_len + page_size - 1, page_size)
 
-    @pl.when(i == 0)
+    m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0].astype(jnp.float32)  # (G_pad, D)
+    eff_scale = scale * k_scale_ref[0]
+
+    def page_dma(i, slot):
+        page = block_tables_ref[b, i]
+        return (
+            pltpu.make_async_copy(k_hbm.at[page, h], k_buf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(v_hbm.at[page, h], v_buf.at[slot], sems.at[slot, 1]),
+        )
+
+    @pl.when(num_pages > 0)
     def _():
-        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
+        dk, dv = page_dma(0, 0)
+        dk.start()
+        dv.start()
 
-    @pl.when(i * page_size < seq_len)
-    def _():
-        q = q_ref[0, 0].astype(jnp.float32)  # (G_pad, D)
-        k = k_ref[0, 0].astype(jnp.float32)  # (ps, D)
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+        next_slot = jax.lax.rem(i + 1, 2)
 
-        eff_scale = scale * k_scale_ref[0]
+        @pl.when(i + 1 < num_pages)
+        def _():
+            dk, dv = page_dma(i + 1, next_slot)
+            dk.start()
+            dv.start()
+
+        dk, dv = page_dma(i, slot)
+        dk.wait()
+        dv.wait()
+
+        k = k_buf[slot].astype(jnp.float32)  # (ps, D)
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * eff_scale  # (G_pad, ps)
@@ -92,27 +120,24 @@ def _paged_attention_kernel(
         entry_pos = i * page_size + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
         s = jnp.where(entry_pos < seq_len, s, _NEG_INF)
 
-        m_prev = m_scr[:, :1]  # (G_pad, 1)
+        m_prev = m_scr[:, :1]
         l_prev = l_scr[:, :1]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
 
-        p = jnp.exp(s - m_new)  # (G_pad, ps)
+        p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        l_scr[...] = jnp.broadcast_to(l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True), l_scr.shape)
 
-        v = v_ref[0, 0].astype(jnp.float32)  # (ps, D)
-        pv = jnp.dot(p, v, preferred_element_type=jnp.float32)  # (G_pad, D)
-
-        acc_scr[...] = acc_scr[...] * alpha + pv
+        v = v_buf[slot].astype(jnp.float32)
+        acc_scr[...] = acc_scr[...] * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
         m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
-        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+        return 0
 
-    @pl.when(i == num_pages - 1)
-    def _():
-        l = l_scr[:, :1]
-        normalized = acc_scr[...] / jnp.where(l > 0.0, l, 1.0)
-        o_ref[0, 0] = (normalized * v_scale_ref[0]).astype(o_ref.dtype)
+    jax.lax.fori_loop(0, num_pages, body, 0)
+
+    l = l_scr[:, :1]
+    normalized = acc_scr[...] / jnp.where(l > 0.0, l, 1.0)
+    o_ref[0, 0] = (normalized * v_scale_ref[0]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "softcap"))
@@ -133,12 +158,12 @@ def paged_attention_launcher(
     Args:
         query: (batch, num_q_heads, head_size).
         key_cache/value_cache: (num_pages, num_kv_heads, page_size, head_size);
-            fp8 caches (float8_e4m3fn) are dequantized via the folded scales.
+            fp8/int8 caches are dequantized via the folded scales.
         block_table: (batch, max_pages_per_seq) int32 physical page ids.
         seq_lens: (batch,) int32 current sequence lengths.
         scale: softmax scale (1/sqrt(head_size)).
         softcap: logit softcap (0 disables).
-        k_scale/v_scale: fp8 dequantization scales (default 1.0).
+        k_scale/v_scale: dequantization scales (default 1.0).
 
     Returns:
         (batch, num_q_heads, head_size) attention output in the query dtype
@@ -146,7 +171,6 @@ def paged_attention_launcher(
     """
     batch, num_q_heads, head_size = query.shape
     _, num_kv_heads, page_size, _ = key_cache.shape
-    max_pages = block_table.shape[1]
     group = num_q_heads // num_kv_heads
 
     out_dtype = query.dtype
@@ -166,25 +190,24 @@ def paged_attention_launcher(
     k_scale_arr = one if k_scale is None else k_scale.astype(jnp.float32).reshape(1)
     v_scale_arr = one if v_scale is None else v_scale.astype(jnp.float32).reshape(1)
 
-    def q_index(b, h, i, bt, sl):
+    def q_index(b, h, bt, sl):
         return (b, h, 0, 0)
-
-    def kv_index(b, h, i, bt, sl):
-        page = jnp.where(i * page_size < sl[b], bt[b, i], 0)
-        return (page, h, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(batch, num_kv_heads, max_pages),
+        grid=(batch, num_kv_heads),
         in_specs=[
             pl.BlockSpec((1, 1, group_pad, head_size), q_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, page_size, head_size), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, page_size, head_size), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, group_pad, head_size), q_index, memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM((2, page_size, head_size), key_cache.dtype),
+            pltpu.VMEM((2, page_size, head_size), value_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.VMEM((group_pad, 128), jnp.float32),
             pltpu.VMEM((group_pad, 128), jnp.float32),
             pltpu.VMEM((group_pad, head_size), jnp.float32),
@@ -197,12 +220,11 @@ def paged_attention_launcher(
             page_size=page_size,
             scale=scale,
             softcap=softcap,
-            num_pages=max_pages,
         ),
         out_shape=jax.ShapeDtypeStruct((batch, num_kv_heads, group_pad, head_size), out_dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=use_interpret_mode(),
     )(block_table.astype(jnp.int32), seq_lens.astype(jnp.int32), q_grouped, key_cache, value_cache, k_scale_arr, v_scale_arr)

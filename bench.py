@@ -106,12 +106,45 @@ def roofline_bytes_per_token(config, quant: str, context: int) -> float:
     return weight_bytes + kv_read
 
 
+def calibrate_hbm_bw(nominal: float) -> float:
+    """Measure this chip's achievable GEMV bandwidth (a 64MB weight sweep).
+
+    Tunneled/virtualized dev chips can deliver a fraction of nominal HBM
+    bandwidth; calibrating makes vs_baseline a portable
+    fraction-of-achievable-roofline number.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        w = jnp.ones((4096, 8192), jnp.bfloat16)  # 64 MB
+        x0 = jnp.ones((8, 4096), jnp.bfloat16)
+
+        @jax.jit
+        def sweep(x):
+            def body(i, x):
+                y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+                return (y[:, :4096] * 1e-6 + x).astype(jnp.bfloat16)
+
+            return jax.lax.fori_loop(0, 30, body, x)
+
+        jax.block_until_ready(sweep(x0))
+        t0 = time.perf_counter()
+        jax.block_until_ready(sweep(x0))
+        per_step = (time.perf_counter() - t0) / 30
+        measured = (4096 * 8192 * 2) / per_step
+        return min(measured, nominal)
+    except Exception:
+        return nominal
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", default="int4", choices=["int4", "bf16"])
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--context", type=int, default=1024)
     parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--no-calibrate", action="store_true", help="use nominal HBM bandwidth")
     parser.add_argument("--small", action="store_true", help="4-layer debug model")
     parser.add_argument("--tiny", action="store_true", help="tiny CPU-smoke model")
     args = parser.parse_args()
@@ -192,6 +225,8 @@ def main() -> None:
 
     kind = current_platform.get_device_name().lower()
     bw = next((v for k, v in HBM_BW_BY_KIND.items() if kind.startswith(k)), 819e9)
+    if not args.no_calibrate:
+        bw = calibrate_hbm_bw(bw)
     # Batched decode amortizes the weight read across the batch.
     weight_and_kv = roofline_bytes_per_token(config, args.preset, args.context)
     kv_only = config.num_layers * args.context * config.num_kv_heads * config.head_dim * 2 * 2

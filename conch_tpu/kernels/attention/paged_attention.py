@@ -198,8 +198,8 @@ def paged_attention_launcher(
         grid=(batch, num_kv_heads),
         in_specs=[
             pl.BlockSpec((1, 1, group_pad, head_size), q_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],

@@ -3,6 +3,19 @@
 
 from conch_tpu.ops.vision.bev_pool import bev_pool, bev_pool_backward
 from conch_tpu.ops.vision.nms import nms
-from conch_tpu.ops.vision.voxelization import VoxelizationParameter, generate_voxels
+from conch_tpu.ops.vision.voxelization import (
+    VoxelizationParameter,
+    collect_point_features,
+    generate_voxels,
+    voxelization_stable,
+)
 
-__all__ = ["VoxelizationParameter", "bev_pool", "bev_pool_backward", "generate_voxels", "nms"]
+__all__ = [
+    "VoxelizationParameter",
+    "bev_pool",
+    "bev_pool_backward",
+    "collect_point_features",
+    "generate_voxels",
+    "nms",
+    "voxelization_stable",
+]

@@ -151,3 +151,43 @@ def test_voxelization_all_out_of_range(rng):
     num_filled, feats, indices, counts = generate_voxels(jnp.asarray(pts), param)
     assert int(num_filled) == 0
     assert np.all(np.asarray(counts) == 0)
+
+
+def test_voxelization_stable_and_collect(rng):
+    """voxelization_stable + collect_point_features reproduce generate_voxels
+    (parity: reference reference/vision/voxelization.py:108-334)."""
+    from conch_tpu.ops.vision import collect_point_features, voxelization_stable
+
+    param = VoxelizationParameter(
+        min_range=(0.0, 0.0, 0.0),
+        max_range=(8.0, 8.0, 4.0),
+        voxel_dim=(1.0, 1.0, 1.0),
+        max_num_points_per_voxel=4,
+    )
+    pts = rng.uniform(-1.0, 9.0, size=(300, 4)).astype(np.float32)
+
+    counts, point_indices, flat_keys, num_filled = voxelization_stable(jnp.asarray(pts), param)
+    golden = ref.voxelize(pts, param.min_range, param.voxel_dim, param.grid_dim, 10**9)
+    nf = int(num_filled)
+    assert nf == len(golden)
+
+    counts = np.asarray(counts)
+    point_indices = np.asarray(point_indices)
+    flat_keys = np.asarray(flat_keys)
+
+    # Ascending flat keys, UNCAPPED counts, grouped original indices.
+    assert list(flat_keys[:nf]) == sorted(golden.keys())
+    off = 0
+    for i, key in enumerate(flat_keys[:nf]):
+        rows = golden[int(key)]
+        assert counts[i] == len(rows)
+        assert list(point_indices[off : off + len(rows)]) == rows  # stable within voxel
+        off += len(rows)
+    assert np.all(counts[nf:] == 0)
+    assert np.all(point_indices[off:] == pts.shape[0])  # sentinel padding
+
+    feats, capped = collect_point_features(jnp.asarray(pts), jnp.asarray(counts), jnp.asarray(point_indices), param)
+    # Must match the dense path (which caps at max_num_points_per_voxel).
+    _, dense_feats, _, dense_counts = generate_voxels(jnp.asarray(pts), param)
+    np.testing.assert_array_equal(np.asarray(capped), np.asarray(dense_counts))
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(dense_feats, dtype=np.float32), rtol=1e-6)

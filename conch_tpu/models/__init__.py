@@ -7,7 +7,13 @@ from conch_tpu.models.gemma import (
     gemma_prefill,
     init_gemma_params,
 )
-from conch_tpu.models.llama import LlamaConfig, init_llama_params, llama_decode_step, llama_prefill
+from conch_tpu.models.llama import (
+    LlamaConfig,
+    init_llama_params,
+    llama_decode_step,
+    llama_prefill,
+    requantize_llama_params,
+)
 
 __all__ = [
     "GemmaConfig",
@@ -18,4 +24,5 @@ __all__ = [
     "init_llama_params",
     "llama_decode_step",
     "llama_prefill",
+    "requantize_llama_params",
 ]

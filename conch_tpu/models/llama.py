@@ -130,9 +130,48 @@ def init_llama_params(
         "embedding": jnp.asarray(rng.normal(size=(config.vocab_size, h)) * std, dtype=config.dtype),
         "layers": layer_params,
         "final_norm": jnp.ones((h,), dtype=config.dtype),
-        "lm_head": quantize_linear(rng.normal(size=(h, config.vocab_size)).astype(np.float32) * std, quant_mode if quant_mode != "int4" else "bf16"),
+        "lm_head": quantize_linear(
+            rng.normal(size=(h, config.vocab_size)).astype(np.float32) * std,
+            quant_mode if quant_mode != "int4" else "bf16",
+            **({"group_size": group_size} if quant_mode == "int8" else {}),
+        ),
         "cos_sin_cache": compute_cos_sin_cache(config.rope_theta, config.head_dim, config.max_position),
     }
+
+
+def requantize_llama_params(
+    params: dict, config: LlamaConfig, quant_mode: str, group_size: int = 128
+) -> dict:
+    """Convert a dense (bf16) param tree into a quantized serving tree.
+
+    The post-training-quantization step: take params produced by
+    ``init_llama_params(..., "bf16")`` (possibly trained since) and rebuild
+    every projection in ``quant_mode`` ("int4" | "int8" | "nf4" | "bf16"),
+    matching the layout ``init_llama_params`` would produce natively
+    (stacked per-array layer weights, lm_head kept bf16 for int4 parity).
+    """
+    kwargs = {"group_size": group_size} if quant_mode in ("int4", "int8") else {}
+
+    def requant_stacked(ql: QuantizedLinear) -> QuantizedLinear:
+        assert ql.kind == "dense", f"requantize needs dense params, got {ql.kind}"
+        w = np.asarray(ql.arrays["w"], dtype=np.float32)  # (L, K, N)
+        per_layer = [quantize_linear(w[i], quant_mode, **kwargs) for i in range(w.shape[0])]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+
+    layers = dict(params["layers"])
+    for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+        layers[name] = requant_stacked(params["layers"][name])
+
+    head = params["lm_head"]
+    assert head.kind == "dense"
+    head_mode = quant_mode if quant_mode != "int4" else "bf16"
+    head_kwargs = kwargs if head_mode in ("int4", "int8") else {}
+    out = dict(params)
+    out["layers"] = layers
+    out["lm_head"] = quantize_linear(
+        np.asarray(head.arrays["w"], dtype=np.float32), head_mode, **head_kwargs
+    )
+    return out
 
 
 def init_kv_caches(config: LlamaConfig, num_pages: int, page_size: int, cache_dtype=None) -> tuple[jax.Array, jax.Array]:

@@ -1,0 +1,133 @@
+# Copyright 2026 Conch-TPU authors.
+# SPDX-License-Identifier: Apache-2.0
+
+"""End-to-end quantization-quality evaluation (ppl delta per bit-width).
+
+The north star (BASELINE.json) requires "end-to-end perplexity within the
+reference delta at the same bit-width (NF4, INT4, INT8)". With no network
+egress there are no pretrained checkpoints in this environment, so this
+tool builds a model with *real structure* the honest way:
+
+1. train a small Llama on a synthetic order-2 Markov corpus until it has
+   learned the transition structure (loss far below uniform),
+2. post-training-quantize the trained weights at each bit-width with
+   ``requantize_llama_params`` (the same path a user would run on real
+   checkpoints),
+3. report held-out teacher-forced perplexity per precision, the ppl delta
+   vs bf16, and mean per-token KL(bf16 || quant).
+
+Every forward pass goes through the same model graph the serving engine
+uses (``QuantizedLinear.apply`` -> mixed-precision dequant-GEMM / nf4
+dequant kernels), so the deltas measure the real inference numerics.
+
+Usage: python tools/eval_quant_delta.py [--steps 300] [--json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conch_tpu.models.llama import LlamaConfig, init_llama_params, requantize_llama_params
+from conch_tpu.parallel.mesh import create_mesh
+from conch_tpu.parallel.train import causal_lm_loss, dense_forward, make_train_step
+
+
+def make_markov_corpus(rng: np.random.Generator, vocab: int, rows: int, seq: int) -> np.ndarray:
+    """Order-1 Markov chain: each token allows 8 successors, Zipf-weighted.
+
+    Per-token entropy ~1.76 nats -> an ideal model reaches ppl ~5.8; a
+    model that learned nothing sits at ppl = vocab.
+    """
+    num_succ = 8
+    succ = rng.integers(0, vocab, size=(vocab, num_succ), dtype=np.int32)
+    probs = 1.0 / np.arange(1, num_succ + 1)
+    probs /= probs.sum()
+    out = np.empty((rows, seq), dtype=np.int32)
+    out[:, 0] = rng.integers(0, vocab, size=rows)
+    for t in range(1, seq):
+        choice = rng.choice(num_succ, size=rows, p=probs)
+        out[:, t] = succ[out[:, t - 1], choice]
+    return out
+
+
+def eval_ppl_and_kl(params, ref_logits, config, tokens: jax.Array) -> tuple[float, float, np.ndarray]:
+    """Teacher-forced ppl and mean KL(ref || this) over held-out tokens."""
+    logits = jax.jit(dense_forward, static_argnums=1)(params, config, tokens)
+    lp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+    targets = tokens[:, 1:]
+    nll = -jnp.take_along_axis(lp, targets[..., None], axis=-1)[..., 0]
+    ppl = float(jnp.exp(jnp.mean(nll)))
+    if ref_logits is None:
+        kl = 0.0
+    else:
+        ref_lp = jax.nn.log_softmax(ref_logits[:, :-1], axis=-1)
+        kl = float(jnp.mean(jnp.sum(jnp.exp(ref_lp) * (ref_lp - lp), axis=-1)))
+    return ppl, kl, np.asarray(logits)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=300)
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--seq", type=int, default=128)
+    parser.add_argument("--lr", type=float, default=3e-3)
+    parser.add_argument("--json", action="store_true", help="one JSON line per precision")
+    args = parser.parse_args()
+
+    config = LlamaConfig(
+        vocab_size=512, hidden_size=256, intermediate_size=512, num_layers=4,
+        num_heads=4, num_kv_heads=2, head_dim=64, max_position=args.seq,
+    )
+    rng = np.random.default_rng(0)
+    uniform_ppl = config.vocab_size
+
+    params = init_llama_params(0, config, "bf16")
+    mesh = create_mesh(data=1, model=1, devices=jax.devices()[:1])
+    train_step, init_opt, _, _ = make_train_step(mesh, config, params, learning_rate=args.lr)
+    opt_state = init_opt(params)
+
+    t0 = time.time()
+    # One chain: train rows and held-out rows share the transition table.
+    corpus = make_markov_corpus(rng, config.vocab_size, args.steps * args.batch + 32, args.seq)
+    heldout = jnp.asarray(corpus[-32:])
+    corpus = corpus[:-32]
+    print(f"# corpus: {corpus.shape} in {time.time() - t0:.1f}s; uniform ppl {uniform_ppl}")
+
+    t0 = time.time()
+    for step in range(args.steps):
+        batch = jnp.asarray(corpus[step * args.batch : (step + 1) * args.batch])
+        params, opt_state, loss = train_step(params, opt_state, batch)
+        if step % 50 == 0 or step == args.steps - 1:
+            print(f"# step {step}: loss {float(loss):.4f} (uniform {np.log(uniform_ppl):.4f})")
+    print(f"# trained {args.steps} steps in {time.time() - t0:.1f}s")
+
+    results = {}
+    ref_logits = None
+    for mode in ("bf16", "int8", "int4", "nf4"):
+        qp = params if mode == "bf16" else requantize_llama_params(params, config, mode, group_size=64)
+        ppl, kl, logits = eval_ppl_and_kl(qp, ref_logits, config, heldout)
+        if mode == "bf16":
+            ref_logits = jnp.asarray(logits)
+        results[mode] = (ppl, kl)
+        line = {
+            "precision": mode,
+            "ppl": round(ppl, 4),
+            "ppl_delta_vs_bf16": round(ppl - results["bf16"][0], 4),
+            "mean_kl_vs_bf16": round(kl, 6),
+        }
+        print(json.dumps(line) if args.json else f"  {line}")
+
+    bf16_ppl = results["bf16"][0]
+    assert bf16_ppl < uniform_ppl / 4, "training failed to learn structure"
+    worst = max(abs(results[m][0] - bf16_ppl) for m in ("int8", "int4", "nf4"))
+    print(f"# bf16 ppl {bf16_ppl:.3f} (uniform {uniform_ppl}); worst quant ppl delta {worst:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,7 @@ markdown table (written to stdout or --output).
 from __future__ import annotations
 
 import argparse
+import os
 import pathlib
 import subprocess
 import sys
@@ -20,12 +21,16 @@ BENCH_DIR = pathlib.Path(__file__).resolve().parent.parent / "benchmarks"
 
 def run_benchmark(path: pathlib.Path, iterations: int) -> list[tuple[str, float]]:
     """Run one benchmark CLI; returns [(tag, median_ms)]."""
+    env = dict(os.environ)
+    repo_root = str(BENCH_DIR.parent)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     proc = subprocess.run(
         [sys.executable, str(path), "--csv", "--iterations", str(iterations)],
         capture_output=True,
         text=True,
         timeout=1200,
-        cwd=str(BENCH_DIR.parent),
+        cwd=repo_root,
+        env=env,
     )
     rows = []
     for line in proc.stdout.splitlines():

@@ -216,8 +216,18 @@ def varlen_attention_launcher(
         return (b, h, t, 0)
 
     def kv_index(b, h, t, i, bt, slq, slk):
-        page = jnp.where(i * page_size < slk[b], bt[b, i], 0)
-        return (page, h, 0, 0)
+        # Clamp i to this (sequence, chunk)'s last *active* page. Steps past
+        # it map to the same block as the last active step, so the Pallas
+        # pipeline skips their fetch entirely — no DMAs for pages beyond
+        # seq_len (short sequences in a padded batch) or beyond the causal
+        # frontier of this query chunk.
+        last_kv = slk[b] - 1
+        if causal:
+            chunk_last_q = jnp.minimum((t * cq_rows + cq_rows - 1) // group, slq[b] - 1)
+            last_kv = jnp.minimum(last_kv, slk[b] - slq[b] + chunk_last_q)
+        i_max = jnp.maximum(last_kv, 0) // page_size
+        i_eff = jnp.minimum(i, i_max)
+        return (bt[b, i_eff], h, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

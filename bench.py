@@ -106,38 +106,6 @@ def roofline_bytes_per_token(config, quant: str, context: int) -> float:
     return weight_bytes + kv_read
 
 
-def calibrate_hbm_bw(nominal: float) -> float:
-    """Measure this chip's achievable GEMV bandwidth (a 64MB weight sweep).
-
-    Tunneled/virtualized dev chips can deliver a fraction of nominal HBM
-    bandwidth; calibrating makes vs_baseline a portable
-    fraction-of-achievable-roofline number.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    try:
-        w = jnp.ones((4096, 8192), jnp.bfloat16)  # 64 MB
-        x0 = jnp.ones((8, 4096), jnp.bfloat16)
-
-        @jax.jit
-        def sweep(x):
-            def body(i, x):
-                y = jnp.dot(x, w, preferred_element_type=jnp.float32)
-                return (y[:, :4096] * 1e-6 + x).astype(jnp.bfloat16)
-
-            return jax.lax.fori_loop(0, 30, body, x)
-
-        jax.block_until_ready(sweep(x0))
-        t0 = time.perf_counter()
-        jax.block_until_ready(sweep(x0))
-        per_step = (time.perf_counter() - t0) / 30
-        measured = (4096 * 8192 * 2) / per_step
-        return min(measured, nominal)
-    except Exception:
-        return nominal
-
-
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", default="int4", choices=["int4", "bf16"])
@@ -154,6 +122,7 @@ def main() -> None:
 
     from conch_tpu.models.llama import LlamaConfig, init_kv_caches, llama_decode_step
     from conch_tpu.platforms import current_platform
+    from conch_tpu.utils.benchmark import calibrate_hbm_bw
 
     config = LlamaConfig.llama3_8b()
     if args.small:

@@ -52,7 +52,30 @@ def main() -> None:
     parser.add_argument("--only", default=None, help="substring filter on benchmark file names")
     args = parser.parse_args()
 
-    lines = ["| Benchmark | Case | Median (ms) |", "|---|---|---|"]
+    # Stamp the chip's achievable bandwidth at generation time: the
+    # tunneled dev chip fluctuates, so absolute times are only
+    # interpretable relative to this calibration. Run in a subprocess —
+    # the device supports one client at a time and the per-bench children
+    # below each need to claim it.
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(BENCH_DIR.parent) + os.pathsep + env.get("PYTHONPATH", "")
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; from conch_tpu.utils.benchmark import calibrate_hbm_bw; "
+         "print(jax.devices()[0].device_kind); print(calibrate_hbm_bw())"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    try:
+        kind, bw = probe.stdout.strip().splitlines()[-2:]
+        header = (
+            f"<!-- device: {kind}, calibrated GEMV bandwidth at generation "
+            f"time: {float(bw) / 1e9:.0f} GB/s -->"
+        )
+    except (ValueError, IndexError):
+        header = "<!-- calibration failed -->"
+    print(header.strip("<!- >"), file=sys.stderr)
+
+    lines = [header, "| Benchmark | Case | Median (ms) |", "|---|---|---|"]
     for bench in sorted(BENCH_DIR.glob("*_benchmark.py")):
         if args.only and args.only not in bench.name:
             continue

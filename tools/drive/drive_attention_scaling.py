@@ -46,7 +46,7 @@ def device_fixture(batch, kv_heads, q_heads, head, page_size, seq, key=0):
 scale = 1.0 / math.sqrt(128)
 
 # 1. paged attention seq scaling (batch 8 keeps fixtures small)
-for seq in (1024, 4096, 16384):
+for seq in (1024, 8192):
     q, kc, vc, bt, sl = device_fixture(8, 8, 32, 128, 32, seq)
     jax.block_until_ready((q, kc, vc))
     ms, _ = timed(lambda: paged_attention(q, kc, vc, bt, sl, scale=scale))

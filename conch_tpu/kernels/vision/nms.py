@@ -4,63 +4,104 @@
 """Non-maximum suppression.
 
 TPU-native re-design of the reference Triton kernels
-(``conch/kernels/vision/nms.py:93-204``). Stage 1 (the O(N^2) IoU>threshold
-mask) is a fully vectorized broadcast that XLA fuses onto the VPU - the
-reference's per-row program with blocked column loops adds nothing on TPU.
-Stage 2 is the inherently sequential greedy suppression, expressed as a
-``lax.fori_loop`` over boxes in score order; where the reference needs
-``tl.debug_barrier()`` for store visibility (``:199-204``), the functional
-loop-carried keep-mask makes the dependency explicit and race-free.
+(``conch/kernels/vision/nms.py:93-204``). The reference is two-stage:
+an O(N^2) IoU>threshold mask kernel, then a single sequential program
+that walks rows with ``tl.debug_barrier()`` for store visibility
+(``:171-204``). On TPU both stages collapse into ONE Pallas program:
+
+- The greedy pass runs as an in-kernel ``fori_loop`` with boxes and the
+  keep-mask resident in VMEM — per-iteration cost is a handful of VPU
+  ops, not an XLA dispatch + HBM row fetch.
+- IoU is computed on the fly against all N boxes each iteration
+  (N fused multiply/select lanes), so the O(N^2) mask is never
+  materialized: no 16 MB scratch, no second kernel, and the loop body is
+  race-free by construction (the keep-mask is a loop carry).
+- Scalars of the current pivot box are extracted with one-hot reductions
+  (dense VPU ops) instead of dynamic lane slicing, which Mosaic lowers
+  poorly.
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from conch_tpu.kernels.common import round_up, use_interpret_mode
 
 
-@jax.jit
-def _iou_exceeds_mask(boxes: jax.Array, iou_threshold: float) -> jax.Array:
-    """(N, N) boolean mask of IoU > threshold (computed densely)."""
-    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    area = (x2 - x1) * (y2 - y1)
-
-    inter_x1 = jnp.maximum(x1[:, None], x1[None, :])
-    inter_y1 = jnp.maximum(y1[:, None], y1[None, :])
-    inter_x2 = jnp.minimum(x2[:, None], x2[None, :])
-    inter_y2 = jnp.minimum(y2[:, None], y2[None, :])
-
-    inter = jnp.maximum(0.0, inter_x2 - inter_x1) * jnp.maximum(0.0, inter_y2 - inter_y1)
-    union = area[:, None] + area[None, :] - inter
-    iou = jnp.where(union > 0.0, inter / union, 0.0)
-    return iou > iou_threshold
-
-
-@jax.jit
-def _suppress(exceeds: jax.Array) -> jax.Array:
-    """Greedy sequential suppression over boxes in (sorted) order."""
-    num_boxes = exceeds.shape[0]
-    later = jnp.arange(num_boxes)
+def _nms_kernel(boxes_ref, out_ref, *, num_boxes: int, iou_threshold: float):
+    """boxes_ref: (8, N_pad) rows = x1, y1, x2, y2, area, pad...; out: (1, N_pad)."""
+    x1 = boxes_ref[0:1, :]
+    y1 = boxes_ref[1:2, :]
+    x2 = boxes_ref[2:3, :]
+    y2 = boxes_ref[3:4, :]
+    area = boxes_ref[4:5, :]
+    n_pad = x1.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), dimension=1)
 
     def body(i, keep):
-        # If box i is kept, suppress every later box whose IoU with i
-        # exceeds the threshold.
-        suppress_row = exceeds[i] & (later > i) & keep[i]
-        return keep & ~suppress_row
+        onehot = (lane == i).astype(jnp.float32)
+        xi1 = jnp.sum(onehot * x1)
+        yi1 = jnp.sum(onehot * y1)
+        xi2 = jnp.sum(onehot * x2)
+        yi2 = jnp.sum(onehot * y2)
+        ai = jnp.sum(onehot * area)
+        keep_i = jnp.sum(onehot * keep)
 
-    return jax.lax.fori_loop(0, num_boxes - 1, body, jnp.ones((num_boxes,), dtype=bool))
+        inter_w = jnp.maximum(0.0, jnp.minimum(x2, xi2) - jnp.maximum(x1, xi1))
+        inter_h = jnp.maximum(0.0, jnp.minimum(y2, yi2) - jnp.maximum(y1, yi1))
+        inter = inter_w * inter_h
+        union = area + ai - inter
+        iou = jnp.where(union > 0.0, inter / union, 0.0)
+
+        suppress = (iou > iou_threshold) & (lane > i) & (keep_i > 0.0)
+        return keep * (1.0 - suppress.astype(jnp.float32))
+
+    keep0 = (lane < num_boxes).astype(jnp.float32)
+    out_ref[...] = jax.lax.fori_loop(0, num_boxes - 1, body, keep0)
+
+
+@functools.partial(jax.jit, static_argnames=("iou_threshold",))
+def _nms_keep_mask(boxes: jax.Array, scores: jax.Array, iou_threshold: float) -> tuple[jax.Array, jax.Array]:
+    """Returns (order, keep-mask over order) — the jittable part of NMS."""
+    num_boxes = boxes.shape[0]
+    order = jnp.argsort(-scores)  # descending score
+    sb = boxes[order].astype(jnp.float32)
+
+    n_pad = round_up(num_boxes, 128)
+    x1, y1, x2, y2 = sb[:, 0], sb[:, 1], sb[:, 2], sb[:, 3]
+    area = (x2 - x1) * (y2 - y1)
+    rows = jnp.zeros((8, n_pad), dtype=jnp.float32)
+    rows = rows.at[0, :num_boxes].set(x1)
+    rows = rows.at[1, :num_boxes].set(y1)
+    rows = rows.at[2, :num_boxes].set(x2)
+    rows = rows.at[3, :num_boxes].set(y2)
+    rows = rows.at[4, :num_boxes].set(area)
+
+    keep = pl.pallas_call(
+        functools.partial(_nms_kernel, num_boxes=num_boxes, iou_threshold=iou_threshold),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=use_interpret_mode(),
+    )(rows)
+    return order, keep[0, :num_boxes] > 0.0
 
 
 def nms_launcher(boxes: jax.Array, scores: jax.Array, iou_threshold: float) -> jax.Array:
     """Run NMS; returns kept indices sorted by decreasing score.
+
+    The kept-index gather is data-dependently sized, so it happens outside
+    jit; the sort + suppression kernel is one jitted computation.
 
     Args:
         boxes: (N, 4) in (x1, y1, x2, y2) format.
         scores: (N,).
         iou_threshold: suppression threshold.
     """
-    order = jnp.argsort(-scores)  # descending score
-    sorted_boxes = boxes[order]
-    exceeds = _iou_exceeds_mask(sorted_boxes, iou_threshold)
-    keep = _suppress(exceeds)
+    order, keep = _nms_keep_mask(boxes, scores, iou_threshold)
     return order[keep]

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from benchmarks.common import make_parser, rng, run_and_report
+from conch_tpu.kernels.vision.nms import _nms_keep_mask
 from conch_tpu.ops.vision import nms
 
 
@@ -13,6 +14,11 @@ def main() -> None:
     parser = make_parser("NMS benchmark")
     parser.add_argument("--num-boxes", type=int, default=4096)
     parser.add_argument("--iou-threshold", type=float, default=0.5)
+    parser.add_argument(
+        "--with-host-gather", action="store_true",
+        help="time the full op incl. the host-side kept-index gather "
+        "(device->host pull; dominated by link latency on tunneled devices)",
+    )
     args = parser.parse_args()
 
     r = rng(args)
@@ -21,7 +27,14 @@ def main() -> None:
     boxes = jnp.asarray(np.concatenate([centers - sizes / 2, centers + sizes / 2], 1), dtype=jnp.float32)
     scores = jnp.asarray(r.uniform(0, 1, args.num_boxes), dtype=jnp.float32)
 
-    run_and_report(args, [(f"nms_n{args.num_boxes}", lambda: nms(boxes, scores, args.iou_threshold))])
+    if args.with_host_gather:
+        case = (f"nms_n{args.num_boxes}_host", lambda: nms(boxes, scores, args.iou_threshold))
+    else:
+        # Device-side sort + suppression kernel only: the final
+        # data-dependent index gather is a tiny host pull whose cost is
+        # pure link latency, not op cost.
+        case = (f"nms_n{args.num_boxes}", lambda: _nms_keep_mask(boxes, scores, args.iou_threshold))
+    run_and_report(args, [case])
 
 
 if __name__ == "__main__":

@@ -12,13 +12,18 @@ that walks rows with ``tl.debug_barrier()`` for store visibility
 - The greedy pass runs as an in-kernel ``fori_loop`` with boxes and the
   keep-mask resident in VMEM — per-iteration cost is a handful of VPU
   ops, not an XLA dispatch + HBM row fetch.
-- IoU is computed on the fly against all N boxes each iteration
-  (N fused multiply/select lanes), so the O(N^2) mask is never
-  materialized: no 16 MB scratch, no second kernel, and the loop body is
-  race-free by construction (the keep-mask is a loop carry).
-- Scalars of the current pivot box are extracted with one-hot reductions
-  (dense VPU ops) instead of dynamic lane slicing, which Mosaic lowers
-  poorly.
+- IoU is computed on the fly against all N boxes each iteration, so the
+  O(N^2) mask is never materialized: no 16 MB scratch, no second kernel,
+  and the loop body is race-free by construction (the keep-mask is a
+  loop carry).
+- All per-box vectors live in a **dense (N/128, 128) layout** (score
+  order is row-major over it): every elementwise op runs on packed
+  vregs and the scalar extractions are dense reductions. A flat (1, N)
+  layout runs ~8x slower — one sublane used per vreg and long
+  cross-vreg reduction chains.
+- Scalars of the current pivot box are extracted with one-hot
+  reductions (dense VPU ops) instead of dynamic lane slicing, which
+  Mosaic lowers poorly.
 """
 
 from __future__ import annotations
@@ -32,25 +37,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 from conch_tpu.kernels.common import round_up, use_interpret_mode
 
+_LANES = 128
 
-def _nms_kernel(boxes_ref, out_ref, *, num_boxes: int, iou_threshold: float):
-    """boxes_ref: (8, N_pad) rows = x1, y1, x2, y2, area, pad...; out: (1, N_pad)."""
-    x1 = boxes_ref[0:1, :]
-    y1 = boxes_ref[1:2, :]
-    x2 = boxes_ref[2:3, :]
-    y2 = boxes_ref[3:4, :]
-    area = boxes_ref[4:5, :]
-    n_pad = x1.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), dimension=1)
+
+def _nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, area_ref, out_ref, *, num_boxes: int, iou_threshold: float):
+    """All refs (R, 128) f32, boxes in score order laid out row-major."""
+    x1, y1, x2, y2, area = x1_ref[...], y1_ref[...], x2_ref[...], y2_ref[...], area_ref[...]
+    rows = x1.shape[0]
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0) * _LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+    )
 
     def body(i, keep):
-        onehot = (lane == i).astype(jnp.float32)
-        xi1 = jnp.sum(onehot * x1)
-        yi1 = jnp.sum(onehot * y1)
-        xi2 = jnp.sum(onehot * x2)
-        yi2 = jnp.sum(onehot * y2)
-        ai = jnp.sum(onehot * area)
-        keep_i = jnp.sum(onehot * keep)
+        # All pivot quantities stay (1, 1)-shaped VECTOR values: a scalar
+        # extraction (vector->sreg move) costs hundreds of cycles on TPU,
+        # while a keepdims reduce + splat-broadcast is a short chain of
+        # vector ops.
+        onehot = (flat == i).astype(jnp.float32)
+        xi1 = jnp.sum(onehot * x1, keepdims=True)
+        yi1 = jnp.sum(onehot * y1, keepdims=True)
+        xi2 = jnp.sum(onehot * x2, keepdims=True)
+        yi2 = jnp.sum(onehot * y2, keepdims=True)
+        ai = jnp.sum(onehot * area, keepdims=True)
+        keep_i = jnp.sum(onehot * keep, keepdims=True)
 
         inter_w = jnp.maximum(0.0, jnp.minimum(x2, xi2) - jnp.maximum(x1, xi1))
         inter_h = jnp.maximum(0.0, jnp.minimum(y2, yi2) - jnp.maximum(y1, yi1))
@@ -58,10 +68,10 @@ def _nms_kernel(boxes_ref, out_ref, *, num_boxes: int, iou_threshold: float):
         union = area + ai - inter
         iou = jnp.where(union > 0.0, inter / union, 0.0)
 
-        suppress = (iou > iou_threshold) & (lane > i) & (keep_i > 0.0)
+        suppress = (iou > iou_threshold) & (flat > i) & (keep_i > 0.0)
         return keep * (1.0 - suppress.astype(jnp.float32))
 
-    keep0 = (lane < num_boxes).astype(jnp.float32)
+    keep0 = (flat < num_boxes).astype(jnp.float32)
     out_ref[...] = jax.lax.fori_loop(0, num_boxes - 1, body, keep0)
 
 
@@ -72,24 +82,24 @@ def _nms_keep_mask(boxes: jax.Array, scores: jax.Array, iou_threshold: float) ->
     order = jnp.argsort(-scores)  # descending score
     sb = boxes[order].astype(jnp.float32)
 
-    n_pad = round_up(num_boxes, 128)
+    n_pad = round_up(num_boxes, 8 * _LANES)
+    rows = n_pad // _LANES
+
+    def to_grid(v: jax.Array) -> jax.Array:
+        return jnp.pad(v, (0, n_pad - num_boxes)).reshape(rows, _LANES)
+
     x1, y1, x2, y2 = sb[:, 0], sb[:, 1], sb[:, 2], sb[:, 3]
     area = (x2 - x1) * (y2 - y1)
-    rows = jnp.zeros((8, n_pad), dtype=jnp.float32)
-    rows = rows.at[0, :num_boxes].set(x1)
-    rows = rows.at[1, :num_boxes].set(y1)
-    rows = rows.at[2, :num_boxes].set(x2)
-    rows = rows.at[3, :num_boxes].set(y2)
-    rows = rows.at[4, :num_boxes].set(area)
 
     keep = pl.pallas_call(
         functools.partial(_nms_kernel, num_boxes=num_boxes, iou_threshold=iou_threshold),
-        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_shape=jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=use_interpret_mode(),
-    )(rows)
-    return order, keep[0, :num_boxes] > 0.0
+    )(to_grid(x1), to_grid(y1), to_grid(x2), to_grid(y2), to_grid(area))
+
+    return order, keep.reshape(-1)[:num_boxes] > 0.0
 
 
 def nms_launcher(boxes: jax.Array, scores: jax.Array, iou_threshold: float) -> jax.Array:

@@ -51,12 +51,20 @@ class Request:
     sampling: SamplingParams
     state: RequestState = RequestState.WAITING
     pages: list[int] = field(default_factory=list)
-    num_computed: int = 0  # prompt tokens already prefilled
+    num_computed: int = 0  # tokens already prefilled (incl. recompute after preemption)
     output_tokens: list[int] = field(default_factory=list)
+    num_preemptions: int = 0
 
     @property
     def total_len(self) -> int:
         return len(self.prompt) + len(self.output_tokens)
+
+    def token_at(self, pos: int) -> int:
+        """Token at absolute position, spanning prompt + generated tokens
+        (generated tokens are re-prefilled after a preemption)."""
+        if pos < len(self.prompt):
+            return self.prompt[pos]
+        return self.output_tokens[pos - len(self.prompt)]
 
 
 @dataclass
@@ -159,7 +167,8 @@ class LLMEngine:
         if prefilling:
             self._run_prefill(prefilling)
         else:
-            self._run_decode([r for r in self.running if r.state == RequestState.RUNNING])
+            decodable = [r for r in self.running if r.state == RequestState.RUNNING]
+            self._run_decode(self._ensure_decode_pages(decodable))
 
         finished = [r for r in self.running if r.state == RequestState.FINISHED]
         for req in finished:
@@ -172,17 +181,66 @@ class LLMEngine:
     # -- scheduling --------------------------------------------------------
 
     def _admit(self) -> None:
+        # Allocate-on-demand: reserve pages for the tokens to prefill
+        # (prompt, plus any generated tokens being recomputed after a
+        # preemption) + one decode-headroom page; decode growth allocates
+        # page-by-page in _ensure_decode_pages.
         ps = self.ecfg.page_size
         while self.waiting and len(self.running) < self.ecfg.max_batch_size:
             req = self.waiting[0]
-            pages_needed = -(-(len(req.prompt) + req.sampling.max_tokens) // ps)
-            pages_needed = min(pages_needed, self.ecfg.max_pages_per_seq)
+            pages_needed = min(-(-(req.total_len + 1) // ps), self.ecfg.max_pages_per_seq)
             if not self.allocator.can_allocate(pages_needed):
                 break
             self.waiting.pop(0)
             req.pages = [self.allocator.allocate() for _ in range(pages_needed)]
             req.state = RequestState.PREFILLING
             self.running.append(req)
+
+    def _preempt_one(self) -> bool:
+        """Preempt the youngest decodable request: free its pages and
+        requeue it (front of the waiting queue) for recompute-prefill."""
+        for victim in reversed(self.running):
+            if victim.state in (RequestState.RUNNING, RequestState.PREFILLING):
+                for page in victim.pages:
+                    self.allocator.free(page)
+                victim.pages = []
+                victim.num_computed = 0
+                victim.num_preemptions += 1
+                victim.state = RequestState.WAITING
+                self.running.remove(victim)
+                self.waiting.insert(0, victim)
+                return True
+        return False
+
+    def _ensure_decode_pages(self, reqs: list[Request]) -> list[Request]:
+        """Grow each sequence's page list to cover its next KV write;
+        preempt younger requests when the pool runs dry. Returns the
+        requests that still hold enough pages to step."""
+        ps = self.ecfg.page_size
+        ready = []
+        for r in reqs:
+            needed = -(-r.total_len // ps)
+            ok = True
+            while len(r.pages) < min(needed, self.ecfg.max_pages_per_seq):
+                if self.allocator.can_allocate(1):
+                    r.pages.append(self.allocator.allocate())
+                    continue
+                if not self._preempt_one():
+                    ok = False
+                    break
+                # _preempt_one may have preempted r itself.
+                if r.state == RequestState.WAITING:
+                    ok = False
+                    break
+            if ok and r.state == RequestState.RUNNING:
+                ready.append(r)
+        # A request admitted to `ready` early can be preempted by a later
+        # request's allocation in this same pass — re-check state and
+        # page coverage before stepping.
+        return [
+            r for r in ready
+            if r.state == RequestState.RUNNING and len(r.pages) * ps >= r.total_len
+        ]
 
     def _slot(self, req: Request, pos: int) -> int:
         return req.pages[pos // self.ecfg.page_size] * self.ecfg.page_size + pos % self.ecfg.page_size
@@ -199,7 +257,7 @@ class LLMEngine:
         budget = self.ecfg.max_prefill_tokens
         batch: list[tuple[Request, int]] = []  # (request, chunk_len)
         for r in reqs:
-            remaining = len(r.prompt) - r.num_computed
+            remaining = r.total_len - r.num_computed
             take = min(remaining, budget)
             if take <= 0:
                 continue
@@ -213,7 +271,7 @@ class LLMEngine:
         tokens, positions, slots, q_lens, seq_lens = [], [], [], [], []
         for r, take in batch:
             start = r.num_computed
-            tokens.extend(r.prompt[start : start + take])
+            tokens.extend(r.token_at(p) for p in range(start, start + take))
             positions.extend(range(start, start + take))
             slots.extend(self._slot(r, p) for p in range(start, start + take))
             q_lens.append(take)
@@ -256,7 +314,7 @@ class LLMEngine:
         done_rows = []
         for i, (r, take) in enumerate(batch):
             r.num_computed += take
-            if r.num_computed >= len(r.prompt):
+            if r.num_computed >= r.total_len:
                 done_rows.append(i)
         if done_rows:
             sampled = self._sample(logits, [batch[i][0] for i in done_rows], rows=done_rows)
@@ -315,6 +373,7 @@ class LLMEngine:
         eos = self.ecfg.eos_token_id
         hit_eos = eos is not None and req.output_tokens and req.output_tokens[-1] == eos
         out_of_len = len(req.output_tokens) >= req.sampling.max_tokens
-        out_of_pages = req.total_len >= len(req.pages) * self.ecfg.page_size
-        if hit_eos or out_of_len or out_of_pages:
+        # Hard cap only: pages grow on demand up to max_pages_per_seq.
+        at_cap = req.total_len >= self.ecfg.max_pages_per_seq * self.ecfg.page_size
+        if hit_eos or out_of_len or at_cap:
             req.state = RequestState.FINISHED

@@ -166,3 +166,40 @@ def test_sampling_temperature_reproducible(tiny_model):
     a = _make_engine(cfg, params).generate([[1, 2, 3]], sp)[0]
     b = _make_engine(cfg, params).generate([[1, 2, 3]], sp)[0]
     assert a == b  # same engine seed => same sampling
+
+
+def test_engine_preemption_recompute(tiny_model):
+    """A page-starved engine preempts and recomputes, yet greedy outputs
+    match the unconstrained engine exactly (recompute-prefill rebuilds the
+    same KV state)."""
+    cfg, params = tiny_model
+    # 6 pages of 4 slots: two growing sequences of 5+12=17 tokens each
+    # (5 pages apiece at the end) cannot coexist -> forces preemption.
+    tight = _make_engine(
+        cfg, params, page_size=4, num_pages=6, max_batch_size=2, max_pages_per_seq=8
+    )
+    prompts = [[3, 1, 4, 1, 5], [2, 7, 1, 8, 2]]
+    outputs = tight.generate(prompts, SamplingParams(max_tokens=12))
+    roomy = _make_engine(cfg, params, page_size=4, num_pages=64, max_batch_size=2)
+    expected = roomy.generate(prompts, SamplingParams(max_tokens=12))
+    assert outputs == expected
+
+
+def test_engine_preemption_happens(tiny_model):
+    """The starved scenario above really exercises the preemption path."""
+    cfg, params = tiny_model
+    tight = _make_engine(
+        cfg, params, page_size=4, num_pages=6, max_batch_size=2, max_pages_per_seq=8
+    )
+    for p in ([3, 1, 4, 1, 5], [2, 7, 1, 8, 2]):
+        tight.add_request(p, SamplingParams(max_tokens=12))
+    finished = []
+    preemptions = 0
+    while tight.waiting or tight.running:
+        finished.extend(tight.step())
+        preemptions = max(
+            preemptions,
+            max((r.num_preemptions for r in tight.waiting + tight.running + finished), default=0),
+        )
+    assert preemptions >= 1, "scenario did not trigger preemption"
+    assert all(len(r.output_tokens) == 12 for r in finished)

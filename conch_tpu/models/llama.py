@@ -53,6 +53,11 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-5
     max_position: int = 8192
     dtype: Any = jnp.bfloat16
+    # Static per-tensor scale for quantized (int8/fp8) KV caches: K/V are
+    # stored as round(x/scale) and dequantized by folding the scale into
+    # the attention scalars. Used only when the cache buffers are int8 or
+    # float8 (see _kv_cache_quant).
+    kv_cache_scale: float = 1.0 / 16
 
     @staticmethod
     def llama3_8b() -> "LlamaConfig":
@@ -181,7 +186,17 @@ def init_kv_caches(config: LlamaConfig, num_pages: int, page_size: int, cache_dt
     return jnp.zeros(shape, dtype=cache_dtype), jnp.zeros(shape, dtype=cache_dtype)
 
 
-def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, slot_mapping, tp_axis: str | None = None, num_heads: int | None = None, num_kv_heads: int | None = None):
+def _kv_cache_quant(config: LlamaConfig, cache_dtype) -> tuple[str, jax.Array | None]:
+    """Map a KV-cache buffer dtype to (kv_cache_dtype string, scale array)
+    for reshape_and_cache / attention (quantize-on-store + folded dequant)."""
+    if cache_dtype == jnp.int8:
+        return "int8", jnp.asarray([config.kv_cache_scale], jnp.float32)
+    if cache_dtype == jnp.float8_e4m3fn:
+        return "fp8_e4m3", jnp.asarray([config.kv_cache_scale], jnp.float32)
+    return "auto", None
+
+
+def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, slot_mapping, tp_axis: str | None = None, num_heads: int | None = None, num_kv_heads: int | None = None, kv_quant: tuple[str, jax.Array | None] = ("auto", None)):
     """Build the scanned per-layer function shared by prefill and decode.
 
     With ``tp_axis`` set (inside a shard_map), the per-chip head counts are
@@ -209,7 +224,11 @@ def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, 
 
         k = k.reshape(t, *kv_heads)
         v = v.reshape(t, *kv_heads)
-        k_cache, v_cache = reshape_and_cache(k, v, k_cache, v_cache, slot_mapping)
+        kv_dtype, kv_scale = kv_quant
+        k_cache, v_cache = reshape_and_cache(
+            k, v, k_cache, v_cache, slot_mapping,
+            kv_cache_dtype=kv_dtype, k_scale=kv_scale, v_scale=kv_scale,
+        )
 
         attn_out = attn_fn(q.reshape(t, *n_tokens_heads), k_cache, v_cache)
         hidden = hidden + reduce_tp(layer["wo"].apply(attn_out.reshape(t, -1)))
@@ -248,15 +267,19 @@ def llama_prefill(
     num_kv_heads = k_caches.shape[2]
     group = config.num_heads // config.num_kv_heads
 
+    kv_quant = _kv_cache_quant(config, k_caches.dtype)
+
     def attn_fn(q, k_cache, v_cache):
         return varlen_attention(
             q, k_cache, v_cache, cu_seqlens_q, max_seqlen_q, seq_lens,
             max_seqlen_q, block_tables, causal=True,
+            kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
         )
 
     layer_step = _layer_step_factory(
         config, attn_fn, params["cos_sin_cache"], positions, slot_mapping,
         tp_axis=tp_axis, num_heads=num_kv_heads * group, num_kv_heads=num_kv_heads,
+        kv_quant=kv_quant,
     )
     hidden, (k_caches, v_caches) = jax.lax.scan(layer_step, hidden, (params["layers"], k_caches, v_caches))
 
@@ -290,12 +313,18 @@ def llama_decode_step(
     num_kv_heads = k_caches.shape[2]
     group = config.num_heads // config.num_kv_heads
 
+    kv_quant = _kv_cache_quant(config, k_caches.dtype)
+
     def attn_fn(q, k_cache, v_cache):
-        return paged_attention(q, k_cache, v_cache, block_tables, seq_lens)
+        return paged_attention(
+            q, k_cache, v_cache, block_tables, seq_lens,
+            kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
+        )
 
     layer_step = _layer_step_factory(
         config, attn_fn, params["cos_sin_cache"], positions, slot_mapping,
         tp_axis=tp_axis, num_heads=num_kv_heads * group, num_kv_heads=num_kv_heads,
+        kv_quant=kv_quant,
     )
     hidden, (k_caches, v_caches) = jax.lax.scan(layer_step, hidden, (params["layers"], k_caches, v_caches))
 

@@ -203,3 +203,26 @@ def test_engine_preemption_happens(tiny_model):
         )
     assert preemptions >= 1, "scenario did not trigger preemption"
     assert all(len(r.output_tokens) == 12 for r in finished)
+
+
+def test_engine_int8_kv_cache(tiny_model):
+    """Engine with an int8 KV cache (quantize-on-store + folded dequant)
+    generates deterministically; logits path validated in
+    tests/parallel_test.py::test_tp_decode_int8_kv_cache."""
+    cfg, params = tiny_model
+    import dataclasses
+
+    cfg8 = dataclasses.replace(cfg, kv_cache_scale=0.005)
+    engine = LLMEngine(
+        params, cfg8,
+        EngineConfig(page_size=16, num_pages=64, max_batch_size=2, max_pages_per_seq=8, max_prefill_tokens=64),
+        cache_dtype=jnp.int8,
+    )
+    outs = engine.generate([[1, 5, 9], [7, 2]], SamplingParams(max_tokens=6))
+    assert all(len(o) == 6 for o in outs)
+    engine2 = LLMEngine(
+        params, cfg8,
+        EngineConfig(page_size=16, num_pages=64, max_batch_size=2, max_pages_per_seq=8, max_prefill_tokens=64),
+        cache_dtype=jnp.int8,
+    )
+    assert engine2.generate([[1, 5, 9], [7, 2]], SamplingParams(max_tokens=6)) == outs

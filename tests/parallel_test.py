@@ -92,3 +92,72 @@ def test_train_step_reduces_loss(tp_model):
 def test_mesh_validation():
     with pytest.raises(ValueError, match="needs"):
         create_mesh(data=16, model=16)
+
+
+def test_tp_decode_int4_matches_single_device():
+    """TP decode with int4-quantized weights (packed words + scales sharded
+    along the same logical axes) == single-device int4 decode — the
+    north-star 70B-int4 tensor-sharded serving config, scaled down."""
+    config = LlamaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_layers=2, num_heads=8, num_kv_heads=4, head_dim=32,
+        max_position=256, dtype=jnp.float32,
+    )
+    params = init_llama_params(0, config, "int4", group_size=32)
+    mesh = create_mesh(data=1, model=4)
+    rng = np.random.default_rng(3)
+
+    batch, num_pages, page_size = 4, 16, 16
+    token_ids = jnp.asarray(rng.integers(0, config.vocab_size, batch), jnp.int32)
+    positions = jnp.asarray([0, 3, 1, 6], jnp.int32)
+    seq_lens = positions + 1
+    block_tables = jnp.asarray(rng.permutation(num_pages).reshape(batch, 4), jnp.int32)
+    slot_mapping = block_tables[jnp.arange(batch), positions // page_size] * page_size + positions % page_size
+
+    k0, v0 = init_kv_caches(config, num_pages, page_size)
+    ref_logits, _, _ = llama_decode_step(
+        params, config, token_ids, positions, seq_lens, block_tables, slot_mapping, k0, v0
+    )
+
+    sharded = shard_llama_params(params, mesh)
+    kc, vc = init_kv_caches(config, num_pages, page_size)
+    kc = jax.device_put(kc, kv_cache_sharding(mesh))
+    vc = jax.device_put(vc, kv_cache_sharding(mesh))
+    step = make_tp_decode_step(mesh, config, sharded)
+    tp_logits, _, _ = step(sharded, token_ids, positions, seq_lens, block_tables, slot_mapping, kc, vc)
+
+    np.testing.assert_allclose(np.asarray(tp_logits), np.asarray(ref_logits), atol=3e-3, rtol=3e-3)
+
+
+def test_tp_decode_int8_kv_cache():
+    """TP decode with an int8 KV cache (quantize-on-store + folded dequant
+    scales) stays close to the fp32-cache TP decode."""
+    config = LlamaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_layers=2, num_heads=8, num_kv_heads=4, head_dim=32,
+        max_position=256, dtype=jnp.float32,
+    )
+    params = init_llama_params(0, config, "bf16")
+    mesh = create_mesh(data=1, model=4)
+    rng = np.random.default_rng(4)
+
+    batch, num_pages, page_size = 4, 16, 16
+    token_ids = jnp.asarray(rng.integers(0, config.vocab_size, batch), jnp.int32)
+    positions = jnp.zeros(batch, jnp.int32)
+    seq_lens = positions + 1
+    block_tables = jnp.asarray(rng.permutation(num_pages).reshape(batch, 4), jnp.int32)
+    slot_mapping = block_tables[jnp.arange(batch), 0] * page_size
+
+    sharded = shard_llama_params(params, mesh)
+
+    def run(cache_dtype):
+        kc, vc = init_kv_caches(config, num_pages, page_size, cache_dtype=cache_dtype)
+        kc = jax.device_put(kc, kv_cache_sharding(mesh))
+        vc = jax.device_put(vc, kv_cache_sharding(mesh))
+        step = make_tp_decode_step(mesh, config, sharded)
+        logits, _, _ = step(sharded, token_ids, positions, seq_lens, block_tables, slot_mapping, kc, vc)
+        return np.asarray(logits)
+
+    ref = run(None)
+    int8 = run(jnp.int8)
+    np.testing.assert_allclose(int8, ref, atol=0.1, rtol=0.1)

@@ -27,6 +27,7 @@ import numpy as np
 from conch_tpu.models.linear import QuantizedLinear, quantize_linear
 from conch_tpu.ops.activation import gelu_tanh_and_mul_parts
 from conch_tpu.ops.attention import paged_attention, varlen_attention
+from conch_tpu.models.llama import _kv_cache_quant
 from conch_tpu.ops.cache import reshape_and_cache
 from conch_tpu.ops.embedding import rotary_embedding
 from conch_tpu.ops.normalization import gemma_rms_norm
@@ -51,6 +52,9 @@ class GemmaConfig:
     final_logit_softcap: float = 0.0
     query_pre_attn_scalar: float | None = None  # defaults to head_dim
     dtype: Any = jnp.bfloat16
+    # Static per-tensor scale for quantized (int8/fp8) KV caches (see
+    # conch_tpu.models.llama._kv_cache_quant).
+    kv_cache_scale: float = 1.0 / 16
 
     @staticmethod
     def gemma2_2b() -> "GemmaConfig":
@@ -114,7 +118,7 @@ def init_gemma_kv_caches(config: GemmaConfig, num_pages: int, page_size: int, ca
     return jnp.zeros(shape, dtype=cache_dtype), jnp.zeros(shape, dtype=cache_dtype)
 
 
-def _gemma_layers(config: GemmaConfig, params, hidden, positions, slot_mapping, attn_fn, k_caches, v_caches, tp_axis=None):
+def _gemma_layers(config: GemmaConfig, params, hidden, positions, slot_mapping, attn_fn, k_caches, v_caches, tp_axis=None, kv_quant=("auto", None)):
     eps = config.rms_norm_eps
     num_kv_heads = k_caches.shape[2]
     group = config.num_heads // config.num_kv_heads
@@ -135,7 +139,11 @@ def _gemma_layers(config: GemmaConfig, params, hidden, positions, slot_mapping, 
 
         k = k.reshape(t, num_kv_heads, config.head_dim)
         v = v.reshape(t, num_kv_heads, config.head_dim)
-        k_cache, v_cache = reshape_and_cache(k, v, k_cache, v_cache, slot_mapping)
+        kv_dtype, kv_scale = kv_quant
+        k_cache, v_cache = reshape_and_cache(
+            k, v, k_cache, v_cache, slot_mapping,
+            kv_cache_dtype=kv_dtype, k_scale=kv_scale, v_scale=kv_scale,
+        )
 
         attn_out = attn_fn(q.reshape(t, num_heads, config.head_dim), k_cache, v_cache)
         hidden = hidden + reduce_tp(layer["wo"].apply(attn_out.reshape(t, -1)))
@@ -172,15 +180,19 @@ def gemma_prefill(
     hidden = jnp.take(params["embedding"], token_ids, axis=0)
     hidden = hidden * jnp.asarray(config.hidden_size**0.5, hidden.dtype)
 
+    kv_quant = _kv_cache_quant(config, k_caches.dtype)
+
     def attn_fn(q, kc, vc):
         return varlen_attention(
             q, kc, vc, cu_seqlens_q, max_seqlen_q, seq_lens, max_seqlen_q,
             block_tables, causal=True, scale=_attn_scale(config),
             softcap=config.attn_logit_softcap,
+            kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
         )
 
     hidden, (k_caches, v_caches) = _gemma_layers(
-        config, params, hidden, positions, slot_mapping, attn_fn, k_caches, v_caches, tp_axis
+        config, params, hidden, positions, slot_mapping, attn_fn, k_caches, v_caches, tp_axis,
+        kv_quant=kv_quant,
     )
     last_rows = cu_seqlens_q[1:] - 1
     logits = _final_logits(params, config, jnp.take(hidden, last_rows, axis=0))
@@ -195,14 +207,18 @@ def gemma_decode_step(
     hidden = jnp.take(params["embedding"], token_ids, axis=0)
     hidden = hidden * jnp.asarray(config.hidden_size**0.5, hidden.dtype)
 
+    kv_quant = _kv_cache_quant(config, k_caches.dtype)
+
     def attn_fn(q, kc, vc):
         return paged_attention(
             q, kc, vc, block_tables, seq_lens, scale=_attn_scale(config),
             softcap=config.attn_logit_softcap,
+            kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
         )
 
     hidden, (k_caches, v_caches) = _gemma_layers(
-        config, params, hidden, positions, slot_mapping, attn_fn, k_caches, v_caches, tp_axis
+        config, params, hidden, positions, slot_mapping, attn_fn, k_caches, v_caches, tp_axis,
+        kv_quant=kv_quant,
     )
     logits = _final_logits(params, config, hidden)
     return logits, k_caches, v_caches

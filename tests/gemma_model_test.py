@@ -75,3 +75,33 @@ def test_gemma_served_by_engine(tiny_gemma):
         decode_fn=gemma_decode_step,
     ).generate([[1, 2, 3]], SamplingParams(max_tokens=5))
     assert outputs[0] == solo[0]
+
+
+def test_gemma_int8_kv_decode_close_to_fp32():
+    """Gemma decode with an int8 KV cache stays close to the fp32 cache."""
+    import dataclasses
+
+    from conch_tpu.models.gemma import GemmaConfig, gemma_decode_step, init_gemma_params
+
+    cfg = GemmaConfig(
+        vocab_size=128, hidden_size=128, intermediate_size=256, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=32, max_position=128,
+        dtype=jnp.float32, kv_cache_scale=0.01,
+    )
+    params = init_gemma_params(0, cfg)
+    rng = np.random.default_rng(5)
+    batch, num_pages, page_size = 2, 8, 16
+    token_ids = jnp.asarray(rng.integers(0, cfg.vocab_size, batch), jnp.int32)
+    positions = jnp.zeros(batch, jnp.int32)
+    seq_lens = positions + 1
+    bt = jnp.asarray(rng.permutation(num_pages).reshape(batch, 4), jnp.int32)
+    slots = bt[jnp.arange(batch), 0] * page_size
+
+    def run(cache_dtype):
+        shape = (cfg.num_layers, num_pages, cfg.num_kv_heads, page_size, cfg.head_dim)
+        kc = jnp.zeros(shape, cache_dtype)
+        vc = jnp.zeros(shape, cache_dtype)
+        logits, _, _ = gemma_decode_step(params, cfg, token_ids, positions, seq_lens, bt, slots, kc, vc)
+        return np.asarray(logits)
+
+    np.testing.assert_allclose(run(jnp.int8), run(jnp.float32), atol=0.1, rtol=0.1)

@@ -161,3 +161,37 @@ def test_tp_decode_int8_kv_cache():
     ref = run(None)
     int8 = run(jnp.int8)
     np.testing.assert_allclose(int8, ref, atol=0.1, rtol=0.1)
+
+
+def test_tp_decode_fp8_kv_cache():
+    """TP decode with an fp8(e4m3) KV cache (north-star config: fp8 KV
+    single-host serving) stays close to the fp32-cache TP decode."""
+    config = LlamaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_layers=2, num_heads=8, num_kv_heads=4, head_dim=32,
+        max_position=256, dtype=jnp.float32, kv_cache_scale=0.01,
+    )
+    params = init_llama_params(0, config, "bf16")
+    mesh = create_mesh(data=1, model=4)
+    rng = np.random.default_rng(6)
+
+    batch, num_pages, page_size = 4, 16, 16
+    token_ids = jnp.asarray(rng.integers(0, config.vocab_size, batch), jnp.int32)
+    positions = jnp.zeros(batch, jnp.int32)
+    seq_lens = positions + 1
+    block_tables = jnp.asarray(rng.permutation(num_pages).reshape(batch, 4), jnp.int32)
+    slot_mapping = block_tables[jnp.arange(batch), 0] * page_size
+
+    sharded = shard_llama_params(params, mesh)
+
+    def run(cache_dtype):
+        kc, vc = init_kv_caches(config, num_pages, page_size, cache_dtype=cache_dtype)
+        kc = jax.device_put(kc, kv_cache_sharding(mesh))
+        vc = jax.device_put(vc, kv_cache_sharding(mesh))
+        step = make_tp_decode_step(mesh, config, sharded)
+        logits, _, _ = step(sharded, token_ids, positions, seq_lens, block_tables, slot_mapping, kc, vc)
+        return np.asarray(logits)
+
+    ref = run(None)
+    fp8 = run(jnp.float8_e4m3fn)
+    np.testing.assert_allclose(fp8, ref, atol=0.1, rtol=0.1)

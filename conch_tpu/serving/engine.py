@@ -143,6 +143,14 @@ class LLMEngine:
     # -- public API --------------------------------------------------------
 
     def add_request(self, prompt: list[int], sampling: SamplingParams | None = None) -> int:
+        ps = self.ecfg.page_size
+        cap_pages = min(self.ecfg.max_pages_per_seq, self.ecfg.num_pages)
+        if len(prompt) + 1 > cap_pages * ps:
+            msg = (
+                f"prompt of {len(prompt)} tokens can never fit: engine caps a "
+                f"sequence at {cap_pages} pages x {ps} slots"
+            )
+            raise ValueError(msg)
         rid = self._next_id
         self._next_id += 1
         self.waiting.append(Request(rid, list(prompt), sampling or SamplingParams()))
@@ -189,6 +197,13 @@ class LLMEngine:
         while self.waiting and len(self.running) < self.ecfg.max_batch_size:
             req = self.waiting[0]
             pages_needed = min(-(-(req.total_len + 1) // ps), self.ecfg.max_pages_per_seq)
+            if pages_needed > self.ecfg.num_pages:
+                # Grew past the whole pool (preempted, can never recompute):
+                # finish truncated instead of waiting forever.
+                self.waiting.pop(0)
+                req.state = RequestState.FINISHED
+                self.running.append(req)
+                continue
             if not self.allocator.can_allocate(pages_needed):
                 break
             self.waiting.pop(0)

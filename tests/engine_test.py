@@ -226,3 +226,10 @@ def test_engine_int8_kv_cache(tiny_model):
         cache_dtype=jnp.int8,
     )
     assert engine2.generate([[1, 5, 9], [7, 2]], SamplingParams(max_tokens=6)) == outs
+
+
+def test_engine_rejects_impossible_prompt(tiny_model):
+    cfg, params = tiny_model
+    engine = _make_engine(cfg, params, page_size=4, num_pages=4, max_pages_per_seq=4)
+    with pytest.raises(ValueError, match="can never fit"):
+        engine.add_request(list(range(20)))

@@ -76,6 +76,12 @@ class EngineConfig:
     max_prefill_tokens: int = 512
     eos_token_id: int | None = None
     seed: int = 0
+    # Automatic prefix caching: full prompt pages are registered by their
+    # token prefix and shared (refcounted) across requests; finished
+    # requests' prefix pages are retained in an LRU pool and evicted only
+    # under memory pressure. Page-aligned sharing means shared pages are
+    # never written, so no copy-on-write is needed on this path.
+    enable_prefix_caching: bool = True
 
 
 def _make_allocator(num_pages: int):
@@ -129,6 +135,12 @@ class LLMEngine:
         self.running: list[Request] = []
         self._next_id = 0
         self._rng_key = jax.random.PRNGKey(engine_config.seed)
+        # Prefix cache: full-page token prefix -> page id, reverse map, and
+        # LRU order of cache-held pages (the cache owns one reference).
+        self._prefix_map: dict[tuple[int, ...], int] = {}
+        self._page_key: dict[int, tuple[int, ...]] = {}
+        self._cached_lru: dict[int, None] = {}
+        self.prefix_cache_hits = 0  # tokens served from cache (stats)
 
         self._prefill_fn = jax.jit(
             functools.partial(prefill_fn or llama_prefill, config=model_config),
@@ -188,11 +200,51 @@ class LLMEngine:
 
     # -- scheduling --------------------------------------------------------
 
+    def _prefix_lookup(self, req: Request) -> list[int]:
+        """Longest chain of cached full-prefix pages usable by ``req``
+        (always leaving >=1 token to prefill so logits are produced)."""
+        if not self.ecfg.enable_prefix_caching:
+            return []
+        ps = self.ecfg.page_size
+        shared: list[int] = []
+        max_k = min((req.total_len - 1) // ps, self.ecfg.max_pages_per_seq)
+        for k in range(1, max_k + 1):
+            page = self._prefix_map.get(tuple(req.token_at(p) for p in range(k * ps)))
+            if page is None:
+                break
+            shared.append(page)
+        return shared
+
+    def _register_prefix_pages(self, req: Request) -> None:
+        """Publish ``req``'s computed full prompt pages into the prefix
+        cache (the cache takes one reference per page)."""
+        if not self.ecfg.enable_prefix_caching:
+            return
+        ps = self.ecfg.page_size
+        for k in range(1, len(req.prompt) // ps + 1):
+            page = req.pages[k - 1]
+            key = tuple(req.prompt[: k * ps])
+            if key in self._prefix_map:
+                continue
+            self._prefix_map[key] = page
+            self._page_key[page] = key
+            self.allocator.fork(page)
+            self._cached_lru[page] = None
+
+    def _reclaim(self, n: int) -> None:
+        """Evict LRU prefix-cache pages until ``n`` pages are allocatable."""
+        while not self.allocator.can_allocate(n) and self._cached_lru:
+            page = next(iter(self._cached_lru))
+            del self._cached_lru[page]
+            del self._prefix_map[self._page_key.pop(page)]
+            self.allocator.free(page)
+
     def _admit(self) -> None:
         # Allocate-on-demand: reserve pages for the tokens to prefill
         # (prompt, plus any generated tokens being recomputed after a
         # preemption) + one decode-headroom page; decode growth allocates
-        # page-by-page in _ensure_decode_pages.
+        # page-by-page in _ensure_decode_pages. Cached full-prefix pages
+        # are shared instead of recomputed.
         ps = self.ecfg.page_size
         while self.waiting and len(self.running) < self.ecfg.max_batch_size:
             req = self.waiting[0]
@@ -204,10 +256,18 @@ class LLMEngine:
                 req.state = RequestState.FINISHED
                 self.running.append(req)
                 continue
-            if not self.allocator.can_allocate(pages_needed):
+            shared = self._prefix_lookup(req)
+            fresh_needed = pages_needed - len(shared)
+            self._reclaim(fresh_needed)
+            if not self.allocator.can_allocate(fresh_needed):
                 break
             self.waiting.pop(0)
-            req.pages = [self.allocator.allocate() for _ in range(pages_needed)]
+            for page in shared:
+                self.allocator.fork(page)
+                self._cached_lru[page] = self._cached_lru.pop(page, None)  # LRU touch
+            req.pages = shared + [self.allocator.allocate() for _ in range(fresh_needed)]
+            req.num_computed = len(shared) * ps
+            self.prefix_cache_hits += req.num_computed
             req.state = RequestState.PREFILLING
             self.running.append(req)
 
@@ -237,6 +297,7 @@ class LLMEngine:
             needed = -(-r.total_len // ps)
             ok = True
             while len(r.pages) < min(needed, self.ecfg.max_pages_per_seq):
+                self._reclaim(1)  # evict cached prefix pages before preempting
                 if self.allocator.can_allocate(1):
                     r.pages.append(self.allocator.allocate())
                     continue
@@ -335,6 +396,7 @@ class LLMEngine:
             sampled = self._sample(logits, [batch[i][0] for i in done_rows], rows=done_rows)
             for i, tok in zip(done_rows, sampled):
                 r = batch[i][0]
+                self._register_prefix_pages(r)
                 r.output_tokens.append(int(tok))
                 r.state = RequestState.RUNNING
                 self._maybe_finish(r)

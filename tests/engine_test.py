@@ -233,3 +233,55 @@ def test_engine_rejects_impossible_prompt(tiny_model):
     engine = _make_engine(cfg, params, page_size=4, num_pages=4, max_pages_per_seq=4)
     with pytest.raises(ValueError, match="can never fit"):
         engine.add_request(list(range(20)))
+
+
+def test_engine_prefix_caching_correct_and_hits(tiny_model):
+    """Requests sharing a long prompt prefix reuse cached KV pages; outputs
+    are identical to an engine with prefix caching disabled."""
+    cfg, params = tiny_model
+    rng = np.random.default_rng(11)
+    system = rng.integers(0, 127, size=37).tolist()  # spans 2 full 16-slot pages
+    prompts = [system + [1, 2, 3], system + [9, 8], system + [5]]
+
+    cached = _make_engine(cfg, params)
+    # First request populates the cache; the next two (admitted after its
+    # prefill registered the full prefix pages) reuse 2 pages each.
+    outs = [cached.generate([prompts[0]], SamplingParams(max_tokens=4))[0]]
+    outs += cached.generate(prompts[1:], SamplingParams(max_tokens=4))
+    assert cached.prefix_cache_hits >= 2 * 16 * 2
+
+    plain = LLMEngine(
+        params, cfg,
+        EngineConfig(page_size=16, num_pages=64, max_batch_size=4, max_pages_per_seq=8,
+                     max_prefill_tokens=64, enable_prefix_caching=False),
+    )
+    assert outs == plain.generate(prompts, SamplingParams(max_tokens=4))
+
+
+def test_engine_prefix_cache_survives_finish(tiny_model):
+    """A later, separately-submitted request hits pages cached from an
+    already-finished request (LRU retention)."""
+    cfg, params = tiny_model
+    rng = np.random.default_rng(12)
+    system = rng.integers(0, 127, size=32).tolist()
+
+    engine = _make_engine(cfg, params)
+    first = engine.generate([system + [4, 4]], SamplingParams(max_tokens=3))[0]
+    hits_before = engine.prefix_cache_hits
+    second = engine.generate([system + [4, 4]], SamplingParams(max_tokens=3))[0]
+    assert engine.prefix_cache_hits > hits_before  # reused the finished request's pages
+    assert first == second
+
+
+def test_engine_prefix_cache_eviction_under_pressure(tiny_model):
+    """Cached prefix pages are evicted (not deadlocked on) when the pool
+    is needed for new work."""
+    cfg, params = tiny_model
+    engine = _make_engine(cfg, params, page_size=4, num_pages=8, max_batch_size=1, max_pages_per_seq=8)
+    rng = np.random.default_rng(13)
+    # Sequential distinct prompts fill and refill the tiny pool; each
+    # needs eviction of the previous request's cached pages.
+    for i in range(4):
+        prompt = rng.integers(0, 127, size=9).tolist()
+        out = engine.generate([prompt], SamplingParams(max_tokens=4))[0]
+        assert len(out) == 4

@@ -291,6 +291,50 @@ def llama_prefill(
     return logits.astype(jnp.float32), k_caches, v_caches
 
 
+def llama_verify_forward(
+    params: dict,
+    config: LlamaConfig,
+    token_ids: jax.Array,  # (total_tokens,)
+    positions: jax.Array,  # (total_tokens,)
+    cu_seqlens_q: jax.Array,  # (batch+1,)
+    max_seqlen_q: int,
+    seq_lens: jax.Array,  # (batch,)
+    block_tables: jax.Array,
+    slot_mapping: jax.Array,
+    k_caches: jax.Array,
+    v_caches: jax.Array,
+    tp_axis: str | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Speculative-decoding verification forward: identical to
+    ``llama_prefill`` but returns logits for EVERY query token, so the
+    engine can check each drafted token's prediction in one pass. KV for
+    rejected positions needs no rollback — paged attention masks entries
+    past ``seq_len`` and later steps overwrite their slots.
+    """
+    hidden = jnp.take(params["embedding"], token_ids, axis=0)
+    num_kv_heads = k_caches.shape[2]
+    group = config.num_heads // config.num_kv_heads
+    kv_quant = _kv_cache_quant(config, k_caches.dtype)
+
+    def attn_fn(q, k_cache, v_cache):
+        return varlen_attention(
+            q, k_cache, v_cache, cu_seqlens_q, max_seqlen_q, seq_lens,
+            max_seqlen_q, block_tables, causal=True,
+            kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
+        )
+
+    layer_step = _layer_step_factory(
+        config, attn_fn, params["cos_sin_cache"], positions, slot_mapping,
+        tp_axis=tp_axis, num_heads=num_kv_heads * group, num_kv_heads=num_kv_heads,
+        kv_quant=kv_quant,
+    )
+    hidden, (k_caches, v_caches) = jax.lax.scan(layer_step, hidden, (params["layers"], k_caches, v_caches))
+
+    hidden = rms_norm(hidden, params["final_norm"], config.rms_norm_eps)
+    logits = params["lm_head"].apply(hidden)
+    return logits.astype(jnp.float32), k_caches, v_caches
+
+
 def llama_decode_step(
     params: dict,
     config: LlamaConfig,

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from conch_tpu.models.llama import llama_decode_step, llama_prefill
+from conch_tpu.models.llama import llama_decode_step, llama_prefill, llama_verify_forward
 from conch_tpu.serving.block_allocator import BlockAllocator
 from conch_tpu.serving.sampling import SamplingParams, sample_tokens
 
@@ -82,6 +82,13 @@ class EngineConfig:
     # under memory pressure. Page-aligned sharing means shared pages are
     # never written, so no copy-on-write is needed on this path.
     enable_prefix_caching: bool = True
+    # Prompt-lookup speculative decoding (greedy-exact, no draft model):
+    # draft up to N continuation tokens by matching the trailing n-gram
+    # against the sequence's own history, verify them in one batched
+    # forward, accept the longest correct prefix + one bonus token.
+    # 0 disables. Applies only when every running request is greedy.
+    num_speculative_tokens: int = 0
+    speculative_ngram: int = 2
 
 
 def _make_allocator(num_pages: int):
@@ -141,6 +148,8 @@ class LLMEngine:
         self._page_key: dict[int, tuple[int, ...]] = {}
         self._cached_lru: dict[int, None] = {}
         self.prefix_cache_hits = 0  # tokens served from cache (stats)
+        self.spec_tokens_drafted = 0
+        self.spec_tokens_accepted = 0
 
         self._prefill_fn = jax.jit(
             functools.partial(prefill_fn or llama_prefill, config=model_config),
@@ -151,6 +160,14 @@ class LLMEngine:
             functools.partial(decode_fn or llama_decode_step, config=model_config),
             donate_argnames=("k_caches", "v_caches"),
         )
+        self._verify_fn = jax.jit(
+            functools.partial(llama_verify_forward, config=model_config),
+            static_argnames=("max_seqlen_q",),
+            donate_argnames=("k_caches", "v_caches"),
+        )
+        if engine_config.num_speculative_tokens > 0 and decode_fn is not None:
+            msg = "speculative decoding currently supports the Llama model family only"
+            raise ValueError(msg)
 
     # -- public API --------------------------------------------------------
 
@@ -188,7 +205,13 @@ class LLMEngine:
             self._run_prefill(prefilling)
         else:
             decodable = [r for r in self.running if r.state == RequestState.RUNNING]
-            self._run_decode(self._ensure_decode_pages(decodable))
+            use_spec = self.ecfg.num_speculative_tokens > 0 and all(
+                r.sampling.temperature <= 0.0 for r in decodable
+            )
+            if use_spec:
+                self._run_spec_decode(decodable)
+            else:
+                self._run_decode(self._ensure_decode_pages(decodable))
 
         finished = [r for r in self.running if r.state == RequestState.FINISHED]
         for req in finished:
@@ -287,14 +310,17 @@ class LLMEngine:
                 return True
         return False
 
-    def _ensure_decode_pages(self, reqs: list[Request]) -> list[Request]:
-        """Grow each sequence's page list to cover its next KV write;
-        preempt younger requests when the pool runs dry. Returns the
-        requests that still hold enough pages to step."""
+    def _ensure_decode_pages(
+        self, reqs: list[Request], extra: dict[int, int] | None = None
+    ) -> list[Request]:
+        """Grow each sequence's page list to cover its next KV write (plus
+        ``extra`` speculative slots); preempt younger requests when the
+        pool runs dry. Returns the requests that still hold enough pages
+        to step."""
         ps = self.ecfg.page_size
         ready = []
         for r in reqs:
-            needed = -(-r.total_len // ps)
+            needed = -(-(r.total_len + (extra or {}).get(r.request_id, 0)) // ps)
             ok = True
             while len(r.pages) < min(needed, self.ecfg.max_pages_per_seq):
                 self._reclaim(1)  # evict cached prefix pages before preempting
@@ -315,7 +341,8 @@ class LLMEngine:
         # page coverage before stepping.
         return [
             r for r in ready
-            if r.state == RequestState.RUNNING and len(r.pages) * ps >= r.total_len
+            if r.state == RequestState.RUNNING
+            and len(r.pages) * ps >= r.total_len + (extra or {}).get(r.request_id, 0)
         ]
 
     def _slot(self, req: Request, pos: int) -> int:
@@ -435,6 +462,97 @@ class LLMEngine:
         for r, tok in zip(reqs, sampled):
             r.output_tokens.append(int(tok))
             self._maybe_finish(r)
+
+    def _draft(self, req: Request) -> list[int]:
+        """Prompt-lookup draft: find the most recent earlier occurrence of
+        the trailing n-gram in the sequence's own history and propose its
+        continuation."""
+        n, limit = self.ecfg.speculative_ngram, self.ecfg.num_speculative_tokens
+        hist = req.prompt + req.output_tokens
+        if len(hist) <= n:
+            return []
+        pattern = hist[-n:]
+        # Cap the draft so the sequence cannot exceed its page cap.
+        room = self.ecfg.max_pages_per_seq * self.ecfg.page_size - req.total_len - 1
+        limit = min(limit, req.sampling.max_tokens - len(req.output_tokens), max(room, 0))
+        for start in range(len(hist) - n - 1, -1, -1):
+            if hist[start : start + n] == pattern:
+                return hist[start + n : start + n + limit]
+        return []
+
+    def _run_spec_decode(self, reqs: list[Request]) -> None:
+        """Greedy decode with prompt-lookup speculation: one varlen forward
+        verifies [last_token] + draft per sequence; the longest correct
+        draft prefix is accepted plus one bonus token from the model. KV
+        written for rejected positions sits past the rewound seq_len —
+        masked by attention and overwritten by later steps."""
+        drafts = {r.request_id: self._draft(r) for r in reqs}
+        reqs = self._ensure_decode_pages(
+            reqs, extra={r.request_id: len(drafts[r.request_id]) for r in reqs}
+        )
+        if not reqs:
+            return
+
+        tokens, positions, slots, q_lens, seq_lens = [], [], [], [], []
+        for r in reqs:
+            d = drafts[r.request_id]
+            qs = [r.output_tokens[-1], *d]
+            start = r.total_len - 1
+            tokens.extend(qs)
+            positions.extend(range(start, start + len(qs)))
+            slots.extend(self._slot(r, p) for p in range(start, start + len(qs)))
+            q_lens.append(len(qs))
+            seq_lens.append(start + len(qs))
+
+        total = len(tokens)
+        total_pad = _bucket(total)
+        max_q = _bucket(max(q_lens))
+        bpad = self.ecfg.max_batch_size
+
+        tokens_arr = np.zeros(total_pad, dtype=np.int32)
+        tokens_arr[:total] = tokens
+        positions_arr = np.zeros(total_pad, dtype=np.int32)
+        positions_arr[:total] = positions
+        slots_arr = np.full(total_pad, -1, dtype=np.int32)
+        slots_arr[:total] = slots
+
+        cu = np.zeros(bpad + 1, dtype=np.int32)
+        cu[1 : len(reqs) + 1] = np.cumsum(q_lens)
+        cu[len(reqs) + 1 :] = total
+        sl = np.zeros(bpad, dtype=np.int32)
+        sl[: len(reqs)] = seq_lens
+        bt = np.zeros((bpad, self.ecfg.max_pages_per_seq), dtype=np.int32)
+        bt[: len(reqs)] = self._block_table_rows(reqs)
+
+        logits, self.k_caches, self.v_caches = self._verify_fn(
+            self.params,
+            token_ids=jnp.asarray(tokens_arr),
+            positions=jnp.asarray(positions_arr),
+            cu_seqlens_q=jnp.asarray(cu),
+            max_seqlen_q=max_q,
+            seq_lens=jnp.asarray(sl),
+            block_tables=jnp.asarray(bt),
+            slot_mapping=jnp.asarray(slots_arr),
+            k_caches=self.k_caches,
+            v_caches=self.v_caches,
+        )
+        preds = np.asarray(jnp.argmax(logits[:total], axis=-1))
+
+        offset = 0
+        for r, qn in zip(reqs, q_lens):
+            d = drafts[r.request_id]
+            row_preds = preds[offset : offset + qn]
+            offset += qn
+            accepted = 0
+            while accepted < len(d) and row_preds[accepted] == d[accepted]:
+                accepted += 1
+            self.spec_tokens_accepted += accepted
+            self.spec_tokens_drafted += len(d)
+            for tok in [*d[:accepted], int(row_preds[accepted])]:
+                r.output_tokens.append(int(tok))
+                self._maybe_finish(r)
+                if r.state == RequestState.FINISHED:
+                    break
 
     def _sample(self, logits: jax.Array, reqs: list[Request], rows: list[int]) -> np.ndarray:
         self._rng_key, key = jax.random.split(self._rng_key)

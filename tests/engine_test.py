@@ -285,3 +285,34 @@ def test_engine_prefix_cache_eviction_under_pressure(tiny_model):
         prompt = rng.integers(0, 127, size=9).tolist()
         out = engine.generate([prompt], SamplingParams(max_tokens=4))[0]
         assert len(out) == 4
+
+
+def test_engine_speculative_decoding_exact(tiny_model):
+    """Prompt-lookup speculative decoding is greedy-exact: identical
+    outputs to the regular decode path, with a nonzero acceptance rate on
+    a repetitive prompt."""
+    cfg, params = tiny_model
+    rng = np.random.default_rng(21)
+    # Repetitive structure gives the n-gram lookup something to hit.
+    motif = rng.integers(0, 127, size=6).tolist()
+    prompts = [motif * 4, motif * 3 + [7], rng.integers(0, 127, size=10).tolist()]
+
+    spec = _make_engine(cfg, params, num_speculative_tokens=4)
+    spec_out = spec.generate(prompts, SamplingParams(max_tokens=12))
+    plain = _make_engine(cfg, params)
+    assert spec_out == plain.generate(prompts, SamplingParams(max_tokens=12))
+    assert spec.spec_tokens_drafted > 0
+
+
+def test_engine_speculative_with_preemption(tiny_model):
+    """Speculation composes with page starvation / preemption."""
+    cfg, params = tiny_model
+    motif = [3, 1, 4, 1]
+    prompts = [motif * 2, motif * 2 + [9]]
+    tight = _make_engine(
+        cfg, params, page_size=4, num_pages=7, max_batch_size=2,
+        max_pages_per_seq=8, num_speculative_tokens=3,
+    )
+    outs = tight.generate(prompts, SamplingParams(max_tokens=10))
+    roomy = _make_engine(cfg, params, page_size=4, num_pages=64, max_batch_size=2)
+    assert outs == roomy.generate(prompts, SamplingParams(max_tokens=10))

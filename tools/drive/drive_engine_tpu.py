@@ -30,3 +30,19 @@ dt2 = time.time() - t0
 print(f"warm batch: {8*32} tokens in {dt2:.1f}s -> {8*32/dt2:.0f} tok/s")
 assert all(len(o) == 32 for o in outs2)
 print("ENGINE ON TPU OK")
+
+# Speculative decoding on TPU: greedy-exact vs the regular path.
+eng_spec = LLMEngine(params, cfg, EngineConfig(
+    page_size=64, num_pages=256, max_batch_size=8, max_pages_per_seq=16,
+    max_prefill_tokens=256, num_speculative_tokens=4,
+))
+motif = rng.integers(0, 32000, size=8).tolist()
+spec_prompts = [motif * 3, motif * 2 + [5]]
+t0 = time.time()
+outs_spec = eng_spec.generate(spec_prompts, SamplingParams(max_tokens=24))
+print(f"spec generate: {time.time()-t0:.1f}s; drafted {eng_spec.spec_tokens_drafted}, accepted {eng_spec.spec_tokens_accepted}")
+eng_plain = LLMEngine(params, cfg, EngineConfig(
+    page_size=64, num_pages=256, max_batch_size=8, max_pages_per_seq=16, max_prefill_tokens=256,
+))
+assert outs_spec == eng_plain.generate(spec_prompts, SamplingParams(max_tokens=24)), "SPEC MISMATCH"
+print("SPEC ON TPU OK (greedy-exact)")

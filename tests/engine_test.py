@@ -146,7 +146,7 @@ def test_engine_page_exhaustion_deferred_admission(tiny_model):
     """When pages run out, requests wait and are admitted later."""
     cfg, params = tiny_model
     engine = _make_engine(cfg, params, num_pages=8, max_batch_size=4)
-    prompts = [[1, 2, 3, 4]] * 4  # each needs ceil((4+4)/16)=1 page... use longer
+    prompts = [[1, 2, 3, 4]] * 4
     outputs = engine.generate(prompts, SamplingParams(max_tokens=4))
     assert len(outputs) == 4
 

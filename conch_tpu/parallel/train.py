@@ -112,6 +112,10 @@ def make_train_step(mesh: Mesh, config: LlamaConfig, params_example: Any, learni
     jitted = jax.jit(
         train_step,
         in_shardings=(param_shardings, None, batch_sharding),
+        # Pin output param shardings to the input layout: without this,
+        # GSPMD may emit a param (e.g. the replicated cos_sin cache) with a
+        # different layout than the next step's in_shardings expect.
+        out_shardings=(param_shardings, None, None),
         donate_argnums=(0, 1),
     )
     return jitted, init_opt_state, param_shardings, batch_sharding

@@ -131,6 +131,9 @@ def quantize_blockwise_launcher(
     Returns:
         (packed codes as uint8, per-block absmax as float32).
     """
+    if quant_type in ("nf4", "fp4") and input_size % 2 != 0:
+        msg = f"4-bit quantization requires an even input size, got {input_size}"
+        raise ValueError(msg)
     flat = x.reshape(-1).astype(jnp.float32)
     num_blocks = -(-input_size // blocksize)
     padded = num_blocks * blocksize
@@ -139,7 +142,10 @@ def quantize_blockwise_launcher(
     blocks = flat.reshape(num_blocks, blocksize)
 
     absmax = jnp.max(jnp.abs(blocks), axis=1)
-    scaled = blocks * (1.0 / absmax)[:, None]
+    # An all-zero block has absmax 0; guard the reciprocal so its codes
+    # quantize 0/0 -> 0 instead of NaN (dequant multiplies by absmax=0,
+    # so any finite code round-trips to exact zeros).
+    scaled = blocks * jnp.where(absmax > 0.0, 1.0 / absmax, 0.0)[:, None]
 
     if quant_type == "nf4":
         codes = _nf4_encode(scaled)

@@ -56,6 +56,7 @@ def load_library() -> ctypes.CDLL:
     lib.conch_allocator_free.argtypes = [ctypes.c_void_p, _I64]
     lib.conch_allocator_free.restype = _I64
     lib.conch_allocator_fork.argtypes = [ctypes.c_void_p, _I64]
+    lib.conch_allocator_fork.restype = _I64
     lib.conch_allocator_refcount.argtypes = [ctypes.c_void_p, _I64]
     lib.conch_allocator_refcount.restype = _I64
     return lib
@@ -175,7 +176,9 @@ class NativeBlockAllocator:
             raise AssertionError(msg)
 
     def fork(self, page: int) -> None:
-        self._lib.conch_allocator_fork(self._handle, page)
+        if self._lib.conch_allocator_fork(self._handle, page) < 0:
+            msg = f"fork of unallocated page {page}"
+            raise AssertionError(msg)
 
     def is_shared(self, page: int) -> bool:
         return self._lib.conch_allocator_refcount(self._handle, page) > 1

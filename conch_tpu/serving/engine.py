@@ -281,13 +281,19 @@ class LLMEngine:
                 continue
             shared = self._prefix_lookup(req)
             fresh_needed = pages_needed - len(shared)
-            self._reclaim(fresh_needed)
-            if not self.allocator.can_allocate(fresh_needed):
-                break
-            self.waiting.pop(0)
+            # Fork (and LRU-touch) the shared pages BEFORE reclaiming:
+            # _reclaim evicts LRU cache pages, and without a held reference
+            # it could free the very pages _prefix_lookup just returned.
             for page in shared:
                 self.allocator.fork(page)
-                self._cached_lru[page] = self._cached_lru.pop(page, None)  # LRU touch
+                if page in self._cached_lru:
+                    self._cached_lru[page] = self._cached_lru.pop(page)  # LRU touch
+            self._reclaim(fresh_needed)
+            if not self.allocator.can_allocate(fresh_needed):
+                for page in shared:  # drop the holds; cache refs (if any) remain
+                    self.allocator.free(page)
+                break
+            self.waiting.pop(0)
             req.pages = shared + [self.allocator.allocate() for _ in range(fresh_needed)]
             req.num_computed = len(shared) * ps
             self.prefix_cache_hits += req.num_computed
@@ -557,11 +563,15 @@ class LLMEngine:
     def _sample(self, logits: jax.Array, reqs: list[Request], rows: list[int]) -> np.ndarray:
         self._rng_key, key = jax.random.split(self._rng_key)
         temps = np.zeros(logits.shape[0], dtype=np.float32)
+        top_ks = np.zeros(logits.shape[0], dtype=np.int32)
         top_ps = np.ones(logits.shape[0], dtype=np.float32)
         for row, r in zip(rows, reqs):
             temps[row] = r.sampling.temperature
+            top_ks[row] = r.sampling.top_k
             top_ps[row] = r.sampling.top_p
-        toks = sample_tokens(logits, key, jnp.asarray(temps), top_k=0, top_p=jnp.asarray(top_ps))
+        toks = sample_tokens(
+            logits, key, jnp.asarray(temps), top_k=jnp.asarray(top_ks), top_p=jnp.asarray(top_ps)
+        )
         return np.asarray(toks)[rows]
 
     def _maybe_finish(self, req: Request) -> None:

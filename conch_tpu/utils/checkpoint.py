@@ -6,8 +6,10 @@
 The reference has no checkpointing (its closest analog is the
 serializable ``QuantState``). Conch-TPU checkpoints full param pytrees —
 including quantized ``QuantizedLinear`` leaves (packed int32 words,
-scales, metadata) — via orbax-checkpoint when available, with a portable
-numpy ``.npz`` fallback. Quantized checkpoints restore bit-exactly.
+scales, metadata) — as portable numpy ``.npz`` + ``.json`` metadata
+(bf16/fp8 stored bit-exactly via raw-bits views). Quantized checkpoints
+restore bit-exactly. Restore validates the tree structure and every
+leaf's shape/dtype against the template pytree.
 """
 
 from __future__ import annotations
@@ -70,6 +72,13 @@ def restore_checkpoint(path: str | pathlib.Path, params_like: Any) -> Any:
             f"{len(leaves_like)} - config/quant mode mismatch?"
         )
         raise ValueError(msg)
+    saved_treedef = meta.get("treedef")
+    if saved_treedef is not None and saved_treedef != str(treedef):
+        msg = (
+            "Checkpoint tree structure does not match the template pytree:\n"
+            f"  saved:    {saved_treedef}\n  template: {treedef}"
+        )
+        raise ValueError(msg)
 
     restored = []
     for i in range(meta["num_leaves"]):
@@ -79,5 +88,14 @@ def restore_checkpoint(path: str | pathlib.Path, params_like: Any) -> Any:
             arr = jnp.asarray(arr).view(jnp.dtype(dt))
         else:
             arr = jnp.asarray(arr)
+        like = leaves_like[i]
+        like_shape = tuple(getattr(like, "shape", ()))
+        like_dtype = jnp.asarray(like).dtype
+        if arr.shape != like_shape or arr.dtype != like_dtype:
+            msg = (
+                f"Checkpoint leaf {i} is {arr.shape}/{arr.dtype} but the "
+                f"template expects {like_shape}/{like_dtype}"
+            )
+            raise ValueError(msg)
         restored.append(arr)
     return jax.tree_util.tree_unflatten(treedef, restored)

@@ -55,8 +55,12 @@ int64_t conch_allocator_free(void* handle, int64_t page) {
   return a->refcount[page];
 }
 
-void conch_allocator_fork(void* handle, int64_t page) {
-  ++static_cast<Allocator*>(handle)->refcount[page];
+// Returns new refcount, or -1 if the page is not allocated (fork of a
+// freed page would silently resurrect it while still on the free list).
+int64_t conch_allocator_fork(void* handle, int64_t page) {
+  auto* a = static_cast<Allocator*>(handle);
+  if (a->refcount[page] <= 0) return -1;
+  return ++a->refcount[page];
 }
 
 int64_t conch_allocator_refcount(void* handle, int64_t page) {

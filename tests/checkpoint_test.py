@@ -42,3 +42,22 @@ def test_checkpoint_leaf_mismatch_raises(tmp_path):
     wrong_template = init_llama_params(0, cfg, "int4", group_size=32)
     with pytest.raises(ValueError, match="mismatch"):
         restore_checkpoint(tmp_path / "ckpt", wrong_template)
+
+
+def test_checkpoint_treedef_mismatch_raises(tmp_path):
+    """Same leaf count, different structure: restore must reject it."""
+    save_checkpoint(tmp_path / "ckpt", {"a": jnp.zeros(3), "b": jnp.ones(3)})
+    with pytest.raises(ValueError, match="tree structure"):
+        restore_checkpoint(tmp_path / "ckpt", {"a": jnp.zeros(3), "c": jnp.ones(3)})
+
+
+def test_checkpoint_shape_mismatch_raises(tmp_path):
+    save_checkpoint(tmp_path / "ckpt", {"w": jnp.zeros((4, 4))})
+    with pytest.raises(ValueError, match="template expects"):
+        restore_checkpoint(tmp_path / "ckpt", {"w": jnp.zeros((4, 8))})
+
+
+def test_checkpoint_dtype_mismatch_raises(tmp_path):
+    save_checkpoint(tmp_path / "ckpt", {"w": jnp.zeros((4, 4), jnp.float32)})
+    with pytest.raises(ValueError, match="template expects"):
+        restore_checkpoint(tmp_path / "ckpt", {"w": jnp.zeros((4, 4), jnp.bfloat16)})

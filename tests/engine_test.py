@@ -316,3 +316,42 @@ def test_engine_speculative_with_preemption(tiny_model):
     outs = tight.generate(prompts, SamplingParams(max_tokens=10))
     roomy = _make_engine(cfg, params, page_size=4, num_pages=64, max_batch_size=2)
     assert outs == roomy.generate(prompts, SamplingParams(max_tokens=10))
+
+
+def test_engine_prefix_cache_shared_page_eviction_race(tiny_model):
+    """Regression: _admit must hold references on the prefix pages it is
+    about to share BEFORE evicting LRU cache pages for the same request —
+    previously _reclaim could free those very pages and fork() crashed
+    (or, with the C++ allocator, silently aliased a reallocated page)."""
+    cfg, params = tiny_model
+    engine = _make_engine(
+        cfg, params, page_size=4, num_pages=6, max_batch_size=1, max_pages_per_seq=5
+    )
+    rng = np.random.default_rng(17)
+    p_prefix = rng.integers(0, 127, size=8).tolist()
+    q_prefix = rng.integers(0, 127, size=8).tolist()
+    engine.generate([p_prefix], SamplingParams(max_tokens=1))  # caches 2 P-pages (oldest LRU)
+    engine.generate([q_prefix], SamplingParams(max_tokens=1))  # caches 2 Q-pages
+    # Pool: 4 cached + 2 free. The next prompt shares the 2 P-pages and
+    # needs 3 fresh ones, so _reclaim must evict Q-pages, never P-pages.
+    long_prompt = p_prefix + rng.integers(0, 127, size=8).tolist()
+    out = engine.generate([long_prompt], SamplingParams(max_tokens=2))[0]
+
+    plain = LLMEngine(
+        params, cfg,
+        EngineConfig(page_size=4, num_pages=64, max_batch_size=1, max_pages_per_seq=5,
+                     max_prefill_tokens=64, enable_prefix_caching=False),
+    )
+    assert out == plain.generate([long_prompt], SamplingParams(max_tokens=2))[0]
+
+
+def test_engine_per_request_top_k(tiny_model):
+    """Regression: SamplingParams.top_k reaches the sampler (it used to be
+    silently ignored). top_k=1 with temperature>0 must equal greedy."""
+    cfg, params = tiny_model
+    prompt = [1, 2, 3, 4]
+    greedy = _make_engine(cfg, params).generate([prompt], SamplingParams(max_tokens=6))[0]
+    top1 = _make_engine(cfg, params).generate(
+        [prompt], SamplingParams(temperature=5.0, top_k=1, max_tokens=6)
+    )[0]
+    assert top1 == greedy

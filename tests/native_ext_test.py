@@ -67,3 +67,17 @@ def test_native_allocator_semantics():
         w2, need_copy = alloc.cow(pages[0])
         assert need_copy and w2 != pages[0]
         assert not alloc.is_shared(pages[0])
+
+
+def test_allocator_fork_of_freed_page_raises():
+    """Regression: forking a freed page must fail loudly in BOTH backends
+    (the C++ allocator used to silently resurrect the page while it was
+    still on the free list, letting two requests share one KV page)."""
+    from conch_tpu.serving.block_allocator import BlockAllocator
+
+    for alloc in (native.NativeBlockAllocator(4), BlockAllocator(4)):
+        page = alloc.allocate()
+        alloc.free(page)
+        with pytest.raises(AssertionError):
+            alloc.fork(page)
+        assert alloc.num_free == 4  # free list unchanged by the failed fork

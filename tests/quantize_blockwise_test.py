@@ -156,3 +156,29 @@ def test_quantize_2d_input_shape_restored(rng):
     restored = dequantize_4bit(packed, quant_state=state)
     assert restored.size == x.size
     assert restored.dtype == jnp.bfloat16
+
+
+def test_all_zero_block_roundtrips_to_zero():
+    """Regression: an all-zero block has absmax 0; the reciprocal guard
+    must keep codes finite so dequant returns exact zeros (was NaN)."""
+    for quant_type in ("nf4", "fp4"):
+        x = jnp.zeros(128, dtype=jnp.float32)
+        packed, state = quantize_4bit(x, blocksize=64, quant_type=quant_type)
+        assert not np.any(np.isnan(np.asarray(state.absmax)))
+        out = dequantize_4bit(packed, state, blocksize=64, quant_type=quant_type)
+        np.testing.assert_array_equal(np.asarray(out), np.zeros(128, np.float32))
+    # Mixed case: one zero block among normal blocks.
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=192).astype(np.float32)
+    x[64:128] = 0.0
+    packed, state = quantize_4bit(jnp.asarray(x), blocksize=64, quant_type="nf4")
+    out = np.asarray(dequantize_4bit(packed, state, blocksize=64, quant_type="nf4"))
+    np.testing.assert_array_equal(out[64:128], 0.0)
+    assert np.all(np.isfinite(out))
+
+
+def test_odd_input_size_4bit_raises():
+    """4-bit packing needs an even element count; odd sizes must raise a
+    clear error instead of silently dropping the last element."""
+    with pytest.raises(ValueError, match="even input size"):
+        quantize_4bit(jnp.ones(65, dtype=jnp.float32), blocksize=64, quant_type="nf4")

@@ -110,6 +110,22 @@ def _unpack_block(packed: jax.Array, nbits: int, epp: int, bk: int, bn: int) -> 
     return stacked.reshape(bk, bn)
 
 
+def _codebook_decode(codes: jax.Array, codebook: tuple[float, ...]) -> jax.Array:
+    """Map 4-bit codes to codebook values via a binary select tree.
+
+    15 vectorized selects on the code's bits (VPU-friendly) instead of a
+    16-way gather, which Mosaic lowers poorly. This is the in-kernel
+    equivalent of the reference's fused dequant loop
+    (``conch/kernels/quantization/gemm.py:337-405``) for codebook formats
+    (NF4/FP4).
+    """
+    level = [jnp.float32(v) for v in codebook]
+    for bit in range(4):
+        mask = (codes >> bit) & 1 == 1
+        level = [jnp.where(mask, level[2 * i + 1], level[2 * i]) for i in range(len(level) // 2)]
+    return level[0]
+
+
 def _mixed_gemm_kernel(
     x_ref,
     b_ref,
@@ -127,6 +143,7 @@ def _mixed_gemm_kernel(
     has_zp: bool,
     zero_is_scalar: bool,
     num_k: int,
+    codebook: tuple[float, ...] | None,
 ):
     k = pl.program_id(2)
 
@@ -134,8 +151,11 @@ def _mixed_gemm_kernel(
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    codes = _unpack_block(b_ref[...], nbits, epp, bk, bn).astype(jnp.float32)
-    w = codes - float(weight_bias)
+    if codebook is not None:
+        w = _codebook_decode(_unpack_block(b_ref[...], nbits, epp, bk, bn), codebook)
+    else:
+        codes = _unpack_block(b_ref[...], nbits, epp, bk, bn).astype(jnp.float32)
+        w = codes - float(weight_bias)
 
     # Per-row group selection as a one-hot matmul: rows of this K tile map
     # to group ids (k*bk + r) // group_size; a (bk, num_groups) one-hot
@@ -168,7 +188,9 @@ def _mixed_gemm_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("weight_size_bits", "weight_bias", "group_size", "zero_is_scalar", "out_dtype"),
+    static_argnames=(
+        "weight_size_bits", "weight_bias", "group_size", "zero_is_scalar", "out_dtype", "codebook",
+    ),
 )
 def mixed_precision_gemm_launcher(
     x: jax.Array,
@@ -181,6 +203,7 @@ def mixed_precision_gemm_launcher(
     group_size: int,
     zero_is_scalar: bool = False,
     out_dtype=None,
+    codebook: tuple[float, ...] | None = None,
 ) -> jax.Array:
     """``C = x @ dequant(w_q_packed)`` with groupwise scales/zero-points.
 
@@ -193,6 +216,9 @@ def mixed_precision_gemm_launcher(
         weight_size_bits: bit-width of each packed weight (2/4/8).
         weight_bias: value subtracted from unpacked codes (e.g. 8 for uint4b8).
         group_size: quantization group size along K.
+        codebook: optional 16-entry value table; when given, codes index the
+            table (NF4/FP4 fused dequant) instead of being linear ints, and
+            ``weight_bias`` is ignored.
 
     Returns:
         (M, N) output in ``out_dtype`` (defaults to ``x.dtype``).
@@ -270,6 +296,7 @@ def mixed_precision_gemm_launcher(
             has_zp=has_zp,
             zero_is_scalar=zero_is_scalar,
             num_k=kp // bk,
+            codebook=codebook,
         ),
         out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
         grid=grid,

@@ -11,7 +11,9 @@ whose ``kind`` selects the matmul kernel:
   -> ``mixed_precision_gemm`` (in-VMEM unpack + dequant before the dot).
 - ``int8``: per-channel scaled int8 weights -> ``scaled_gemm`` with
   dynamic per-token activation quantization.
-- ``nf4``: bitsandbytes 4-bit blockwise -> dequantize + dense matmul.
+- ``nf4``: 4-bit NF4 codebook weights in GPTQ row layout with per-K-group
+  absmax -> ``mixed_precision_gemm`` with the in-kernel 16-way codebook
+  select (fused dequant; the dense (K, N) weight is never materialized).
 
 This is the TPU materialization of the north-star "weight-only-quantized
 Llama serving path" (BASELINE.json): weights stay packed in HBM and are
@@ -27,13 +29,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from conch_tpu.ops.quantization.bitsandbytes.functional import QuantState, dequantize_4bit, quantize_4bit
+from conch_tpu.kernels.quantization.bitsandbytes.blockwise import NF4_CODE
+from conch_tpu.ops.quantization.bitsandbytes.functional import quantize_4bit
 from conch_tpu.ops.quantization.gemm import mixed_precision_gemm
 from conch_tpu.types.scalar_type import scalar_types
 from conch_tpu.utils.quant_utils import pack_rows, quantize_weights
 
 
-@jax.tree_util.register_pytree_node_class
+@jax.tree_util.register_pytree_with_keys_class
 @dataclass
 class QuantizedLinear:
     """A (K, N) projection in one of several storage formats."""
@@ -45,6 +48,15 @@ class QuantizedLinear:
     def tree_flatten(self):
         keys = sorted(self.arrays.keys())
         return tuple(self.arrays[k] for k in keys), (self.kind, keys, tuple(sorted(self.meta.items())))
+
+    def tree_flatten_with_keys(self):
+        # Array names appear in tree paths (DictKey) so sharding rules can
+        # dispatch on them (e.g. "packed" vs "absmax").
+        keys = sorted(self.arrays.keys())
+        keyed = tuple(
+            (jax.tree_util.DictKey(k), self.arrays[k]) for k in keys
+        )
+        return keyed, (self.kind, keys, tuple(sorted(self.meta.items())))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -78,13 +90,37 @@ class QuantizedLinear:
 
     @staticmethod
     def nf4_from_dense(w: np.ndarray, blocksize: int = 64, dtype=jnp.bfloat16) -> "QuantizedLinear":
-        packed, state = quantize_4bit(jnp.asarray(w, dtype=dtype), blocksize=blocksize, quant_type="nf4")
-        # nf4 storage is flat over the whole tensor (bitsandbytes layout):
-        # distinct array names so sharding rules can replicate it.
+        """NF4 blockwise quantization in GEMM-native K-grouped layout.
+
+        Quantization blocks run along K per output column (same geometry as
+        GPTQ groups), codes are bit-exact bitsandbytes NF4, and storage
+        matches the int4 path — (K//8, N) int32 packed words + per-group
+        (K//blocksize, N) absmax — so the fused mixed GEMM consumes it
+        directly and TP sharding rules apply unchanged.
+        """
+        w = np.asarray(w, dtype=np.float32)
+        k_dim, n_dim = w.shape
+        if k_dim % blocksize != 0:
+            msg = f"nf4 requires K ({k_dim}) divisible by blocksize ({blocksize})"
+            raise ValueError(msg)
+        # Encode column-major so each bitsandbytes block is one (column,
+        # K-group) pair; reuses the validated NF4 encode path.
+        packed_flat, state = quantize_4bit(
+            jnp.asarray(w.T, dtype=dtype), blocksize=blocksize, quant_type="nf4"
+        )
+        bytes_flat = np.asarray(packed_flat).reshape(-1)
+        codes = np.empty(bytes_flat.size * 2, dtype=np.uint8)
+        codes[0::2] = bytes_flat >> 4  # even element in the high nibble
+        codes[1::2] = bytes_flat & 0x0F
+        codes_kn = codes.reshape(n_dim, k_dim).T  # (K, N)
+        absmax = np.asarray(state.absmax, np.float32).reshape(n_dim, k_dim // blocksize).T
         return QuantizedLinear(
             "nf4",
-            {"nf4_packed": packed, "absmax": state.absmax},
-            {"shape": tuple(w.shape), "blocksize": blocksize, "dtype": str(jnp.dtype(dtype))},
+            {
+                "packed": jnp.asarray(pack_rows(codes_kn, 4)),
+                "absmax": jnp.asarray(absmax),
+            },
+            {"shape": (k_dim, n_dim), "blocksize": blocksize, "dtype": str(jnp.dtype(dtype))},
         )
 
     # -- application -------------------------------------------------------
@@ -104,16 +140,16 @@ class QuantizedLinear:
                 self.meta["group_size"],
             )
         if self.kind == "nf4":
-            shape = self.meta["shape"]
-            state = QuantState(
-                absmax=self.arrays["absmax"],
-                shape=shape,
-                dtype=jnp.dtype(self.meta["dtype"]),
-                blocksize=self.meta["blocksize"],
-                quant_type="nf4",
+            return mixed_precision_gemm(
+                x,
+                self.arrays["packed"],
+                self.arrays["absmax"],
+                None,
+                4,
+                0,
+                self.meta["blocksize"],
+                codebook=tuple(float(v) for v in NF4_CODE),
             )
-            w = dequantize_4bit(self.arrays["nf4_packed"], quant_state=state).reshape(shape)
-            return jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
         msg = f"Unknown linear kind: {self.kind}"
         raise ValueError(msg)
 

@@ -95,7 +95,8 @@ class LlamaConfig:
 
 
 def init_llama_params(
-    seed: int, config: LlamaConfig, quant_mode: str = "bf16", group_size: int = 128
+    seed: int, config: LlamaConfig, quant_mode: str = "bf16", group_size: int = 128,
+    blocksize: int = 64,
 ) -> dict:
     """Random-initialize Llama params; projections stored per ``quant_mode``.
 
@@ -111,6 +112,8 @@ def init_llama_params(
     def make_proj(k_dim: int, n_dim: int) -> QuantizedLinear:
         w = rng.normal(size=(k_dim, n_dim)).astype(np.float32) * std
         kwargs = {"group_size": group_size} if quant_mode in ("int4", "int8") else {}
+        if quant_mode == "nf4":
+            kwargs = {"blocksize": blocksize}
         return quantize_linear(w, quant_mode, **kwargs)
 
     def stack_layers(make_fn):

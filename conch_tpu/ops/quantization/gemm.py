@@ -121,6 +121,7 @@ def mixed_precision_gemm(
     meta_dtype=None,
     scaled_activations: bool = False,
     strict: bool = False,
+    codebook: tuple[float, ...] | None = None,
 ) -> jax.Array:
     """Mixed-precision GEMM: ``x @ dequant(w_q_packed)``.
 
@@ -132,6 +133,8 @@ def mixed_precision_gemm(
         weight_size_bits: weight bit-width (2/4/8).
         weight_bias: bias subtracted after unpacking (e.g. 8 for uint4b8).
         group_size: quantization group size along K.
+        codebook: optional 16-entry table for codebook formats (NF4/FP4);
+            fused in-kernel dequant, ``weight_bias`` ignored.
     """
     metadata = create_mixed_precision_metadata(
         x,
@@ -157,6 +160,7 @@ def mixed_precision_gemm(
         group_size=group_size,
         zero_is_scalar=metadata.zero_is_scalar,
         out_dtype=metadata.output_dtype,
+        codebook=codebook,
     )
 
 

@@ -42,8 +42,8 @@ def _spec_for(path: str, ndim: int) -> P:
     def second_last_on_model():
         return P(*([None] * (ndim - 2) + ["model", None]))
 
-    if "nf4_packed" in path or "absmax" in path:
-        return P()  # nf4 storage is flat over the tensor: replicate
+    # nf4 storage is K-grouped (K//8, N) packed + (K//g, N) absmax — the
+    # same geometry as int4 packed/scales — so the generic rules apply.
     if any(k in path for k in ("wq", "wk", "wv", "w_gate", "w_up", "lm_head")):
         return last_on_model()  # column-parallel: N (incl. packed/scales)
     if any(k in path for k in ("wo", "w_down")):

@@ -144,3 +144,46 @@ def test_scaled_gemm_fp8(rng):
         atol=1.0,
         rtol=1e-1,
     )
+
+
+def test_fused_nf4_gemm_matches_stored_codes():
+    """QuantizedLinear('nf4').apply is a fused codebook GEMM: it must match
+    an explicit numpy dequant (codes -> NF4 values -> * absmax) of its own
+    stored arrays, without ever materializing the weight on the device."""
+    from conch_tpu.kernels.quantization.bitsandbytes.blockwise import NF4_CODE
+    from conch_tpu.models.linear import QuantizedLinear
+    from conch_tpu.utils.quant_utils import unpack_rows
+
+    rng = np.random.default_rng(9)
+    k_dim, n_dim, m_dim, bs = 256, 384, 24, 64
+    w = rng.normal(size=(k_dim, n_dim)).astype(np.float32) * 0.05
+    lin = QuantizedLinear.nf4_from_dense(w, blocksize=bs)
+    assert set(lin.arrays) == {"packed", "absmax"}
+    assert lin.arrays["packed"].shape == (k_dim // 8, n_dim)
+    assert lin.arrays["absmax"].shape == (k_dim // bs, n_dim)
+
+    codes = unpack_rows(np.asarray(lin.arrays["packed"]), 4, k_dim)
+    w_deq = np.asarray(NF4_CODE, np.float32)[codes] * np.repeat(
+        np.asarray(lin.arrays["absmax"]), bs, axis=0
+    )
+    # The stored codes faithfully quantize w (sanity on the layout shuffle).
+    assert np.abs(w_deq - w).max() < 0.2 * np.abs(w).max()
+
+    x = rng.normal(size=(m_dim, k_dim)).astype(np.float32)
+    out = np.asarray(lin.apply(jnp.asarray(x)))
+    ref = x @ w_deq
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_nf4_gemm_bf16_activations():
+    from conch_tpu.models.linear import QuantizedLinear
+
+    rng = np.random.default_rng(10)
+    w = rng.normal(size=(128, 256)).astype(np.float32) * 0.02
+    lin = QuantizedLinear.nf4_from_dense(w, blocksize=64)
+    x = jnp.asarray(rng.normal(size=(8, 128)), jnp.bfloat16)
+    out = lin.apply(x)
+    assert out.dtype == jnp.bfloat16
+    ref = np.asarray(x, np.float32) @ w
+    rel = np.abs(np.asarray(out, np.float32) - ref).max() / np.abs(ref).max()
+    assert rel < 0.15  # nf4 quantization + bf16 rounding

@@ -195,3 +195,38 @@ def test_tp_decode_fp8_kv_cache():
     ref = run(None)
     fp8 = run(jnp.float8_e4m3fn)
     np.testing.assert_allclose(fp8, ref, atol=0.1, rtol=0.1)
+
+
+def test_tp_decode_nf4_matches_single_device():
+    """TP decode with fused-NF4 weights: the K-grouped packed/absmax layout
+    shards exactly like int4 (regression: nf4 used to be replicated and
+    its flat layout could not shard at all)."""
+    config = LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=256,
+        num_layers=2, num_heads=8, num_kv_heads=4, head_dim=32,
+        max_position=256, dtype=jnp.float32,
+    )
+    params = init_llama_params(0, config, "nf4", blocksize=64)
+    mesh = create_mesh(data=1, model=4)
+    rng = np.random.default_rng(7)
+
+    batch, num_pages, page_size = 4, 16, 16
+    token_ids = jnp.asarray(rng.integers(0, config.vocab_size, batch), jnp.int32)
+    positions = jnp.asarray([0, 3, 1, 6], jnp.int32)
+    seq_lens = positions + 1
+    block_tables = jnp.asarray(rng.permutation(num_pages).reshape(batch, 4), jnp.int32)
+    slot_mapping = block_tables[jnp.arange(batch), positions // page_size] * page_size + positions % page_size
+
+    k0, v0 = init_kv_caches(config, num_pages, page_size)
+    ref_logits, _, _ = llama_decode_step(
+        params, config, token_ids, positions, seq_lens, block_tables, slot_mapping, k0, v0
+    )
+
+    sharded = shard_llama_params(params, mesh)
+    kc, vc = init_kv_caches(config, num_pages, page_size)
+    kc = jax.device_put(kc, kv_cache_sharding(mesh))
+    vc = jax.device_put(vc, kv_cache_sharding(mesh))
+    step = make_tp_decode_step(mesh, config, sharded)
+    tp_logits, _, _ = step(sharded, token_ids, positions, seq_lens, block_tables, slot_mapping, kc, vc)
+
+    np.testing.assert_allclose(np.asarray(tp_logits), np.asarray(ref_logits), atol=3e-3, rtol=3e-3)

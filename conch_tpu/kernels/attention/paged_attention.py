@@ -7,26 +7,33 @@ TPU-native re-design of the reference's FlashDecoding Triton kernels
 (``conch/kernels/attention/paged_attention.py:18-584``). Key differences,
 by design:
 
-- **Manual double-buffered page DMAs**: the KV caches stay in HBM
+- **Chunked double-buffered page DMAs**: the KV caches stay in HBM
   (``memory_space=ANY``); the kernel walks each sequence's block table
-  with ``pltpu.make_async_copy``, prefetching page ``i+1`` while the MXU
-  works on page ``i``. The grid is just (batch, kv_heads) — one grid
-  step per (sequence, head) amortizes all per-step pipeline overhead
-  across the whole sequence, and the page loop bound is the *actual*
-  per-sequence page count (no wasted DMAs for short sequences in a
-  padded batch).
+  with ``pltpu.make_async_copy``, fetching a *chunk* of pages per wave
+  (``chunk_pages`` copies issued back-to-back into one VMEM slab) and
+  prefetching chunk ``c+1`` while the MXU works on chunk ``c``. Single
+  page-sized transfers (4-8 KB) cannot hide HBM latency on their own;
+  a wave of 8-16 of them keeps enough bytes in flight to stream the KV
+  pool at near-peak bandwidth. The grid is (batch, kv_heads) — one grid
+  step per (sequence, head) amortizes pipeline overhead across the whole
+  sequence, and the chunk-loop bound is the *actual* per-sequence page
+  count (no wasted DMAs for short sequences in a padded batch).
 - **No two-stage KV-split + LSE merge**: the reference splits a long
   sequence across SMs and merges partials by log-sum-exp because CUDA
-  SMs need the parallelism (``:297-421``). A TPU core pipelines pages
+  SMs need the parallelism (``:297-421``). A TPU core pipelines chunks
   through VMEM in one online-softmax pass.
 - **GQA via query-group packing**: queries are reshaped to
-  (batch, kv_heads, group, head) so each page contributes one
-  (group, head) x (head, page) MXU dot (reference packs query groups the
-  same way, ``varlen_attention.py:635-658``).
+  (batch, kv_heads, group, head) so each chunk contributes one
+  (group, head) x (head, chunk_tokens) MXU dot (reference packs query
+  groups the same way, ``varlen_attention.py:635-658``).
 - **fp8/int8 KV dequantization folds into scalars**: ``q.(k*ks) =
   (q.k)*ks`` — k-scale folds into the softmax scale (before softcap),
   v-scale multiplies the final accumulator once (the reference
   dequantizes per element, ``paged_attention.py:194-198,246-250``).
+- **Any head size**: manual DMAs require the lane (head) dimension to be
+  a multiple of 128 on current Mosaic; odd head sizes (80/96/112/192...)
+  are routed through the BlockSpec-pipelined varlen kernel, which
+  handles them natively (decode is varlen with one query per sequence).
 
 Cache layout: (num_pages, num_kv_heads, page_size, head_size) — one
 (page, head) slice is a Mosaic-native (page_size, head) tile.
@@ -59,14 +66,15 @@ def _paged_attention_kernel(
     # outputs
     o_ref,  # (1, 1, G_pad, D) VMEM
     # scratch
-    k_buf,  # (2, ps, D) VMEM
-    v_buf,  # (2, ps, D) VMEM
-    sems,  # DMA semaphores (2, 2)
+    k_buf,  # (2, C, ps, D) VMEM
+    v_buf,  # (2, C, ps, D) VMEM
+    sems,  # DMA semaphores (2, 2, C)
     m_scr,  # (G_pad, 128) f32
     l_scr,
     acc_scr,  # (G_pad, D) f32
     *,
     page_size: int,
+    chunk_pages: int,
     scale: float,
     softcap: float,
 ):
@@ -74,6 +82,7 @@ def _paged_attention_kernel(
     h = pl.program_id(1)
     seq_len = seq_lens_ref[b]
     num_pages = jax.lax.div(seq_len + page_size - 1, page_size)
+    num_chunks = jax.lax.div(num_pages + chunk_pages - 1, chunk_pages)
 
     m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
     l_scr[...] = jnp.zeros_like(l_scr)
@@ -81,43 +90,53 @@ def _paged_attention_kernel(
 
     q = q_ref[0, 0].astype(jnp.float32)  # (G_pad, D)
     eff_scale = scale * k_scale_ref[0]
+    last_page = jnp.maximum(num_pages - 1, 0)
 
-    def page_dma(i, slot):
-        page = block_tables_ref[b, i]
-        return (
-            pltpu.make_async_copy(k_hbm.at[page, h], k_buf.at[slot], sems.at[slot, 0]),
-            pltpu.make_async_copy(v_hbm.at[page, h], v_buf.at[slot], sems.at[slot, 1]),
-        )
+    def wave(c, slot):
+        """Issue all page copies of chunk ``c`` into buffer ``slot``.
 
-    @pl.when(num_pages > 0)
+        Pages past the sequence end are clamped to the last valid page
+        (their rows are masked in compute) so every wave is a uniform set
+        of ``chunk_pages`` in-flight copies.
+        """
+        copies = []
+        for j in range(chunk_pages):
+            page = block_tables_ref[b, jnp.minimum(c * chunk_pages + j, last_page)]
+            copies.append(
+                pltpu.make_async_copy(k_hbm.at[page, h], k_buf.at[slot, j], sems.at[slot, 0, j])
+            )
+            copies.append(
+                pltpu.make_async_copy(v_hbm.at[page, h], v_buf.at[slot, j], sems.at[slot, 1, j])
+            )
+        return copies
+
+    @pl.when(num_chunks > 0)
     def _():
-        dk, dv = page_dma(0, 0)
-        dk.start()
-        dv.start()
+        for cp in wave(0, 0):
+            cp.start()
 
-    def body(i, _):
-        slot = jax.lax.rem(i, 2)
-        next_slot = jax.lax.rem(i + 1, 2)
+    def body(c, _):
+        slot = jax.lax.rem(c, 2)
+        next_slot = jax.lax.rem(c + 1, 2)
 
-        @pl.when(i + 1 < num_pages)
+        @pl.when(c + 1 < num_chunks)
         def _():
-            dk, dv = page_dma(i + 1, next_slot)
-            dk.start()
-            dv.start()
+            for cp in wave(c + 1, next_slot):
+                cp.start()
 
-        dk, dv = page_dma(i, slot)
-        dk.wait()
-        dv.wait()
+        for cp in wave(c, slot):
+            cp.wait()
 
-        k = k_buf[slot].astype(jnp.float32)  # (ps, D)
+        chunk_tokens = chunk_pages * page_size
+        k = k_buf[slot].reshape(chunk_tokens, k_buf.shape[-1]).astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * eff_scale  # (G_pad, ps)
+        ) * eff_scale  # (G_pad, chunk_tokens)
 
         if softcap > 0.0:
             s = softcap * jnp.tanh(s / softcap)
 
-        entry_pos = i * page_size + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        entry_pos = c * chunk_tokens + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
         s = jnp.where(entry_pos < seq_len, s, _NEG_INF)
 
         m_prev = m_scr[:, :1]
@@ -128,19 +147,48 @@ def _paged_attention_kernel(
         alpha = jnp.exp(m_prev - m_new)
         l_scr[...] = jnp.broadcast_to(l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True), l_scr.shape)
 
-        v = v_buf[slot].astype(jnp.float32)
+        v = v_buf[slot].reshape(chunk_tokens, v_buf.shape[-1]).astype(jnp.float32)
         acc_scr[...] = acc_scr[...] * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
         m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
         return 0
 
-    jax.lax.fori_loop(0, num_pages, body, 0)
+    jax.lax.fori_loop(0, num_chunks, body, 0)
 
     l = l_scr[:, :1]
     normalized = acc_scr[...] / jnp.where(l > 0.0, l, 1.0)
     o_ref[0, 0] = (normalized * v_scale_ref[0]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "softcap"))
+def _decode_via_varlen(
+    query, key_cache, value_cache, block_table, seq_lens, *, scale, softcap, k_scale, v_scale
+):
+    """Decode as single-token varlen attention (BlockSpec pipeline).
+
+    Used for head sizes the manual-DMA kernel cannot address (lane dim not
+    a multiple of 128): the varlen kernel's automatic pipeline handles any
+    head size, at somewhat lower decode throughput.
+    """
+    from conch_tpu.kernels.attention.varlen_attention import varlen_attention_launcher
+
+    batch = query.shape[0]
+    cu = jnp.arange(batch + 1, dtype=jnp.int32)
+    return varlen_attention_launcher(
+        query,
+        key_cache,
+        value_cache,
+        cu,
+        1,
+        seq_lens,
+        block_table,
+        scale=scale,
+        softcap=softcap,
+        causal=False,
+        k_scale=k_scale,
+        v_scale=v_scale,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "softcap", "chunk_tokens"))
 def paged_attention_launcher(
     query: jax.Array,
     key_cache: jax.Array,
@@ -152,6 +200,7 @@ def paged_attention_launcher(
     softcap: float = 0.0,
     k_scale: jax.Array | None = None,
     v_scale: jax.Array | None = None,
+    chunk_tokens: int = 512,
 ) -> jax.Array:
     """Decode-time paged attention.
 
@@ -164,6 +213,8 @@ def paged_attention_launcher(
         scale: softmax scale (1/sqrt(head_size)).
         softcap: logit softcap (0 disables).
         k_scale/v_scale: dequantization scales (default 1.0).
+        chunk_tokens: target KV tokens per DMA wave (tuning knob; the wave
+            holds ceil(chunk_tokens/page_size) page copies in flight).
 
     Returns:
         (batch, num_q_heads, head_size) attention output in the query dtype
@@ -179,6 +230,16 @@ def paged_attention_launcher(
         query = query.astype(jnp.bfloat16)
     if query.dtype == jnp.float16 and not use_interpret_mode():
         query = query.astype(jnp.float32)
+
+    if head_size % 128 != 0:
+        return _decode_via_varlen(
+            query, key_cache, value_cache, block_table, seq_lens,
+            scale=scale, softcap=softcap, k_scale=k_scale, v_scale=v_scale,
+        ).astype(out_dtype)
+
+    # Pages per DMA wave: enough bytes in flight to hide HBM latency, but
+    # never more pages than the table can hold.
+    chunk_pages = max(1, min(chunk_tokens // page_size, block_table.shape[1]))
 
     # Query-group packing: (B, QH, D) -> (B, KH, G_pad, D).
     group_pad = round_up(group, 8)
@@ -205,9 +266,9 @@ def paged_attention_launcher(
         ],
         out_specs=pl.BlockSpec((1, 1, group_pad, head_size), q_index, memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, page_size, head_size), key_cache.dtype),
-            pltpu.VMEM((2, page_size, head_size), value_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, chunk_pages, page_size, head_size), key_cache.dtype),
+            pltpu.VMEM((2, chunk_pages, page_size, head_size), value_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, chunk_pages)),
             pltpu.VMEM((group_pad, 128), jnp.float32),
             pltpu.VMEM((group_pad, 128), jnp.float32),
             pltpu.VMEM((group_pad, head_size), jnp.float32),
@@ -218,6 +279,7 @@ def paged_attention_launcher(
         functools.partial(
             _paged_attention_kernel,
             page_size=page_size,
+            chunk_pages=chunk_pages,
             scale=scale,
             softcap=softcap,
         ),

@@ -103,3 +103,24 @@ def test_paged_attention_single_page(rng):
         page_size=32, seq_lens=[5], dtype=jnp.float32,
     )
     _run_and_compare(fx, jnp.float32)
+
+
+@pytest.mark.parametrize("head_size", [80, 96, 112, 192])
+def test_paged_attention_odd_head_sizes(head_size, rng):
+    """Non-power-of-two head sizes (reference sweep
+    ``tests/varlen_attention_test.py:17-24``): lane dims that are not a
+    multiple of 128 route through the BlockSpec-pipelined varlen path."""
+    fx = create_paged_fixture(
+        rng, batch=3, num_q_heads=8, num_kv_heads=2, head_size=head_size,
+        page_size=16, seq_lens=[5, 64, 130], dtype=jnp.float32,
+    )
+    _run_and_compare(fx, jnp.float32)
+
+
+@pytest.mark.parametrize("head_size", [96, 192])
+def test_paged_attention_odd_head_sizes_softcap_gqa(head_size, rng):
+    fx = create_paged_fixture(
+        rng, batch=2, num_q_heads=4, num_kv_heads=1, head_size=head_size,
+        page_size=16, seq_lens=[33, 17], dtype=jnp.float32,
+    )
+    _run_and_compare(fx, jnp.float32, softcap=30.0)

@@ -151,3 +151,16 @@ def test_varlen_single_token_single_seq(rng):
         page_size=16, seq_lens=[5], q_lens=[1], dtype=jnp.float32,
     )
     _run_and_compare(fx, jnp.float32, causal=True)
+
+
+@pytest.mark.parametrize("head_size", [80, 96, 112, 192])
+@pytest.mark.parametrize("causal", [False, True])
+def test_varlen_odd_head_sizes(head_size, causal, rng):
+    """Non-power-of-two head sizes (reference sweep
+    ``tests/varlen_attention_test.py:17-24``)."""
+    seq_lens = [33, 70]
+    fx = create_paged_fixture(
+        rng, batch=2, num_q_heads=8, num_kv_heads=2, head_size=head_size,
+        page_size=16, seq_lens=seq_lens, q_lens=[33, 9], dtype=jnp.float32,
+    )
+    _run_and_compare(fx, jnp.float32, causal)

@@ -16,21 +16,44 @@ from typing import Callable
 
 import numpy as np
 
-from conch_tpu.utils.benchmark import BenchmarkResult, benchmark_it
+from conch_tpu.utils.benchmark import BenchmarkResult, benchmark_it, benchmark_loop
 
 
 def make_parser(description: str) -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description=description)
     parser.add_argument("--iterations", type=int, default=100)
     parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--loop", type=int, default=10, help="iterations per dispatch for loop-style cases")
     parser.add_argument("--csv", action="store_true", help="CSV output instead of pretty")
     parser.add_argument("--seed", type=int, default=0)
     return parser
 
 
-def run_and_report(args, cases: list[tuple[str, Callable[[], object]]]) -> list[BenchmarkResult]:
+def run_and_report(args, cases: list[tuple]) -> list[BenchmarkResult]:
+    """Benchmark cases and print the report.
+
+    Case forms:
+    - ``(tag, fn)``: wall-clock timing of ``fn()`` per call (host-visible
+      ops, engine steps).
+    - ``(tag, step_fn, bytes_moved[, operands])``: trustworthy
+      loop-in-one-dispatch timing; ``step_fn`` takes the f32 scalar carry
+      (fold it into an input) then ``operands``, and the row reports
+      achieved GB/s from ``bytes_moved``. Pass big arrays via operands,
+      not closure (closure constants bloat the compile payload).
+    """
     results = []
-    for tag, fn in cases:
+    for case in cases:
+        if len(case) >= 3:
+            tag, step_fn, bytes_moved = case[:3]
+            operands = case[3] if len(case) > 3 else ()
+            results.append(
+                benchmark_loop(
+                    step_fn, tag, operands=operands, iters_per_dispatch=args.loop,
+                    reps=max(3, args.iterations // args.loop), bytes_moved=bytes_moved,
+                )
+            )
+            continue
+        tag, fn = case
         results.append(
             benchmark_it(fn, tag, warmup_iterations=args.warmup, num_iterations=args.iterations)
         )

@@ -30,9 +30,13 @@ def main() -> None:
         dtype=jnp.bfloat16,
     )
     scale = 1.0 / math.sqrt(args.head_size)
+    # Decode reads the whole KV working set once: that is the roofline.
+    kv_bytes = 2 * args.batch * args.seq_len * args.num_kv_heads * args.head_size * fx.key_cache.dtype.itemsize
     run_and_report(args, [(
         f"paged_attention_b{args.batch}_s{args.seq_len}",
-        lambda: paged_attention(fx.query, fx.key_cache, fx.value_cache, fx.block_table, fx.seq_lens, scale=scale),
+        lambda carry, q, kc, vc, bt, sl: paged_attention(q + carry, kc, vc, bt, sl, scale=scale),
+        kv_bytes,
+        (fx.query, fx.key_cache, fx.value_cache, fx.block_table, fx.seq_lens),
     )])
 
 

@@ -61,23 +61,28 @@ def main() -> None:
         out = jnp.einsum("bhgs,bhsd->bhgd", p, v.astype(jnp.float32))
         return out.reshape(b, q.shape[1], q.shape[2]).astype(q.dtype)
 
+    kv_bytes = 2 * args.batch * args.seq_len * args.num_kv_heads * args.head_size * fx.key_cache.dtype.itemsize
+    operands = (fx.query, fx.key_cache, fx.value_cache, fx.block_table, fx.seq_lens)
     run_and_report(args, [
         (
             f"paged_attention_b{args.batch}_s{args.seq_len}",
-            lambda: paged_attention(
-                fx.query, fx.key_cache, fx.value_cache, fx.block_table, fx.seq_lens, scale=scale
-            ),
+            lambda carry, q, kc, vc, bt, sl: paged_attention(q + carry, kc, vc, bt, sl, scale=scale),
+            kv_bytes,
+            operands,
         ),
         (
             f"varlen_decode_b{args.batch}_s{args.seq_len}",
-            lambda: varlen_attention(
-                fx.query, fx.key_cache, fx.value_cache, cu, 1, fx.seq_lens,
-                args.seq_len, fx.block_table, causal=True, scale=scale,
+            lambda carry, q, kc, vc, bt, sl: varlen_attention(
+                q + carry, kc, vc, cu, 1, sl, args.seq_len, bt, causal=True, scale=scale
             ),
+            kv_bytes,
+            operands,
         ),
         (
             f"xla_dense_b{args.batch}_s{args.seq_len}",
-            lambda: xla_dense(fx.query, fx.key_cache, fx.value_cache, fx.block_table, fx.seq_lens),
+            lambda carry, q, kc, vc, bt, sl: xla_dense(q + carry, kc, vc, bt, sl),
+            kv_bytes,
+            operands,
         ),
     ])
 

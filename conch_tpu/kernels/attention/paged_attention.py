@@ -83,12 +83,17 @@ def _paged_attention_kernel(
     seq_len = seq_lens_ref[b]
     num_pages = jax.lax.div(seq_len + page_size - 1, page_size)
     num_chunks = jax.lax.div(num_pages + chunk_pages - 1, chunk_pages)
+    chunk_tokens = chunk_pages * page_size
 
     m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
     l_scr[...] = jnp.zeros_like(l_scr)
     acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, 0].astype(jnp.float32)  # (G_pad, D)
+    # MXU eats the cache dtype directly (bf16 x bf16 -> f32): no VMEM-wide
+    # f32 casts in the hot loop. int8/fp8 caches still upcast (no bf16 rep).
+    kv_dtype = k_buf.dtype
+    mxu_dtype = kv_dtype if kv_dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    q = q_ref[0, 0].astype(mxu_dtype)  # (G_pad, D)
     eff_scale = scale * k_scale_ref[0]
     last_page = jnp.maximum(num_pages - 1, 0)
 
@@ -115,7 +120,10 @@ def _paged_attention_kernel(
         for cp in wave(0, 0):
             cp.start()
 
-    def body(c, _):
+    def process(c, masked: bool):
+        """Online-softmax update for chunk ``c`` (mask only the tail chunk:
+        interior chunks are fully inside the sequence by construction, so
+        the iota/compare/select VPU work is skipped for them)."""
         slot = jax.lax.rem(c, 2)
         next_slot = jax.lax.rem(c + 1, 2)
 
@@ -127,8 +135,7 @@ def _paged_attention_kernel(
         for cp in wave(c, slot):
             cp.wait()
 
-        chunk_tokens = chunk_pages * page_size
-        k = k_buf[slot].reshape(chunk_tokens, k_buf.shape[-1]).astype(jnp.float32)
+        k = k_buf[slot].reshape(chunk_tokens, k_buf.shape[-1]).astype(mxu_dtype)
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * eff_scale  # (G_pad, chunk_tokens)
@@ -136,8 +143,9 @@ def _paged_attention_kernel(
         if softcap > 0.0:
             s = softcap * jnp.tanh(s / softcap)
 
-        entry_pos = c * chunk_tokens + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-        s = jnp.where(entry_pos < seq_len, s, _NEG_INF)
+        if masked:
+            entry_pos = c * chunk_tokens + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+            s = jnp.where(entry_pos < seq_len, s, _NEG_INF)
 
         m_prev = m_scr[:, :1]
         l_prev = l_scr[:, :1]
@@ -147,12 +155,25 @@ def _paged_attention_kernel(
         alpha = jnp.exp(m_prev - m_new)
         l_scr[...] = jnp.broadcast_to(l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True), l_scr.shape)
 
-        v = v_buf[slot].reshape(chunk_tokens, v_buf.shape[-1]).astype(jnp.float32)
-        acc_scr[...] = acc_scr[...] * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        v = v_buf[slot].reshape(chunk_tokens, v_buf.shape[-1]).astype(mxu_dtype)
+        acc_scr[...] = acc_scr[...] * alpha + jnp.dot(
+            p.astype(mxu_dtype), v, preferred_element_type=jnp.float32
+        )
         m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+
+    # Interior chunks (fully valid) then the tail chunk (masked). A
+    # sequence whose length is an exact chunk multiple has no tail.
+    num_full = jax.lax.div(seq_len, chunk_tokens)
+
+    def full_body(c, _):
+        process(c, masked=False)
         return 0
 
-    jax.lax.fori_loop(0, num_chunks, body, 0)
+    jax.lax.fori_loop(0, num_full, full_body, 0)
+
+    @pl.when(num_full < num_chunks)
+    def _():
+        process(num_full, masked=True)
 
     l = l_scr[:, :1]
     normalized = acc_scr[...] / jnp.where(l > 0.0, l, 1.0)
@@ -200,7 +221,7 @@ def paged_attention_launcher(
     softcap: float = 0.0,
     k_scale: jax.Array | None = None,
     v_scale: jax.Array | None = None,
-    chunk_tokens: int = 512,
+    chunk_tokens: int = 1024,
 ) -> jax.Array:
     """Decode-time paged attention.
 

@@ -72,6 +72,7 @@ class QuantizedLinear:
     @staticmethod
     def int4_from_dense(w: np.ndarray, group_size: int = 128, dtype=jnp.bfloat16) -> "QuantizedLinear":
         """GPTQ-style uint4b8 groupwise quantization of a (K, N) weight."""
+        group_size = min(group_size, w.shape[0])  # small K: one group spans all of K
         _, w_q, w_s, _ = quantize_weights(np.asarray(w, dtype=np.float32), scalar_types.uint4b8, group_size)
         return QuantizedLinear(
             "int4",
@@ -81,6 +82,7 @@ class QuantizedLinear:
 
     @staticmethod
     def int8_grouped_from_dense(w: np.ndarray, group_size: int = 128, dtype=jnp.bfloat16) -> "QuantizedLinear":
+        group_size = min(group_size, w.shape[0])
         _, w_q, w_s, _ = quantize_weights(np.asarray(w, dtype=np.float32), scalar_types.uint8b128, group_size)
         return QuantizedLinear(
             "int8_grouped",

@@ -31,20 +31,37 @@ class BenchmarkResult:
     num_iterations: int
     metadata: dict[str, Any] = field(default_factory=dict)
 
+    @property
+    def achieved_gbps(self) -> float | None:
+        """Achieved bandwidth from the declared bytes-moved accounting.
+
+        The sanity anchor for every table row: a row whose implied GB/s
+        exceeds the same-window calibrated bandwidth is a measurement
+        bug, not a fast kernel.
+        """
+        nbytes = self.metadata.get("bytes_moved")
+        if not nbytes or self.median_ms <= 0:
+            return None
+        return nbytes / (self.median_ms / 1e3) / 1e9
+
     @staticmethod
     def csv_header() -> str:
-        return "tag,min_ms,max_ms,mean_ms,median_ms,num_iterations"
+        return "tag,min_ms,max_ms,mean_ms,median_ms,num_iterations,achieved_gbps"
 
     def csv_row(self) -> str:
+        gbps = self.achieved_gbps
         return (
             f"{self.tag},{self.min_ms:.6f},{self.max_ms:.6f},"
-            f"{self.mean_ms:.6f},{self.median_ms:.6f},{self.num_iterations}"
+            f"{self.mean_ms:.6f},{self.median_ms:.6f},{self.num_iterations},"
+            f"{'' if gbps is None else f'{gbps:.1f}'}"
         )
 
     def pretty(self) -> str:
+        gbps = self.achieved_gbps
+        extra = "" if gbps is None else f" achieved={gbps:.1f}GB/s"
         return (
             f"{self.tag}: median={self.median_ms:.4f}ms mean={self.mean_ms:.4f}ms "
-            f"min={self.min_ms:.4f}ms max={self.max_ms:.4f}ms (n={self.num_iterations})"
+            f"min={self.min_ms:.4f}ms max={self.max_ms:.4f}ms (n={self.num_iterations}){extra}"
         )
 
 
@@ -86,35 +103,167 @@ def benchmark_it(
     )
 
 
+def benchmark_loop(
+    step_fn: Callable[..., Any],
+    tag: str = "",
+    *,
+    operands: tuple = (),
+    iters_per_dispatch: int = 20,
+    reps: int = 5,
+    bytes_moved: int | None = None,
+    metadata: dict[str, Any] | None = None,
+) -> BenchmarkResult:
+    """Time ``iters_per_dispatch`` chained invocations under ONE dispatch.
+
+    The trustworthy-timing primitive for tunneled/virtualized devices:
+    single-dispatch wall timings can be distorted by host round trips and
+    early-returning fences, but a ``fori_loop`` of N serialized kernel
+    calls divides all of that by N. ``step_fn`` receives a traced f32
+    scalar carry (fold it into an input, e.g. ``q + carry``: carry is 0.0 at runtime, so XLA
+    can neither reorder nor elide iterations) followed by ``operands``;
+    the loop feeds the first element of each output back into the carry.
+    Pass large arrays via ``operands``, not closure: closure constants
+    are embedded in the compile payload (the tunneled remote compiler
+    rejects GB-sized programs).
+
+    Per-iteration time comes from *differencing* two loop sizes (N and
+    2N): ``t = (T(2N) - T(N)) / N``. This cancels every fixed cost —
+    dispatch, host sync, and (on tunneled devices) the tens of ms of
+    round-trip latency that ``block_until_ready`` may or may not include.
+    Completion is forced by fetching the scalar loop carry to the host,
+    which no async runtime can fake.
+
+    Reports the per-iteration milliseconds over ``reps`` differenced pairs.
+    """
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    def make_run(n):
+        @jax.jit
+        def run(eps, *ops):
+            def body(i, carry):
+                out = step_fn(carry, *ops)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                return carry + eps * jnp.ravel(leaf)[0].astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+        return run
+
+    n = iters_per_dispatch
+    run_n, run_2n = make_run(n), make_run(2 * n)
+    zero = jnp.float32(0.0)
+    float(np.asarray(run_n(zero, *operands)))  # compile + full sync
+    float(np.asarray(run_2n(zero, *operands)))
+
+    times_ms: list[float] = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(np.asarray(run_n(zero, *operands)))
+        t_n = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(np.asarray(run_2n(zero, *operands)))
+        t_2n = time.perf_counter() - t0
+        # The median over reps is the reported statistic; min-of-diffs
+        # would be biased low (window hiccups during t_n fake speed).
+        times_ms.append(max(t_2n - t_n, 1e-9) / n * 1e3)
+
+    meta = dict(metadata or {})
+    if bytes_moved is not None:
+        meta["bytes_moved"] = bytes_moved
+    meta["iters_per_dispatch"] = iters_per_dispatch
+    return BenchmarkResult(
+        tag=tag,
+        min_ms=min(times_ms),
+        max_ms=max(times_ms),
+        mean_ms=statistics.fmean(times_ms),
+        median_ms=statistics.median(times_ms),
+        num_iterations=reps * iters_per_dispatch,
+        metadata=meta,
+    )
+
+
 def calibrate_hbm_bw(nominal: float = float("inf"), trials: int = 3) -> float:
-    """Measure this chip's achievable GEMV bandwidth (a 64MB weight sweep).
+    """Measure this chip's achievable HBM read bandwidth in this window.
 
     Tunneled/virtualized dev chips deliver a *fluctuating* fraction of
     nominal HBM bandwidth; benchmark tables should record the calibrated
     number taken at the same moment so results are interpretable as a
-    fraction of what the chip could actually do. Takes the best of
-    ``trials`` sweeps (the chip's ceiling in this window).
+    fraction of what the chip could actually do. Two probes, best of
+    ``trials`` each, max wins:
+
+    - GEMV sweep (64MB weight, decode-like access pattern),
+    - streaming reduction over a 256MB array (pure sequential reads —
+      closest to a long-context KV scan, and consistently the higher
+      of the two).
     """
+    import numpy as np
+
     import jax.numpy as jnp
 
-    try:
-        w = jnp.ones((4096, 8192), jnp.bfloat16)  # 64 MB
-        x0 = jnp.ones((8, 4096), jnp.bfloat16)
-
-        @jax.jit
-        def sweep(x):
-            def body(i, x):
-                y = jnp.dot(x, w, preferred_element_type=jnp.float32)
-                return (y[:, :4096] * 1e-6 + x).astype(jnp.bfloat16)
-
-            return jax.lax.fori_loop(0, 30, body, x)
-
-        jax.block_until_ready(sweep(x0))
-        best = float("inf")
+    def diff_time(make_run, operands, n):
+        """Per-iter seconds by differencing loops of n and 2n iterations
+        with host value-fetch sync (block_until_ready is unreliable on
+        tunneled platforms — both early returns and inflated waits)."""
+        run_n, run_2n = make_run(n), make_run(2 * n)
+        zero = jnp.float32(0.0)
+        float(np.asarray(run_n(zero, *operands)))
+        float(np.asarray(run_2n(zero, *operands)))
+        diffs = []
         for _ in range(trials):
             t0 = time.perf_counter()
-            jax.block_until_ready(sweep(x0))
-            best = min(best, (time.perf_counter() - t0) / 30)
-        return min((4096 * 8192 * 2) / best, nominal)
+            float(np.asarray(run_n(zero, *operands)))
+            t_n = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(np.asarray(run_2n(zero, *operands)))
+            t_2n = time.perf_counter() - t0
+            diffs.append(max(t_2n - t_n, 1e-12) / n)
+        # Median, not min: a difference estimator's minimum is biased low
+        # (one window hiccup during the short run fakes a huge bandwidth).
+        return statistics.median(diffs)
+
+    # Any result beyond this is a failed probe (no v5-class chip streams
+    # 2 TB/s from HBM), not a fast chip: discard it.
+    plausible = 2e12
+
+    try:
+        w = jnp.ones((8192, 16384), jnp.bfloat16)  # 256 MB: diff >> tunnel noise
+        x0 = jnp.ones((8, 8192), jnp.bfloat16)
+
+        def make_gemv(n):
+            @jax.jit
+            def run(eps, w, x0):
+                def body(i, carry):
+                    y = jnp.dot(x0 + carry, w, preferred_element_type=jnp.float32)
+                    return carry + eps * y.ravel()[0]
+
+                return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+            return run
+
+        gemv_bw = w.nbytes / diff_time(make_gemv, (w, x0), 40)
+
+        big = jnp.ones((128, 1024, 1024), jnp.bfloat16)  # 256 MB
+
+        def make_stream(n):
+            @jax.jit
+            def run(eps, buf):
+                def body(i, carry):
+                    # carry is 0.0 at runtime; the loop-carried add defeats
+                    # hoisting, and abs() blocks the distributive rewrite
+                    # sum(x+c) -> sum(x)+c*n that would elide the read.
+                    return carry + jnp.sum(jnp.abs(buf + carry), dtype=jnp.float32) * eps
+
+                return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+            return run
+
+        stream_bw = big.nbytes / diff_time(make_stream, (big,), 48)
+
+        candidates = [bw for bw in (gemv_bw, stream_bw) if bw < plausible]
+        if not candidates:
+            return nominal
+        return min(max(candidates), nominal)
     except Exception:
         return nominal

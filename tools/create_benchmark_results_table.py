@@ -37,7 +37,8 @@ def run_benchmark(path: pathlib.Path, iterations: int) -> list[tuple[str, float]
         parts = line.strip().split(",")
         if len(parts) >= 5 and parts[0] != "tag":
             try:
-                rows.append((parts[0], float(parts[4])))
+                gbps = float(parts[6]) if len(parts) > 6 and parts[6] else None
+                rows.append((parts[0], float(parts[4]), gbps))
             except ValueError:
                 continue
     if proc.returncode != 0:
@@ -75,13 +76,25 @@ def main() -> None:
         header = "<!-- calibration failed -->"
     print(header.strip("<!- >"), file=sys.stderr)
 
-    lines = [header, "| Benchmark | Case | Median (ms) |", "|---|---|---|"]
+    try:
+        cal_gbps = float(bw) / 1e9
+    except (NameError, ValueError):
+        cal_gbps = None
+    lines = [header, "| Benchmark | Case | Median (ms) | Achieved GB/s | % of calibrated bw |", "|---|---|---|---|---|"]
     for bench in sorted(BENCH_DIR.glob("*_benchmark.py")):
         if args.only and args.only not in bench.name:
             continue
-        for tag, median in run_benchmark(bench, args.iterations):
-            lines.append(f"| {bench.stem} | {tag} | {median:.4f} |")
-            print(f"{bench.stem}: {tag} = {median:.4f} ms", file=sys.stderr)
+        for tag, median, gbps in run_benchmark(bench, args.iterations):
+            if gbps is None:
+                gcol, pcol = "—", "—"
+            else:
+                gcol = f"{gbps:.1f}"
+                frac = gbps / cal_gbps * 100 if cal_gbps else None
+                # Rows implying more bandwidth than the chip can deliver in
+                # this window are measurement bugs: flag, never publish as wins.
+                pcol = "—" if frac is None else (f"{frac:.0f}% ⚠BOGUS" if frac > 110 else f"{frac:.0f}%")
+            lines.append(f"| {bench.stem} | {tag} | {median:.4f} | {gcol} | {pcol} |")
+            print(f"{bench.stem}: {tag} = {median:.4f} ms ({gcol} GB/s)", file=sys.stderr)
 
     table = "\n".join(lines)
     if args.output:

@@ -24,26 +24,43 @@ from conch_tpu.utils.benchmark import calibrate_hbm_bw
 from conch_tpu.utils.test_utils import create_paged_fixture
 
 
-def loop_time_ms(step_fn, n=20, reps=3):
-    """Median ms/iter of ``n`` chained iterations in one dispatch."""
+def loop_time_ms(step_fn, operands, n=20, reps=3):
+    """Per-iter ms by differencing chained loops of N and 2N iterations.
 
-    @jax.jit
-    def run(eps):
-        def body(i, carry):
-            out = step_fn(carry)
-            # Thread a scalar of the output back in: serializes iterations,
-            # defeats DCE (eps is traced, XLA cannot fold it away).
-            return carry + eps * out.astype(jnp.float32).ravel()[0]
+    ``operands`` are passed as jit arguments (NOT closure constants: the
+    tunnel's remote compiler rejects payloads with a GB of embedded cache).
+    Differencing cancels dispatch + tunnel round-trip latency; completion
+    is forced by fetching the scalar carry to the host.
+    """
 
-        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+    def make(m):
+        @jax.jit
+        def run(eps, *ops):
+            def body(i, carry):
+                out = step_fn(carry, *ops)
+                # Thread a scalar of the output back in: serializes
+                # iterations (eps is traced, XLA cannot fold it away).
+                return carry + eps * out.astype(jnp.float32).ravel()[0]
 
-    run(jnp.float32(0.0)).block_until_ready()
-    best = float("inf")
+            return jax.lax.fori_loop(0, m, body, jnp.zeros((), jnp.float32))
+
+        return run
+
+    run_n, run_2n = make(n), make(2 * n)
+    zero = jnp.float32(0.0)
+    float(np.asarray(run_n(zero, *operands)))  # compile + true sync
+    float(np.asarray(run_2n(zero, *operands)))
+    diffs = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        run(jnp.float32(0.0)).block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / n * 1e3)
-    return best
+        float(np.asarray(run_n(zero, *operands)))
+        t_n = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(np.asarray(run_2n(zero, *operands)))
+        t_2n = time.perf_counter() - t0
+        diffs.append(max(t_2n - t_n, 1e-9) / n * 1e3)
+    diffs.sort()
+    return diffs[len(diffs) // 2]  # median: min-of-diffs is biased low
 
 
 def main():
@@ -63,18 +80,18 @@ def main():
     scale = 1.0 / math.sqrt(d)
     kv_bytes = 2 * batch * seq * kh * d * 2  # K+V, bf16
 
-    q, kc, vc, bt, sl = fx.query, fx.key_cache, fx.value_cache, fx.block_table, fx.seq_lens
+    operands = (fx.query, fx.key_cache, fx.value_cache, fx.block_table, fx.seq_lens)
     cu = jnp.arange(batch + 1, dtype=jnp.int32)
 
-    def paged_step(eps_carry):
-        return paged_attention(q + eps_carry * 0, kc, vc, bt, sl, scale=scale)
+    def paged_step(eps_carry, q, kc, vc, bt, sl):
+        return paged_attention(q + eps_carry, kc, vc, bt, sl, scale=scale)
 
-    def varlen_step(eps_carry):
+    def varlen_step(eps_carry, q, kc, vc, bt, sl):
         return varlen_attention(
-            q + eps_carry * 0, kc, vc, cu, 1, sl, seq, bt, causal=True, scale=scale
+            q + eps_carry, kc, vc, cu, 1, sl, seq, bt, causal=True, scale=scale
         )
 
-    def xla_dense_step(eps_carry):
+    def xla_dense_step(eps_carry, q, kc, vc, bt, sl):
         pages_per_seq = bt.shape[1]
         k = kc[bt]
         v = vc[bt]
@@ -83,7 +100,7 @@ def main():
         k = k.transpose(0, 2, 1, 3, 4).reshape(b, kc.shape[1], max_s, kc.shape[3])
         v = v.transpose(0, 2, 1, 3, 4).reshape(b, kc.shape[1], max_s, kc.shape[3])
         groups = q.shape[1] // kc.shape[1]
-        qg = (q + eps_carry * 0).reshape(b, kc.shape[1], groups, q.shape[2]).astype(jnp.float32)
+        qg = (q + eps_carry).reshape(b, kc.shape[1], groups, q.shape[2]).astype(jnp.float32)
         logits = jnp.einsum("bhgd,bhsd->bhgs", qg, k.astype(jnp.float32)) * scale
         mask = jnp.arange(max_s)[None, None, None, :] < sl[:, None, None, None]
         logits = jnp.where(mask, logits, -jnp.inf)
@@ -96,12 +113,13 @@ def main():
     for name in which:
         step = steps[name]
         t0 = time.perf_counter()
-        ms = loop_time_ms(step, n=10)
+        ms = loop_time_ms(step, operands, n=10)
+        cal = max(cal, calibrate_hbm_bw())  # window fluctuates: re-sample after each run
         gbs = kv_bytes / (ms / 1e3) / 1e9
         frac = gbs / (cal / 1e9)
         flag = "  <-- EXCEEDS CALIBRATION (bogus)" if frac > 1.1 else ""
         print(
-            f"{name:>14}: {ms:8.3f} ms  {gbs:7.1f} GB/s  {frac*100:5.1f}% of window bw"
+            f"{name:>14}: {ms:8.3f} ms  {gbs:7.1f} GB/s  {frac*100:5.1f}% of window max bw ({cal/1e9:.0f})"
             f"  (wall incl compile {time.perf_counter()-t0:.0f}s){flag}",
             flush=True,
         )

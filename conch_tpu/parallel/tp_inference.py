@@ -21,7 +21,7 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from conch_tpu.models.llama import LlamaConfig, llama_decode_step, llama_prefill
+from conch_tpu.models.llama import LlamaConfig, llama_decode_step, llama_prefill, llama_verify_forward
 from conch_tpu.parallel.sharding import kv_cache_pspec, llama_param_pspecs
 
 
@@ -69,8 +69,8 @@ def make_tp_decode_step(mesh: Mesh, config: LlamaConfig, params_example: Any):
     return jax.jit(shard_mapped, donate_argnums=(6, 7))
 
 
-def make_tp_prefill(mesh: Mesh, config: LlamaConfig, params_example: Any, max_seqlen_q: int):
-    """Build a jitted tensor-parallel prefill (batch replicated across data).
+def _make_tp_varlen_step(mesh: Mesh, config: LlamaConfig, params_example: Any, max_seqlen_q: int, forward):
+    """Shared builder for the ragged-token TP steps (prefill / verify).
 
     Prefill batches are ragged (cu_seqlens); for simplicity the token
     stream is replicated across the "data" axis and sharded over "model"
@@ -79,7 +79,7 @@ def make_tp_prefill(mesh: Mesh, config: LlamaConfig, params_example: Any, max_se
     param_specs = llama_param_pspecs(params_example)
 
     def local_step(params, token_ids, positions, cu_seqlens_q, seq_lens, block_tables, slot_mapping, k_caches, v_caches):
-        logits, k_caches, v_caches = llama_prefill(
+        logits, k_caches, v_caches = forward(
             params, config, token_ids, positions, cu_seqlens_q, max_seqlen_q,
             seq_lens, block_tables, slot_mapping, k_caches, v_caches, tp_axis="model",
         )
@@ -94,3 +94,13 @@ def make_tp_prefill(mesh: Mesh, config: LlamaConfig, params_example: Any, max_se
         check_vma=False,
     )
     return jax.jit(shard_mapped, donate_argnums=(7, 8))
+
+
+def make_tp_prefill(mesh: Mesh, config: LlamaConfig, params_example: Any, max_seqlen_q: int):
+    """Build a jitted tensor-parallel prefill (batch replicated across data)."""
+    return _make_tp_varlen_step(mesh, config, params_example, max_seqlen_q, llama_prefill)
+
+
+def make_tp_verify(mesh: Mesh, config: LlamaConfig, params_example: Any, max_seqlen_q: int):
+    """Tensor-parallel speculative-decoding verification forward."""
+    return _make_tp_varlen_step(mesh, config, params_example, max_seqlen_q, llama_verify_forward)

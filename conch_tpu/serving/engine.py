@@ -27,6 +27,7 @@ from __future__ import annotations
 import enum
 import functools
 from dataclasses import dataclass, field
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -108,11 +109,20 @@ def _bucket(n: int, floor: int = 16) -> int:
 
 
 class LLMEngine:
-    """Single-host continuous-batching engine (model-agnostic scheduler).
+    """Continuous-batching engine (model-agnostic scheduler).
 
     Serves Llama by default; pass ``prefill_fn``/``decode_fn`` (e.g. the
     Gemma forwards from ``conch_tpu.models.gemma``) to serve any model
     family with the (params, config, tokens, ..., caches) step signature.
+
+    Pass ``mesh`` (axes ("data", "model"), data=1) to serve
+    tensor-parallel: params are sharded Megatron-style over "model", the
+    paged KV pool is sharded on its kv-head dimension (attention then
+    needs zero cross-chip communication), and the device steps are the
+    ``shard_map`` TP steps from ``conch_tpu.parallel.tp_inference``. The
+    host-side scheduler is unchanged — TP is invisible above the step
+    functions. Data parallelism runs *outside* the engine: one engine per
+    host/device-group (see ``conch_tpu.parallel.distributed``).
     """
 
     def __init__(
@@ -123,10 +133,12 @@ class LLMEngine:
         cache_dtype=None,
         prefill_fn=None,
         decode_fn=None,
+        mesh=None,
     ):
         self.params = params
         self.config = model_config
         self.ecfg = engine_config
+        self.mesh = mesh
         self.allocator = _make_allocator(engine_config.num_pages)
         cache_shape = (
             model_config.num_layers,
@@ -138,6 +150,21 @@ class LLMEngine:
         dtype = cache_dtype or model_config.dtype
         self.k_caches = jnp.zeros(cache_shape, dtype=dtype)
         self.v_caches = jnp.zeros(cache_shape, dtype=dtype)
+        if mesh is not None:
+            if prefill_fn is not None or decode_fn is not None:
+                msg = "mesh-based TP serving currently supports the Llama model family only"
+                raise ValueError(msg)
+            if mesh.shape.get("data", 1) != 1:
+                msg = (
+                    "the engine's mesh must have data=1: data parallelism is "
+                    "one engine per device group (see parallel.distributed)"
+                )
+                raise ValueError(msg)
+            from conch_tpu.parallel.sharding import kv_cache_sharding, shard_llama_params
+
+            self.params = shard_llama_params(params, mesh)
+            self.k_caches = jax.device_put(self.k_caches, kv_cache_sharding(mesh))
+            self.v_caches = jax.device_put(self.v_caches, kv_cache_sharding(mesh))
         self.waiting: list[Request] = []
         self.running: list[Request] = []
         self._next_id = 0
@@ -151,23 +178,54 @@ class LLMEngine:
         self.spec_tokens_drafted = 0
         self.spec_tokens_accepted = 0
 
-        self._prefill_fn = jax.jit(
-            functools.partial(prefill_fn or llama_prefill, config=model_config),
-            static_argnames=("max_seqlen_q",),
-            donate_argnames=("k_caches", "v_caches"),
-        )
-        self._decode_fn = jax.jit(
-            functools.partial(decode_fn or llama_decode_step, config=model_config),
-            donate_argnames=("k_caches", "v_caches"),
-        )
-        self._verify_fn = jax.jit(
-            functools.partial(llama_verify_forward, config=model_config),
-            static_argnames=("max_seqlen_q",),
-            donate_argnames=("k_caches", "v_caches"),
-        )
+        if mesh is not None:
+            self._prefill_fn, self._decode_fn, self._verify_fn = self._make_tp_steps(mesh)
+        else:
+            self._prefill_fn = jax.jit(
+                functools.partial(prefill_fn or llama_prefill, config=model_config),
+                static_argnames=("max_seqlen_q",),
+                donate_argnames=("k_caches", "v_caches"),
+            )
+            self._decode_fn = jax.jit(
+                functools.partial(decode_fn or llama_decode_step, config=model_config),
+                donate_argnames=("k_caches", "v_caches"),
+            )
+            self._verify_fn = jax.jit(
+                functools.partial(llama_verify_forward, config=model_config),
+                static_argnames=("max_seqlen_q",),
+                donate_argnames=("k_caches", "v_caches"),
+            )
         if engine_config.num_speculative_tokens > 0 and decode_fn is not None:
             msg = "speculative decoding currently supports the Llama model family only"
             raise ValueError(msg)
+
+    def _make_tp_steps(self, mesh):
+        """Adapt the shard_map TP steps to the engine's kwarg signatures.
+
+        The ragged steps (prefill/verify) close over a static
+        ``max_seqlen_q``; the engine buckets it to powers of two, so each
+        bucket builds (and caches) one jitted step — the same recompile
+        granularity as the single-device ``static_argnames`` path.
+        """
+        from conch_tpu.parallel.tp_inference import make_tp_decode_step, make_tp_prefill, make_tp_verify
+
+        tp_decode = make_tp_decode_step(mesh, self.config, self.params)
+
+        def decode_adapter(params, *, token_ids, positions, seq_lens, block_tables, slot_mapping, k_caches, v_caches):
+            return tp_decode(params, token_ids, positions, seq_lens, block_tables, slot_mapping, k_caches, v_caches)
+
+        def make_ragged_adapter(builder):
+            by_bucket: dict[int, Any] = {}
+
+            def adapter(params, *, token_ids, positions, cu_seqlens_q, max_seqlen_q, seq_lens, block_tables, slot_mapping, k_caches, v_caches):
+                fn = by_bucket.get(max_seqlen_q)
+                if fn is None:
+                    fn = by_bucket[max_seqlen_q] = builder(mesh, self.config, self.params, max_seqlen_q)
+                return fn(params, token_ids, positions, cu_seqlens_q, seq_lens, block_tables, slot_mapping, k_caches, v_caches)
+
+            return adapter
+
+        return make_ragged_adapter(make_tp_prefill), decode_adapter, make_ragged_adapter(make_tp_verify)
 
     # -- public API --------------------------------------------------------
 

@@ -230,3 +230,58 @@ def test_tp_decode_nf4_matches_single_device():
     tp_logits, _, _ = step(sharded, token_ids, positions, seq_lens, block_tables, slot_mapping, kc, vc)
 
     np.testing.assert_allclose(np.asarray(tp_logits), np.asarray(ref_logits), atol=3e-3, rtol=3e-3)
+
+
+def test_tp_prefill_matches_single_device(tp_model):
+    """make_tp_prefill == single-device llama_prefill (VERDICT round-1 gap:
+    the decode and train steps were parity-tested, prefill was not)."""
+    from conch_tpu.models.llama import llama_prefill
+    from conch_tpu.parallel.tp_inference import make_tp_prefill
+
+    config, params = tp_model
+    mesh = create_mesh(data=1, model=4)
+    rng = np.random.default_rng(5)
+
+    num_pages, page_size = 16, 16
+    q_lens = [7, 12, 3]
+    seq_lens_list = [7, 12, 3]  # pure prefill
+    total = sum(q_lens)
+    total_pad = 32
+    max_q = 16
+    batch = len(q_lens)
+
+    token_ids = np.zeros(total_pad, np.int32)
+    token_ids[:total] = rng.integers(0, config.vocab_size, total)
+    positions = np.zeros(total_pad, np.int32)
+    slots = np.full(total_pad, -1, np.int32)
+    bt = rng.permutation(num_pages).reshape(4, 4).astype(np.int32)[:batch + 1][:batch]
+    pos = 0
+    for b, ql in enumerate(q_lens):
+        positions[pos : pos + ql] = np.arange(ql)
+        slots[pos : pos + ql] = bt[b, np.arange(ql) // page_size] * page_size + np.arange(ql) % page_size
+        pos += ql
+    cu = np.zeros(batch + 1, np.int32)
+    cu[1:] = np.cumsum(q_lens)
+
+    args = (
+        jnp.asarray(token_ids), jnp.asarray(positions), jnp.asarray(cu),
+    )
+    sl = jnp.asarray(seq_lens_list, jnp.int32)
+    btj = jnp.asarray(bt)
+    slots_j = jnp.asarray(slots)
+
+    k0, v0 = init_kv_caches(config, num_pages, page_size)
+    ref_logits, _, _ = llama_prefill(
+        params, config, args[0], args[1], args[2], max_q, sl, btj, slots_j, k0, v0
+    )
+
+    sharded = shard_llama_params(params, mesh)
+    kc, vc = init_kv_caches(config, num_pages, page_size)
+    kc = jax.device_put(kc, kv_cache_sharding(mesh))
+    vc = jax.device_put(vc, kv_cache_sharding(mesh))
+    step = make_tp_prefill(mesh, config, sharded, max_q)
+    tp_logits, _, _ = step(sharded, args[0], args[1], args[2], sl, btj, slots_j, kc, vc)
+
+    np.testing.assert_allclose(
+        np.asarray(tp_logits), np.asarray(ref_logits), atol=2e-3, rtol=2e-3
+    )

@@ -157,18 +157,20 @@ def _mixed_gemm_kernel(
         codes = _unpack_block(b_ref[...], nbits, epp, bk, bn).astype(jnp.float32)
         w = codes - float(weight_bias)
 
-    # Per-row group selection as a one-hot matmul: rows of this K tile map
-    # to group ids (k*bk + r) // group_size; a (bk, num_groups) one-hot
-    # times the full meta strip broadcasts each group row over its K rows.
-    # (Vectorized alternative to tiny dynamic sublane slices, which Mosaic
-    # cannot load, and jnp.repeat, which lowers to scatter.)
-    num_groups_total = s_ref.shape[0]
-    row_group = (k * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, num_groups_total), 0)) // group_size
-    group_col = jax.lax.broadcasted_iota(jnp.int32, (bk, num_groups_total), 1)
-    onehot = (row_group == group_col).astype(jnp.float32)
+    # The BlockSpec index map delivers exactly this K tile's group rows
+    # (bk//group_size rows, or one row when a group spans multiple tiles),
+    # so group expansion is a broadcast multiply — no one-hot MXU dot, no
+    # full meta strip riding along every step.
+    gpt = bk // group_size  # groups per tile (0 => tile inside one group)
 
     def expand_groups(meta_ref):
-        return jnp.dot(onehot, meta_ref[...].astype(jnp.float32), preferred_element_type=jnp.float32)
+        m = meta_ref[...].astype(jnp.float32)  # (gpt, 1, bn) or (1, 1, bn)
+        if gpt >= 1:
+            return m  # broadcasts over (gpt, group_size, bn)
+        return m.reshape(1, m.shape[-1])  # broadcasts over (bk, bn)
+
+    if gpt >= 1:
+        w = w.reshape(gpt, group_size, bn)
 
     if has_zp:
         if zero_is_scalar:
@@ -177,6 +179,8 @@ def _mixed_gemm_kernel(
             w = w - expand_groups(zp_ref)
 
     w = w * expand_groups(s_ref)
+    if gpt >= 1:
+        w = w.reshape(bk, bn)
 
     x = x_ref[...]
     acc_ref[...] += jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
@@ -262,24 +266,34 @@ def mixed_precision_gemm_launcher(
 
     grid = (mp // bm, np_ // bn, kp // bk)
 
-    # Scales/zeros: the whole (num_groups, bn) column strip rides along for
-    # every K step (it is small); the kernel slices its group rows. This
-    # keeps block sublane counts Mosaic-legal for any group_size/bk combo.
-    meta_spec = pl.BlockSpec((gp, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM)
+    # Scales/zeros: deliver only this K tile's group rows per step. When a
+    # tile holds >=1 whole groups the block is (bk//group_size, 1, bn) at
+    # block-row k; when one group spans multiple tiles it is a single row
+    # selected by (k*bk)//group_size. Meta arrays are reshaped to
+    # (groups, 1, bn) so the *leading* dim carries the group count —
+    # Mosaic constrains only the last two block dims (sublane x lane),
+    # and (1, bn) is legal for any group_size/bk combo.
+    gpt = bk // group_size
+    if gpt >= 1:
+        meta_spec = pl.BlockSpec((gpt, 1, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM)
+    else:
+        meta_spec = pl.BlockSpec(
+            (1, 1, bn), lambda i, j, k: (k * bk // group_size, 0, j), memory_space=pltpu.VMEM
+        )
 
     in_specs = [
         pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
         pl.BlockSpec((bk // epp, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
         meta_spec,
     ]
-    operands = [x, w_q_packed, w_s]
+    operands = [x, w_q_packed, w_s.reshape(gp, 1, np_)]
     if has_zp:
         if zero_is_scalar:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
             operands.append(w_zp.reshape(1).astype(jnp.float32))
         else:
             in_specs.append(meta_spec)
-            operands.append(w_zp)
+            operands.append(w_zp.reshape(gp, 1, np_))
     else:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.append(jnp.zeros((1,), dtype=jnp.float32))

@@ -23,7 +23,15 @@ import sys
 
 
 def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: runs on real TPU hardware (Mosaic lowering, not interpret mode)"
+    )
     if os.environ.get("_CONCH_TPU_TEST_REEXEC") == "1":
+        return
+    # `pytest -m tpu` selects the hardware tier: keep the ambient TPU
+    # backend (axon sitecustomize) instead of re-exec'ing onto CPU.
+    if (getattr(config.option, "markexpr", "") or "").strip() == "tpu":
+        os.environ["_CONCH_TPU_TEST_REEXEC"] = "1"  # stop children re-execing
         return
     env = dict(os.environ)
     env["_CONCH_TPU_TEST_REEXEC"] = "1"

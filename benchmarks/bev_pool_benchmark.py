@@ -33,9 +33,17 @@ def main() -> None:
 
     out = bev_pool(feats, geom_j, starts_j, lengths_j, 1, 1, args.grid, args.grid)
 
+    out_nbytes = args.grid * args.grid * args.channels * 4
+    # geom/starts/lengths stay closure constants: bev_pool's custom_vjp
+    # marks them nondiff, so they must be concrete (and they are small).
     run_and_report(args, [
-        ("bev_pool_fwd", lambda: bev_pool(feats, geom_j, starts_j, lengths_j, 1, 1, args.grid, args.grid)),
-        ("bev_pool_bwd", lambda: bev_pool_backward(out, geom_j, starts_j, lengths_j)),
+        ("bev_pool_fwd",
+         lambda carry, feats: bev_pool(
+             feats + carry, geom_j, starts_j, lengths_j, 1, 1, args.grid, args.grid),
+         feats.nbytes + out_nbytes, (feats,)),
+        ("bev_pool_bwd",
+         lambda carry, out: bev_pool_backward(out + carry, geom_j, starts_j, lengths_j),
+         feats.nbytes + out_nbytes, (out,)),
     ])
 
 

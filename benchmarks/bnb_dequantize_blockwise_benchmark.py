@@ -5,7 +5,7 @@
 
 import jax.numpy as jnp
 
-from benchmarks.common import make_parser, rng, run_and_report
+from benchmarks.common import make_parser, rng, run_and_report, runtime_zero_i32
 from conch_tpu.ops.quantization.bitsandbytes import dequantize_blockwise, quantize_blockwise
 
 
@@ -18,9 +18,15 @@ def main() -> None:
 
     x = jnp.asarray(rng(args).normal(size=(args.numel,)), dtype=jnp.bfloat16)
     packed, state = quantize_blockwise(x, blocksize=args.blocksize, quant_type=args.quant_type)
+    # Read codes + absmax, write bf16 output.
+    nbytes = packed.nbytes + (args.numel // args.blocksize) * 4 + args.numel * 2
     run_and_report(args, [(
         f"bnb_dequantize_{args.quant_type}_b{args.blocksize}",
-        lambda: dequantize_blockwise(packed, quant_state=state),
+        # Codes are uint8: keep the iteration carry-dependent through a
+        # runtime-zero index perturbation instead of a float add.
+        lambda carry, packed: dequantize_blockwise(
+            packed + runtime_zero_i32(carry).astype(packed.dtype), quant_state=state),
+        nbytes, (packed,),
     )])
 
 

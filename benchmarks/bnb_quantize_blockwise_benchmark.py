@@ -18,9 +18,13 @@ def main() -> None:
     args = parser.parse_args()
 
     x = jnp.asarray(rng(args).normal(size=(args.numel,)), dtype=jnp.bfloat16)
+    # Read x, write 4-bit codes + per-block absmax.
+    nbytes = x.nbytes + args.numel // 2 + (args.numel // args.blocksize) * 4
     run_and_report(args, [(
         f"bnb_quantize_{args.quant_type}_b{args.blocksize}",
-        lambda: quantize_blockwise(x, blocksize=args.blocksize, quant_type=args.quant_type)[0],
+        lambda carry, x: quantize_blockwise(
+            x + carry, blocksize=args.blocksize, quant_type=args.quant_type)[0],
+        nbytes, (x,),
     )])
 
 

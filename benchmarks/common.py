@@ -35,20 +35,24 @@ def run_and_report(args, cases: list[tuple]) -> list[BenchmarkResult]:
     Case forms:
     - ``(tag, fn)``: wall-clock timing of ``fn()`` per call (host-visible
       ops, engine steps).
-    - ``(tag, step_fn, bytes_moved[, operands])``: trustworthy
+    - ``(tag, step_fn, bytes_moved[, operands[, state]])``: trustworthy
       loop-in-one-dispatch timing; ``step_fn`` takes the f32 scalar carry
       (fold it into an input) then ``operands``, and the row reports
       achieved GB/s from ``bytes_moved``. Pass big arrays via operands,
-      not closure (closure constants bloat the compile payload).
+      not closure (closure constants bloat the compile payload). With
+      ``state``, ``step_fn(carry, state, *operands) -> new_state`` and the
+      state pytree is threaded through the loop (in-place buffer updates).
     """
     results = []
     for case in cases:
         if len(case) >= 3:
             tag, step_fn, bytes_moved = case[:3]
             operands = case[3] if len(case) > 3 else ()
+            state = case[4] if len(case) > 4 else None
             results.append(
                 benchmark_loop(
-                    step_fn, tag, operands=operands, iters_per_dispatch=args.loop,
+                    step_fn, tag, operands=operands, state=state,
+                    iters_per_dispatch=args.loop,
                     reps=max(3, args.iterations // args.loop), bytes_moved=bytes_moved,
                 )
             )
@@ -69,3 +73,17 @@ def run_and_report(args, cases: list[tuple]) -> list[BenchmarkResult]:
 
 def rng(args) -> np.random.Generator:
     return np.random.default_rng(args.seed)
+
+
+def runtime_zero_i32(carry):
+    """An int32 that is 0 at runtime but data-depends on the loop carry.
+
+    For ops whose only float inputs are too large to cheaply add the carry
+    to (or that have none), perturb an *index* operand by this instead:
+    it keeps each loop iteration data-dependent (XLA cannot hoist the op
+    out of the timing loop) at the cost of one scalar convert. ``carry``
+    is a traced value, so ``carry * tiny`` cannot be constant-folded.
+    """
+    import jax.numpy as jnp
+
+    return (carry * 1e-30).astype(jnp.int32)

@@ -5,7 +5,7 @@
 import jax.numpy as jnp
 import numpy as np
 
-from benchmarks.common import make_parser, rng, run_and_report
+from benchmarks.common import make_parser, rng, run_and_report, runtime_zero_i32
 from conch_tpu.ops.cache import copy_blocks
 
 
@@ -29,9 +29,18 @@ def main() -> None:
     pairs = r.choice(args.num_pages, size=(args.num_pairs, 2), replace=False).astype(np.int32)
     mapping = jnp.asarray(pairs)
 
+    # Each pair copies one row in every layer's K and V cache (read+write).
+    row_nbytes = args.row_bytes * 2
+    nbytes = args.num_layers * 2 * args.num_pairs * row_nbytes * 2
     run_and_report(args, [(
         f"copy_blocks_l{args.num_layers}_p{args.num_pairs}",
-        lambda: copy_blocks(caches_k, caches_v, mapping)[0][0],
+        # Caches ride the loop carry (in-place updates across iterations);
+        # the mapping is perturbed by a runtime-zero so each iteration
+        # stays carry-dependent.
+        lambda carry, state, mapping: tuple(
+            copy_blocks(state[0], state[1], mapping + runtime_zero_i32(carry))
+        ),
+        nbytes, (mapping,), (caches_k, caches_v),
     )])
 
 

@@ -16,7 +16,11 @@ def main() -> None:
 
     x = jnp.asarray(rng(args).normal(size=(args.num_tokens, args.hidden_size)) * 30, dtype=jnp.bfloat16)
     scale = jnp.asarray([0.4], dtype=jnp.float32)
-    run_and_report(args, [("fp8_static_quant", lambda: scaled_fp8_quant(x, scale))])
+    run_and_report(args, [(
+        "fp8_static_quant",
+        lambda carry, x, scale: scaled_fp8_quant(x + carry, scale),
+        x.nbytes + x.size, (x, scale),
+    )])
 
 
 if __name__ == "__main__":

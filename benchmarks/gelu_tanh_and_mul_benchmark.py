@@ -15,7 +15,11 @@ def main() -> None:
     args = parser.parse_args()
 
     x = jnp.asarray(rng(args).normal(size=(args.num_tokens, 2 * args.d)), dtype=jnp.bfloat16)
-    run_and_report(args, [("gelu_tanh_and_mul", lambda: gelu_tanh_and_mul(x))])
+    run_and_report(args, [(
+        "gelu_tanh_and_mul",
+        lambda carry, x: gelu_tanh_and_mul(x + carry),
+        x.nbytes + x.nbytes // 2, (x,),
+    )])
 
 
 if __name__ == "__main__":

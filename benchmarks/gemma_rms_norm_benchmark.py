@@ -18,7 +18,11 @@ def main() -> None:
     x = jnp.asarray(r.normal(size=(args.num_tokens, args.hidden_size)), dtype=jnp.bfloat16)
     w = jnp.asarray(r.normal(size=(args.hidden_size,)), dtype=jnp.bfloat16)
 
-    run_and_report(args, [("gemma_rms_norm", lambda: gemma_rms_norm(x, w, 1e-6))])
+    run_and_report(args, [(
+        "gemma_rms_norm",
+        lambda carry, x, w: gemma_rms_norm(x + carry, w, 1e-6),
+        2 * x.nbytes + w.nbytes, (x, w),
+    )])
 
 
 if __name__ == "__main__":

@@ -34,10 +34,15 @@ def main() -> None:
     import jax
     dense = jax.jit(lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32).astype(a.dtype))
 
+    out_bytes = args.m * args.n * 2
     run_and_report(args, [
-        (f"mixed_gemm_w{args.bits}a16_m{args.m}", lambda: mixed_precision_gemm(
-            x, packed, scales, None, args.bits, qt.bias, args.group_size)),
-        ("dense_bf16_matmul", lambda: dense(x, w_dense)),
+        (f"mixed_gemm_w{args.bits}a16_m{args.m}",
+         lambda carry, x, packed, scales: mixed_precision_gemm(
+             x + carry, packed, scales, None, args.bits, qt.bias, args.group_size),
+         packed.nbytes + scales.nbytes + x.nbytes + out_bytes, (x, packed, scales)),
+        ("dense_bf16_matmul",
+         lambda carry, x, wd: dense(x + carry, wd),
+         w_dense.nbytes + x.nbytes + out_bytes, (x, w_dense)),
     ])
 
 

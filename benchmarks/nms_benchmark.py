@@ -32,8 +32,12 @@ def main() -> None:
     else:
         # Device-side sort + suppression kernel only: the final
         # data-dependent index gather is a tiny host pull whose cost is
-        # pure link latency, not op cost.
-        case = (f"nms_n{args.num_boxes}", lambda: _nms_keep_mask(boxes, scores, args.iou_threshold))
+        # pure link latency, not op cost. Compute-bound (no GB/s column).
+        case = (
+            f"nms_n{args.num_boxes}",
+            lambda carry, boxes, scores: _nms_keep_mask(boxes, scores + carry, args.iou_threshold),
+            None, (boxes, scores),
+        )
     run_and_report(args, [case])
 
 

@@ -25,18 +25,23 @@ def main() -> None:
     slots = jnp.asarray(
         r.choice(args.num_pages * args.page_size, size=args.num_tokens, replace=False), dtype=jnp.int32
     )
-    cache_shape = (args.num_pages, args.page_size, args.num_kv_heads, args.head_size)
+    cache_shape = (args.num_pages, args.num_kv_heads, args.page_size, args.head_size)
 
     state = {
         "k": jnp.zeros(cache_shape, jnp.bfloat16),
         "v": jnp.zeros(cache_shape, jnp.bfloat16),
     }
 
-    def step():
-        state["k"], state["v"] = reshape_and_cache(key, value, state["k"], state["v"], slots)
-        return state["k"]
+    def step(carry, st, key, value, slots):
+        k, v = reshape_and_cache(key + carry, value, st["k"], st["v"], slots)
+        return {"k": k, "v": v}
 
-    run_and_report(args, [(f"reshape_and_cache_t{args.num_tokens}", step)])
+    # Read the new tokens, scatter-write them into both caches.
+    nbytes = 2 * (key.nbytes + value.nbytes)
+    run_and_report(args, [(
+        f"reshape_and_cache_t{args.num_tokens}",
+        step, nbytes, (key, value, slots), state,
+    )])
 
 
 if __name__ == "__main__":

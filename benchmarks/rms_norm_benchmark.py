@@ -20,8 +20,12 @@ def main() -> None:
     w = jnp.asarray(r.normal(size=(args.hidden_size,)), dtype=jnp.bfloat16)
 
     run_and_report(args, [
-        ("rms_norm", lambda: rms_norm(x, w, 1e-6)),
-        ("fused_add_rms_norm", lambda: fused_add_rms_norm(x, res, w, 1e-6)),
+        ("rms_norm",
+         lambda carry, x, res, w: rms_norm(x + carry, w, 1e-6),
+         2 * x.nbytes + w.nbytes, (x, res, w)),
+        ("fused_add_rms_norm",
+         lambda carry, x, res, w: fused_add_rms_norm(x + carry, res, w, 1e-6),
+         4 * x.nbytes + w.nbytes, (x, res, w)),
     ])
 
 

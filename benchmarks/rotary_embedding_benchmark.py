@@ -23,7 +23,11 @@ def main() -> None:
     q = jnp.asarray(r.normal(size=(args.num_tokens, args.num_q_heads * args.head_size)), dtype=jnp.bfloat16)
     k = jnp.asarray(r.normal(size=(args.num_tokens, args.num_kv_heads * args.head_size)), dtype=jnp.bfloat16)
 
-    run_and_report(args, [("rotary_embedding", lambda: rotary_embedding(pos, q, k, args.head_size, cache))])
+    run_and_report(args, [(
+        "rotary_embedding",
+        lambda carry, pos, q, k, cache: rotary_embedding(pos, q + carry, k, args.head_size, cache),
+        2 * (q.nbytes + k.nbytes), (pos, q, k, cache),
+    )])
 
 
 if __name__ == "__main__":

@@ -22,7 +22,10 @@ def main() -> None:
     sb = jnp.asarray(r.uniform(0.001, 0.01, size=(args.n,)), dtype=jnp.float32)
 
     run_and_report(args, [
-        (f"scaled_gemm_int8_m{args.m}", lambda: scaled_gemm(a, b, sa, sb, jnp.bfloat16)),
+        (f"scaled_gemm_int8_m{args.m}",
+         # a/b are int8: inject the carry through the (float) row scales.
+         lambda carry, a, b, sa, sb: scaled_gemm(a, b, sa + carry, sb, jnp.bfloat16),
+         a.nbytes + b.nbytes + args.m * args.n * 2, (a, b, sa, sb)),
     ])
 
 

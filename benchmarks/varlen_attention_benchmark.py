@@ -29,11 +29,17 @@ def main() -> None:
         q_lens=[args.seq_len] * args.batch, dtype=jnp.bfloat16,
     )
     scale = 1.0 / math.sqrt(args.head_size)
+    kv_bytes = (
+        2 * args.batch * args.seq_len * args.num_kv_heads * args.head_size
+        * fx.key_cache.dtype.itemsize
+    )
+    operands = (fx.query, fx.key_cache, fx.value_cache, fx.block_table, fx.seq_lens)
     run_and_report(args, [(
         f"varlen_attention_prefill_b{args.batch}_s{args.seq_len}",
-        lambda: varlen_attention(
-            fx.query, fx.key_cache, fx.value_cache, fx.cu_seqlens_q, fx.max_seqlen_q,
-            fx.seq_lens, fx.max_seqlen_k, fx.block_table, causal=True, scale=scale),
+        lambda carry, q, kc, vc, bt, sl: varlen_attention(
+            q + carry, kc, vc, fx.cu_seqlens_q, fx.max_seqlen_q,
+            sl, fx.max_seqlen_k, bt, causal=True, scale=scale),
+        kv_bytes + 2 * fx.query.nbytes, operands,
     )])
 
 

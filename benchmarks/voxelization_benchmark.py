@@ -28,7 +28,9 @@ def main() -> None:
 
     run_and_report(args, [(
         f"voxelization_n{args.num_points}",
-        lambda: generate_voxels(pts_j, param)[1],
+        # Sort-bound, not bandwidth-bound: honest loop timing, no GB/s.
+        lambda carry, pts: generate_voxels(pts + carry, param)[1],
+        None, (pts_j,),
     )])
 
 

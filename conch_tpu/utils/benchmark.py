@@ -108,6 +108,7 @@ def benchmark_loop(
     tag: str = "",
     *,
     operands: tuple = (),
+    state: Any | None = None,
     iters_per_dispatch: int = 20,
     reps: int = 5,
     bytes_moved: int | None = None,
@@ -133,6 +134,12 @@ def benchmark_loop(
     Completion is forced by fetching the scalar loop carry to the host,
     which no async runtime can fake.
 
+    With ``state``, ops that *update* buffers (KV-cache writes, block
+    copies) measure honestly: the state pytree rides the loop carry, so
+    ``step_fn(carry, state, *operands) -> new_state`` mutates it in place
+    across iterations (XLA keeps loop-carried buffers resident) instead of
+    re-copying a loop-invariant input every step.
+
     Reports the per-iteration milliseconds over ``reps`` differenced pairs.
     """
     import numpy as np
@@ -141,29 +148,32 @@ def benchmark_loop(
 
     def make_run(n):
         @jax.jit
-        def run(eps, *ops):
-            def body(i, carry):
-                out = step_fn(carry, *ops)
+        def run(eps, st, *ops):
+            def body(i, c):
+                carry, s = c
+                out = step_fn(carry, s, *ops) if state is not None else step_fn(carry, *ops)
                 leaf = jax.tree_util.tree_leaves(out)[0]
-                return carry + eps * jnp.ravel(leaf)[0].astype(jnp.float32)
+                new_s = out if state is not None else s
+                return (carry + eps * jnp.ravel(leaf)[0].astype(jnp.float32), new_s)
 
-            return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+            final = jax.lax.fori_loop(0, n, body, (jnp.zeros((), jnp.float32), st))
+            return final[0]
 
         return run
 
     n = iters_per_dispatch
     run_n, run_2n = make_run(n), make_run(2 * n)
     zero = jnp.float32(0.0)
-    float(np.asarray(run_n(zero, *operands)))  # compile + full sync
-    float(np.asarray(run_2n(zero, *operands)))
+    float(np.asarray(run_n(zero, state, *operands)))  # compile + full sync
+    float(np.asarray(run_2n(zero, state, *operands)))
 
     times_ms: list[float] = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(np.asarray(run_n(zero, *operands)))
+        float(np.asarray(run_n(zero, state, *operands)))
         t_n = time.perf_counter() - t0
         t0 = time.perf_counter()
-        float(np.asarray(run_2n(zero, *operands)))
+        float(np.asarray(run_2n(zero, state, *operands)))
         t_2n = time.perf_counter() - t0
         # The median over reps is the reported statistic; min-of-diffs
         # would be biased low (window hiccups during t_n fake speed).

@@ -74,7 +74,11 @@ def test_train_step_reduces_loss(tp_model):
     train_step, init_opt, param_shardings, batch_sharding = make_train_step(
         mesh, config, params, learning_rate=1e-2
     )
-    params = jax.device_put(params, param_shardings)
+    # Copy before sharding: train_step donates its params, and device_put
+    # can alias the module-scoped fixture's buffers when the sharding is
+    # already satisfied (replicated leaves) — donation would delete them
+    # for every later test in this module.
+    params = jax.device_put(jax.tree.map(jnp.copy, params), param_shardings)
     opt_state = init_opt(params)
     tokens = jax.device_put(
         jnp.asarray(rng.integers(0, config.vocab_size, (4, 16)), jnp.int32), batch_sharding

@@ -10,7 +10,12 @@ flash attention on decode shapes. The TPU equivalents compared here:
 * ``varlen_attention`` — the general prefill+decode Pallas kernel driven
   with one query per sequence,
 * ``xla_dense`` — XLA-fused dense softmax attention over the gathered
-  contiguous cache (the "just let the compiler do it" baseline).
+  contiguous cache (the "just let the compiler do it" baseline),
+* ``jax_pallas_paged`` — the independent baseline: JAX's own shipped
+  Pallas TPU paged-attention kernel
+  (``jax.experimental.pallas.ops.tpu.paged_attention``), filling the
+  role the reference gives vLLM's ``unified_attention``
+  (reference ``benchmarks/paged_attention_vs_flash_benchmark.py``).
 """
 
 import math
@@ -63,6 +68,36 @@ def main() -> None:
 
     kv_bytes = 2 * args.batch * args.seq_len * args.num_kv_heads * args.head_size * fx.key_cache.dtype.itemsize
     operands = (fx.query, fx.key_cache, fx.value_cache, fx.block_table, fx.seq_lens)
+
+    # Independent baseline: the Pallas paged-attention kernel that ships
+    # with JAX itself. Its cache layout is (kv_heads, num_pages, page, head)
+    # and it expects pre-scaled queries; transpose outside the timed region.
+    cases_extra = []
+    try:
+        from jax.experimental.pallas.ops.tpu.paged_attention import (
+            paged_attention as jax_paged_attention,
+        )
+
+        kc_hpsd = jnp.transpose(fx.key_cache, (1, 0, 2, 3))
+        vc_hpsd = jnp.transpose(fx.value_cache, (1, 0, 2, 3))
+        pages_per_block = min(8, fx.block_table.shape[1])
+
+        @jax.jit
+        def jax_paged(q, kc, vc, block_table, seq_lens):
+            return jax_paged_attention(
+                (q * scale).astype(q.dtype), kc, vc, seq_lens, block_table,
+                pages_per_compute_block=pages_per_block,
+            )
+
+        cases_extra.append((
+            f"jax_pallas_paged_b{args.batch}_s{args.seq_len}",
+            lambda carry, q, kc, vc, bt, sl: jax_paged(q + carry, kc, vc, bt, sl),
+            kv_bytes,
+            (fx.query, kc_hpsd, vc_hpsd, fx.block_table, fx.seq_lens),
+        ))
+    except Exception as exc:  # pragma: no cover - platform-dependent import
+        print(f"# jax_pallas_paged baseline unavailable: {exc}")
+
     run_and_report(args, [
         (
             f"paged_attention_b{args.batch}_s{args.seq_len}",
@@ -84,7 +119,7 @@ def main() -> None:
             kv_bytes,
             operands,
         ),
-    ])
+    ] + cases_extra)
 
 
 if __name__ == "__main__":

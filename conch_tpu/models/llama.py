@@ -199,12 +199,16 @@ def _kv_cache_quant(config: LlamaConfig, cache_dtype) -> tuple[str, jax.Array | 
     return "auto", None
 
 
-def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, slot_mapping, tp_axis: str | None = None, num_heads: int | None = None, num_kv_heads: int | None = None, kv_quant: tuple[str, jax.Array | None] = ("auto", None)):
+def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, slot_mapping, tp_axis: str | None = None, num_heads: int | None = None, num_kv_heads: int | None = None, kv_quant: tuple[str, jax.Array | None] = ("auto", None), mlp_fn=None):
     """Build the scanned per-layer function shared by prefill and decode.
 
     With ``tp_axis`` set (inside a shard_map), the per-chip head counts are
     the *local* counts and the row-parallel projections (wo, w_down) psum
     their partial outputs over the tensor-parallel axis.
+
+    ``mlp_fn(layer, mlp_in) -> delta`` overrides the dense SwiGLU MLP
+    (e.g. the MoE feed-forward in ``models/moe.py``); an override owns its
+    own cross-device reduction.
     """
     eps = config.rms_norm_eps
     num_heads = num_heads or config.num_heads
@@ -237,9 +241,12 @@ def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, 
         hidden = hidden + reduce_tp(layer["wo"].apply(attn_out.reshape(t, -1)))
 
         mlp_in = rms_norm(hidden, layer["post_attn_norm"], eps)
-        gate = layer["w_gate"].apply(mlp_in)
-        up = layer["w_up"].apply(mlp_in)
-        hidden = hidden + reduce_tp(layer["w_down"].apply(silu_and_mul_parts(gate, up)))
+        if mlp_fn is not None:
+            hidden = hidden + mlp_fn(layer, mlp_in)
+        else:
+            gate = layer["w_gate"].apply(mlp_in)
+            up = layer["w_up"].apply(mlp_in)
+            hidden = hidden + reduce_tp(layer["w_down"].apply(silu_and_mul_parts(gate, up)))
 
         return hidden, (k_cache, v_cache)
 

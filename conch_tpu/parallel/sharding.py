@@ -42,6 +42,15 @@ def _spec_for(path: str, ndim: int) -> P:
     def second_last_on_model():
         return P(*([None] * (ndim - 2) + ["model", None]))
 
+    # MoE (Mixtral) layers: the router is replicated; expert stacks
+    # (L, E, H, F) shard the *expert* dimension on "model" (expert
+    # parallelism) — GSPMD keeps dispatch local per expert shard and
+    # all-reduces the combine einsum's contraction.
+    if "router" in path:
+        return P()
+    if ndim >= 4 and any(k in path for k in ("w_gate", "w_up", "w_down")):
+        return P(*([None] * (ndim - 3) + ["model", None, None]))
+
     # nf4 storage is K-grouped (K//8, N) packed + (K//g, N) absmax — the
     # same geometry as int4 packed/scales — so the generic rules apply.
     if any(k in path for k in ("wq", "wk", "wv", "w_gate", "w_up", "lm_head")):

@@ -25,12 +25,16 @@ from conch_tpu.models.llama import LlamaConfig, llama_decode_step, llama_prefill
 from conch_tpu.parallel.sharding import kv_cache_pspec, llama_param_pspecs
 
 
-def make_tp_decode_step(mesh: Mesh, config: LlamaConfig, params_example: Any):
+def make_tp_decode_step(mesh: Mesh, config: Any, params_example: Any, decode_fn=llama_decode_step):
     """Build a jitted tensor+data-parallel decode step over ``mesh``.
 
     The returned function has the same signature as ``llama_decode_step``
     minus ``config``/``tp_axis``; inputs arrive with global shapes and the
     batch dimension is sharded over "data", heads/vocab over "model".
+
+    ``decode_fn`` swaps the model family (``llama_decode_step`` default,
+    ``moe.mixtral_decode_step`` for Mixtral — its MoE layers ride the same
+    "model" axis as expert parallelism).
     """
     param_specs = llama_param_pspecs(params_example)
     data_specs = dict(
@@ -42,7 +46,7 @@ def make_tp_decode_step(mesh: Mesh, config: LlamaConfig, params_example: Any):
     )
 
     def local_step(params, token_ids, positions, seq_lens, block_tables, slot_mapping, k_caches, v_caches):
-        logits, k_caches, v_caches = llama_decode_step(
+        logits, k_caches, v_caches = decode_fn(
             params, config, token_ids, positions, seq_lens, block_tables,
             slot_mapping, k_caches, v_caches, tp_axis="model",
         )
@@ -96,9 +100,12 @@ def _make_tp_varlen_step(mesh: Mesh, config: LlamaConfig, params_example: Any, m
     return jax.jit(shard_mapped, donate_argnums=(7, 8))
 
 
-def make_tp_prefill(mesh: Mesh, config: LlamaConfig, params_example: Any, max_seqlen_q: int):
-    """Build a jitted tensor-parallel prefill (batch replicated across data)."""
-    return _make_tp_varlen_step(mesh, config, params_example, max_seqlen_q, llama_prefill)
+def make_tp_prefill(mesh: Mesh, config: Any, params_example: Any, max_seqlen_q: int, prefill_fn=llama_prefill):
+    """Build a jitted tensor-parallel prefill (batch replicated across data).
+
+    ``prefill_fn`` swaps the model family (``moe.mixtral_prefill`` for
+    Mixtral)."""
+    return _make_tp_varlen_step(mesh, config, params_example, max_seqlen_q, prefill_fn)
 
 
 def make_tp_verify(mesh: Mesh, config: LlamaConfig, params_example: Any, max_seqlen_q: int):

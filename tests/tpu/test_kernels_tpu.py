@@ -170,6 +170,40 @@ def test_paged_attention_odd_head_on_hw(nrng):
     np.testing.assert_allclose(np.asarray(out, np.float32), exp, atol=2e-3, rtol=2e-3)
 
 
+def test_paged_attention_matches_jax_shipped_kernel(nrng):
+    """Independent hardware oracle: JAX's own Pallas TPU paged-attention
+    kernel (``jax.experimental.pallas.ops.tpu.paged_attention``) must agree
+    with ours on the same paged cache. Fills the independent-baseline role
+    the reference gives vLLM's unified_attention
+    (reference ``benchmarks/varlen_attention_benchmark.py:273``)."""
+    from jax.experimental.pallas.ops.tpu.paged_attention import (
+        paged_attention as jax_paged,
+    )
+
+    from conch_tpu.ops.attention import paged_attention
+    from conch_tpu.utils.test_utils import create_paged_fixture
+
+    fx = create_paged_fixture(
+        nrng, batch=4, num_q_heads=8, num_kv_heads=2, head_size=128,
+        page_size=16, seq_lens=[64, 128, 96, 32], dtype=jnp.bfloat16,
+    )
+    scale = 1 / math.sqrt(128)
+    ours = paged_attention(
+        fx.query, fx.key_cache, fx.value_cache, fx.block_table, fx.seq_lens, scale=scale
+    )
+    theirs = jax_paged(
+        (fx.query * scale).astype(fx.query.dtype),
+        jnp.transpose(fx.key_cache, (1, 0, 2, 3)),
+        jnp.transpose(fx.value_cache, (1, 0, 2, 3)),
+        fx.seq_lens,
+        fx.block_table,
+        pages_per_compute_block=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours, np.float32), np.asarray(theirs, np.float32), atol=3e-2, rtol=3e-2
+    )
+
+
 def test_varlen_attention_on_hw(nrng):
     from conch_tpu.ops.attention import varlen_attention
     from conch_tpu.reference.attention.attention import varlen_attention as varlen_ref

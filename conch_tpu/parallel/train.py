@@ -27,18 +27,20 @@ from conch_tpu.parallel.sharding import llama_param_shardings
 from conch_tpu.reference.embedding.rotary_embedding import rotary_embedding as rope_apply
 
 
-def dense_forward(params: Any, config: LlamaConfig, token_ids: jax.Array) -> jax.Array:
-    """Full-context forward over (batch, seq) token ids; returns logits."""
-    b, t = token_ids.shape
-    h = config.hidden_size
-    hidden = jnp.take(params["embedding"], token_ids, axis=0).astype(jnp.float32)
-    positions = jnp.arange(t, dtype=jnp.int32)
+def dense_layer_step(config: LlamaConfig):
+    """One dense-attention transformer layer on (batch, seq, hidden) f32.
+
+    Shared by the GSPMD train step below and the pipeline-parallel stages
+    (``parallel/pipeline.py``): ``step(params, hidden, layer) -> hidden``.
+    """
 
     def norm(x, w):
         ms = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
         return (x * jax.lax.rsqrt(ms + config.rms_norm_eps)) * w.astype(jnp.float32)
 
-    def layer_step(hidden, layer):
+    def layer_step(params, hidden, layer):
+        b, t, h = hidden.shape
+        positions = jnp.arange(t, dtype=jnp.int32)
         x = norm(hidden, layer["input_norm"]).astype(config.dtype)
         flat = x.reshape(b * t, h)
         q = layer["wq"].apply(flat)
@@ -69,9 +71,23 @@ def dense_forward(params: Any, config: LlamaConfig, token_ids: jax.Array) -> jax
         up = layer["w_up"].apply(x).astype(jnp.float32)
         act = (gate * jax.nn.sigmoid(gate)).astype(config.dtype) * up.astype(config.dtype)
         hidden = hidden + layer["w_down"].apply(act).reshape(b, t, h).astype(jnp.float32)
-        return hidden, None
+        return hidden
 
-    hidden, _ = jax.lax.scan(layer_step, hidden, params["layers"])
+    return layer_step
+
+
+def dense_forward(params: Any, config: LlamaConfig, token_ids: jax.Array) -> jax.Array:
+    """Full-context forward over (batch, seq) token ids; returns logits."""
+    b, t = token_ids.shape
+    h = config.hidden_size
+    hidden = jnp.take(params["embedding"], token_ids, axis=0).astype(jnp.float32)
+
+    def norm(x, w):
+        ms = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+        return (x * jax.lax.rsqrt(ms + config.rms_norm_eps)) * w.astype(jnp.float32)
+
+    layer_step = dense_layer_step(config)
+    hidden, _ = jax.lax.scan(lambda hh, layer: (layer_step(params, hh, layer), None), hidden, params["layers"])
     hidden = norm(hidden, params["final_norm"]).astype(config.dtype)
     logits = params["lm_head"].apply(hidden.reshape(b * t, h))
     return logits.reshape(b, t, -1).astype(jnp.float32)

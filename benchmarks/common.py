@@ -26,6 +26,13 @@ def make_parser(description: str) -> argparse.ArgumentParser:
     parser.add_argument("--loop", type=int, default=10, help="iterations per dispatch for loop-style cases")
     parser.add_argument("--csv", action="store_true", help="CSV output instead of pretty")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--calibrate", action="store_true",
+        help="measure this process's achievable HBM bandwidth and report it "
+        "with the results (same-window honesty: the tunneled chip "
+        "fluctuates, so a calibration taken in another process/window "
+        "cannot anchor these rows)",
+    )
     return parser
 
 
@@ -61,11 +68,20 @@ def run_and_report(args, cases: list[tuple]) -> list[BenchmarkResult]:
         results.append(
             benchmark_it(fn, tag, warmup_iterations=args.warmup, num_iterations=args.iterations)
         )
+    cal_gbps = None
+    if getattr(args, "calibrate", False):
+        from conch_tpu.utils.benchmark import calibrate_hbm_bw
+
+        cal_gbps = calibrate_hbm_bw() / 1e9
     if args.csv:
+        if cal_gbps is not None:
+            print(f"# calibration_gbps,{cal_gbps:.1f}")
         print(BenchmarkResult.csv_header())
         for r in results:
             print(r.csv_row())
     else:
+        if cal_gbps is not None:
+            print(f"calibrated bandwidth this window: {cal_gbps:.1f} GB/s")
         for r in results:
             print(r.pretty())
     return results

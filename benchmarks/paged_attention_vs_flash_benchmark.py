@@ -23,7 +23,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from benchmarks.common import make_parser, rng, run_and_report
+from benchmarks.common import make_parser, rng, run_and_report, runtime_zero_i32
 from conch_tpu.ops.attention import paged_attention, varlen_attention
 from conch_tpu.utils.test_utils import create_paged_fixture
 
@@ -115,7 +115,12 @@ def main() -> None:
         ),
         (
             f"xla_dense_b{args.batch}_s{args.seq_len}",
-            lambda carry, q, kc, vc, bt, sl: xla_dense(q + carry, kc, vc, bt, sl),
+            # The paged->contiguous gather must stay inside the timed loop
+            # (a real engine's cache mutates every step): perturb the block
+            # table with the carry so XLA cannot hoist it.
+            lambda carry, q, kc, vc, bt, sl: xla_dense(
+                q + carry, kc, vc, bt + runtime_zero_i32(carry), sl
+            ),
             kv_bytes,
             operands,
         ),

@@ -167,6 +167,25 @@ def benchmark_loop(
     float(np.asarray(run_n(zero, state, *operands)))  # compile + full sync
     float(np.asarray(run_2n(zero, state, *operands)))
 
+    # Auto-scale the loop so N iterations dwarf the per-dispatch noise:
+    # for microsecond-scale ops, T(2N) - T(N) at small N is smaller than
+    # the tunnel's round-trip jitter and the difference estimator returns
+    # garbage (even <= 0). Estimate per-iteration time from a warmup pair
+    # and grow N until the differenced work is ~30 ms.
+    t0 = time.perf_counter()
+    float(np.asarray(run_n(zero, state, *operands)))
+    warm_n = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(np.asarray(run_2n(zero, state, *operands)))
+    warm_2n = time.perf_counter() - t0
+    per_iter_est = max((warm_2n - warm_n) / n, 1e-7)
+    target_n = int(min(max(n, 0.030 / per_iter_est), 20000))
+    if target_n > 4 * n:
+        n = target_n
+        run_n, run_2n = make_run(n), make_run(2 * n)
+        float(np.asarray(run_n(zero, state, *operands)))
+        float(np.asarray(run_2n(zero, state, *operands)))
+
     times_ms: list[float] = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -182,14 +201,14 @@ def benchmark_loop(
     meta = dict(metadata or {})
     if bytes_moved is not None:
         meta["bytes_moved"] = bytes_moved
-    meta["iters_per_dispatch"] = iters_per_dispatch
+    meta["iters_per_dispatch"] = n
     return BenchmarkResult(
         tag=tag,
         min_ms=min(times_ms),
         max_ms=max(times_ms),
         mean_ms=statistics.fmean(times_ms),
         median_ms=statistics.median(times_ms),
-        num_iterations=reps * iters_per_dispatch,
+        num_iterations=reps * n,
         metadata=meta,
     )
 

@@ -19,21 +19,31 @@ import sys
 BENCH_DIR = pathlib.Path(__file__).resolve().parent.parent / "benchmarks"
 
 
-def run_benchmark(path: pathlib.Path, iterations: int) -> list[tuple[str, float]]:
-    """Run one benchmark CLI; returns [(tag, median_ms)]."""
+def run_benchmark(path: pathlib.Path, iterations: int) -> tuple[list[tuple[str, float]], float | None]:
+    """Run one benchmark CLI; returns ([(tag, median_ms, gbps)], cal_gbps).
+
+    Each benchmark self-calibrates in-process (``--calibrate``): the
+    tunneled chip's bandwidth fluctuates between windows, so a row's
+    %-of-bandwidth is only meaningful against a calibration taken in the
+    SAME process as the measurement.
+    """
     env = dict(os.environ)
     repo_root = str(BENCH_DIR.parent)
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     proc = subprocess.run(
-        [sys.executable, str(path), "--csv", "--iterations", str(iterations)],
+        [sys.executable, str(path), "--csv", "--calibrate", "--iterations", str(iterations)],
         capture_output=True,
         text=True,
-        timeout=1200,
+        timeout=1800,
         cwd=repo_root,
         env=env,
     )
     rows = []
+    cal_gbps = None
     for line in proc.stdout.splitlines():
+        if line.startswith("# calibration_gbps,"):
+            cal_gbps = float(line.split(",")[1])
+            continue
         parts = line.strip().split(",")
         if len(parts) >= 5 and parts[0] != "tag":
             try:
@@ -43,7 +53,7 @@ def run_benchmark(path: pathlib.Path, iterations: int) -> list[tuple[str, float]
                 continue
     if proc.returncode != 0:
         print(f"[warn] {path.name} failed:\n{proc.stderr[-500:]}", file=sys.stderr)
-    return rows
+    return rows, cal_gbps
 
 
 def main() -> None:
@@ -53,38 +63,25 @@ def main() -> None:
     parser.add_argument("--only", default=None, help="substring filter on benchmark file names")
     args = parser.parse_args()
 
-    # Stamp the chip's achievable bandwidth at generation time: the
-    # tunneled dev chip fluctuates, so absolute times are only
-    # interpretable relative to this calibration. Run in a subprocess —
-    # the device supports one client at a time and the per-bench children
-    # below each need to claim it.
+    # Identify the device (cheap probe, no calibration: each benchmark
+    # self-calibrates in its own process/window below).
     env = dict(os.environ)
     env["PYTHONPATH"] = str(BENCH_DIR.parent) + os.pathsep + env.get("PYTHONPATH", "")
     probe = subprocess.run(
-        [sys.executable, "-c",
-         "import jax; from conch_tpu.utils.benchmark import calibrate_hbm_bw; "
-         "print(jax.devices()[0].device_kind); print(calibrate_hbm_bw())"],
+        [sys.executable, "-c", "import jax; print(jax.devices()[0].device_kind)"],
         capture_output=True, text=True, timeout=600, env=env,
     )
-    try:
-        kind, bw = probe.stdout.strip().splitlines()[-2:]
-        header = (
-            f"<!-- device: {kind}, calibrated GEMV bandwidth at generation "
-            f"time: {float(bw) / 1e9:.0f} GB/s -->"
-        )
-    except (ValueError, IndexError):
-        header = "<!-- calibration failed -->"
-    print(header.strip("<!- >"), file=sys.stderr)
+    kind = (probe.stdout.strip().splitlines() or ["unknown"])[-1]
 
-    try:
-        cal_gbps = float(bw) / 1e9
-    except (NameError, ValueError):
-        cal_gbps = None
-    lines = [header, "| Benchmark | Case | Median (ms) | Achieved GB/s | % of calibrated bw |", "|---|---|---|---|---|"]
+    body = []
+    cals = []
     for bench in sorted(BENCH_DIR.glob("*_benchmark.py")):
         if args.only and args.only not in bench.name:
             continue
-        for tag, median, gbps in run_benchmark(bench, args.iterations):
+        rows, cal_gbps = run_benchmark(bench, args.iterations)
+        if cal_gbps is not None:
+            cals.append(cal_gbps)
+        for tag, median, gbps in rows:
             if gbps is None:
                 gcol, pcol = "—", "—"
             else:
@@ -93,9 +90,25 @@ def main() -> None:
                 # Rows implying more bandwidth than the chip can deliver in
                 # this window are measurement bugs: flag, never publish as wins.
                 pcol = "—" if frac is None else (f"{frac:.0f}% ⚠BOGUS" if frac > 110 else f"{frac:.0f}%")
-            lines.append(f"| {bench.stem} | {tag} | {median:.4f} | {gcol} | {pcol} |")
-            print(f"{bench.stem}: {tag} = {median:.4f} ms ({gcol} GB/s)", file=sys.stderr)
+            ccol = "—" if cal_gbps is None else f"{cal_gbps:.0f}"
+            body.append(f"| {bench.stem} | {tag} | {median:.4f} | {gcol} | {ccol} | {pcol} |")
+            print(f"{bench.stem}: {tag} = {median:.4f} ms ({gcol} GB/s, window {ccol} GB/s)", file=sys.stderr)
 
+    cal_note = (
+        f"same-window calibrations ranged {min(cals):.0f}-{max(cals):.0f} GB/s"
+        if cals else "no calibrations recorded"
+    )
+    header = (
+        f"<!-- device: {kind}; every benchmark process self-calibrates its "
+        f"window's achievable bandwidth ({cal_note}); '% of window bw' is "
+        f"achieved/window — the window-portable statistic. -->"
+    )
+    lines = [
+        header,
+        "| Benchmark | Case | Median (ms) | Achieved GB/s | Window bw (GB/s) | % of window bw |",
+        "|---|---|---|---|---|---|",
+        *body,
+    ]
     table = "\n".join(lines)
     if args.output:
         args.output.write_text(table + "\n")

@@ -14,9 +14,20 @@ single HBM sweep:
 
 - NF4/FP4 *encode* is a sum of 15 (resp. 7) vectorized threshold compares
   (the same threshold trees as the reference, flattened);
-- NF4/FP4 *decode* is a 16-way select tree on nibbles;
+- NF4/FP4 *decode* is a binary select tree on the nibble's bits (a
+  16-entry table gather lowers pathologically on TPU — measured ~70x
+  slower than the select tree at 16M elements);
 - dynamic 8-bit encode is a vectorized ``searchsorted`` + nearest-midpoint
   round; decode is a single gather into the 256-entry code table.
+
+Two TPU layout rules shape the implementation (measured on v5e, each
+worth an order of magnitude at 16M elements):
+
+1. every tensor stays in wide-minor 2D tiles of ``_ROW`` elements —
+   1D shapes and minor-dim-2 shapes force vector relayouts;
+2. the even/odd nibble interleave is a *dtype pun*, not a shuffle: the
+   two decoded code planes are packed into one uint16 lane (low byte =
+   element 2i) and bitcast to a uint8 pair stream, which is free.
 
 Nibble packing matches bitsandbytes byte layout exactly: element ``2i`` in
 the high nibble, ``2i+1`` in the low nibble (reference
@@ -75,6 +86,32 @@ FP4_THRESHOLDS = np.array(
 FP4_LEVEL_TO_CODE = np.array([0, 1, 6, 7, 4, 5, 2, 3], dtype=np.int32)
 
 
+# Row width for the 2D working layout: wide enough that the minor dim
+# fills vector lanes; every intermediate keeps this shape (see module
+# docstring rule 1).
+_ROW = 512
+
+
+def _apply_lut(idx: jax.Array, lut) -> jax.Array:
+    """``lut[idx]`` as a binary select tree on the bits of ``idx``.
+
+    A small-table gather lowers to a pathological pattern on TPU; for a
+    power-of-two constant table, log2(n) levels of vectorized selects
+    fuse into the surrounding elementwise code instead.
+    """
+    values = [float(v) for v in np.asarray(lut, np.float64)]
+    levels = (len(values) - 1).bit_length()
+    bits = [(idx & (1 << k)) != 0 for k in range(levels)]
+
+    def sel(lo: int, hi: int, level: int) -> jax.Array:
+        if level < 0:
+            return jnp.float32(values[lo])
+        mid = (lo + hi + 1) // 2
+        return jnp.where(bits[level], sel(mid, hi, level - 1), sel(lo, mid - 1, level - 1))
+
+    return sel(0, len(values) - 1, levels - 1)
+
+
 def _nf4_encode(scaled: jax.Array) -> jax.Array:
     """Map scaled values in [-1, 1] to NF4 codes [0, 15] via threshold compares."""
     code = jnp.zeros(scaled.shape, dtype=jnp.int32)
@@ -90,20 +127,75 @@ def _fp4_encode(scaled: jax.Array) -> jax.Array:
     level = jnp.zeros(mag.shape, dtype=jnp.int32)
     for t in FP4_THRESHOLDS:
         level += (mag > t).astype(jnp.int32)
-    code = jnp.asarray(FP4_LEVEL_TO_CODE)[level]
+    code = _apply_lut(level, FP4_LEVEL_TO_CODE).astype(jnp.int32)
     return sign + code
 
 
 def _nf4_decode(codes: jax.Array) -> jax.Array:
-    """Map NF4 codes [0, 15] to float values via the code table."""
-    return jnp.asarray(NF4_CODE)[codes]
+    """Map NF4 codes [0, 15] to float values via a bit select tree."""
+    return _apply_lut(codes, NF4_CODE)
 
 
 def _fp4_decode(codes: jax.Array) -> jax.Array:
-    """Map FP4 codes to float values: sign from bit 3, magnitude from table."""
+    """Map FP4 codes to float values: sign from bit 3, magnitude tree."""
     sign = jnp.where(codes >= 8, -1.0, 1.0)
-    mag = jnp.asarray(FP4_MAGNITUDE_CODE)[codes & 0x7]
-    return sign * mag
+    return sign * _apply_lut(codes & 0x7, FP4_MAGNITUDE_CODE)
+
+
+def _interleave_pairs_u8(even: jax.Array, odd: jax.Array) -> jax.Array:
+    """Stitch two (R, C) uint8 planes into (R, 2C) with even first.
+
+    The dtype pun from the module docstring (rule 2): pack each pair into
+    a uint16 lane — little-endian puts the low byte first — and bitcast
+    to a uint8 pair stream. Pure elementwise ops, no vector shuffles.
+    """
+    u16 = even.astype(jnp.uint16) | (odd.astype(jnp.uint16) << 8)
+    r, c = even.shape
+    return jax.lax.bitcast_convert_type(u16, jnp.uint8).reshape(r, 2 * c)
+
+
+@functools.cache
+def _pack_matrix() -> np.ndarray:
+    """(ROW, ROW/2) constant: column i sums 16*code[2i] + code[2i+1].
+
+    Nibble pair packing as ONE bf16 matmul on the MXU: codes are <= 15 and
+    packed bytes <= 255, both exactly representable in bf16, so the
+    contraction is exact. (The inverse regrouping — splitting lanes into
+    pair tuples for a bitcast — lowers to a pathological relayout;
+    measured 12x slower than this matmul at 16M elements on v5e.)
+    Kept as numpy: a cached jnp array would leak tracers across jit scopes.
+    """
+    m = np.zeros((_ROW, _ROW // 2), np.float32)
+    m[2 * np.arange(_ROW // 2), np.arange(_ROW // 2)] = 16.0
+    m[2 * np.arange(_ROW // 2) + 1, np.arange(_ROW // 2)] = 1.0
+    return m
+
+
+def _pack_pairs_u8(codes: jax.Array) -> jax.Array:
+    """Pack 4-bit code pairs (even -> high nibble): (R, C) int -> (R*C/2,) u8."""
+    r, c = codes.shape
+    if (r * c) % _ROW == 0:
+        wide = codes.reshape(-1, _ROW).astype(jnp.bfloat16)
+        packed = jnp.dot(
+            wide, jnp.asarray(_pack_matrix(), jnp.bfloat16), preferred_element_type=jnp.float32
+        )
+    else:  # non-multiple fallback (tiny inputs): strided lanes
+        packed = codes[:, 0::2] * 16 + codes[:, 1::2]
+    return packed.astype(jnp.uint8).reshape(-1)
+
+
+def _work_shape(num_blocks: int, blocksize: int) -> tuple[int, int, int]:
+    """(rows, row_width, blocks_per_row) for the 2D working layout.
+
+    Rows are whole blocks; the width targets ~_ROW lanes. For odd
+    blocksizes the row is kept even so 4-bit pair packing stays aligned.
+    """
+    k = max(1, -(-_ROW // blocksize))
+    if blocksize % 2 and k % 2:
+        k += 1  # keep row width even for nibble pairs
+    width = k * blocksize
+    rows = -(-num_blocks // k)
+    return rows, width, k
 
 
 def _code8_encode(scaled: jax.Array, code: jax.Array) -> jax.Array:
@@ -134,31 +226,31 @@ def quantize_blockwise_launcher(
     if quant_type in ("nf4", "fp4") and input_size % 2 != 0:
         msg = f"4-bit quantization requires an even input size, got {input_size}"
         raise ValueError(msg)
-    flat = x.reshape(-1).astype(jnp.float32)
     num_blocks = -(-input_size // blocksize)
-    padded = num_blocks * blocksize
-    if padded != input_size:
-        flat = jnp.pad(flat, (0, padded - input_size))
-    blocks = flat.reshape(num_blocks, blocksize)
+    rows, width, k = _work_shape(num_blocks, blocksize)
 
-    absmax = jnp.max(jnp.abs(blocks), axis=1)
+    flat = x.reshape(-1).astype(jnp.float32)
+    if rows * width != input_size:
+        flat = jnp.pad(flat, (0, rows * width - input_size))
+    blocks = flat.reshape(rows, k, blocksize)
+
+    am2 = jnp.max(jnp.abs(blocks), axis=2)  # (rows, k)
+    absmax = am2.reshape(-1)[:num_blocks]
     # An all-zero block has absmax 0; guard the reciprocal so its codes
     # quantize 0/0 -> 0 instead of NaN (dequant multiplies by absmax=0,
     # so any finite code round-trips to exact zeros).
-    scaled = blocks * jnp.where(absmax > 0.0, 1.0 / absmax, 0.0)[:, None]
+    scaled = (blocks * jnp.where(am2 > 0.0, 1.0 / am2, 0.0)[:, :, None]).reshape(rows, width)
 
     if quant_type == "nf4":
         codes = _nf4_encode(scaled)
     elif quant_type == "fp4":
         codes = _fp4_encode(scaled)
     else:
-        out = _code8_encode(scaled.reshape(-1), code.astype(jnp.float32))[:input_size]
+        out = _code8_encode(scaled, code.astype(jnp.float32)).reshape(-1)[:input_size]
         return out, absmax
 
     # Pack two 4-bit codes per byte: even element -> high nibble.
-    pairs = codes.reshape(-1, 2)
-    packed = (pairs[:, 0] * 16 + pairs[:, 1]).astype(jnp.uint8)
-    packed = packed[: input_size // 2]
+    packed = _pack_pairs_u8(codes)[: input_size // 2]
     return packed.reshape(-1, 1), absmax
 
 
@@ -173,20 +265,26 @@ def dequantize_blockwise_launcher(
     output_dtype=jnp.float32,
 ) -> jax.Array:
     """Blockwise dequantize packed NF4/FP4 or 8-bit codes to ``output_dtype``."""
-    flat = x.reshape(-1)
+    num_blocks = -(-output_size // blocksize)
+    rows, width, k = _work_shape(num_blocks, blocksize)
 
+    flat = x.reshape(-1)
     if quant_type in ("nf4", "fp4"):
-        packed = flat.astype(jnp.int32)
-        high = packed >> 4
-        low = packed & 0x0F
-        codes = jnp.stack([high, low], axis=-1).reshape(-1)  # element 2i from high nibble
+        if flat.shape[0] != rows * width // 2:
+            flat = jnp.pad(flat, (0, rows * width // 2 - flat.shape[0]))
+        packed = flat.reshape(rows, width // 2).astype(jnp.int32)
+        codes = _interleave_pairs_u8(
+            (packed >> 4).astype(jnp.uint8), (packed & 0x0F).astype(jnp.uint8)
+        ).astype(jnp.int32)  # (rows, width), element 2i from the high nibble
         values = _nf4_decode(codes) if quant_type == "nf4" else _fp4_decode(codes)
     else:
-        values = code.astype(jnp.float32)[flat.astype(jnp.int32)]
+        if flat.shape[0] != rows * width:
+            flat = jnp.pad(flat, (0, rows * width - flat.shape[0]))
+        values = code.astype(jnp.float32)[flat.reshape(rows, width).astype(jnp.int32)]
 
-    num_blocks = -(-output_size // blocksize)
-    padded = num_blocks * blocksize
-    if values.shape[0] != padded:
-        values = jnp.pad(values, (0, padded - values.shape[0]))
-    values = values.reshape(num_blocks, blocksize) * absmax.astype(jnp.float32)[:, None]
-    return values.reshape(-1)[:output_size].astype(output_dtype)
+    am2 = absmax.astype(jnp.float32)
+    if am2.shape[0] != rows * k:
+        am2 = jnp.pad(am2, (0, rows * k - am2.shape[0]))
+    values = values.reshape(rows, k, blocksize) * am2.reshape(rows, k)[:, :, None]
+    # Cast before the flatten so the relayout moves output-dtype bytes.
+    return values.astype(output_dtype).reshape(-1)[:output_size]

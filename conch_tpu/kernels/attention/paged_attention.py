@@ -51,6 +51,142 @@ from jax.experimental.pallas import tpu as pltpu
 from conch_tpu.kernels.common import round_up, use_interpret_mode
 
 _NEG_INF = -1e30
+_LOG2E = 1.4426950408889634  # softmax in base 2 (exp2 is cheaper on the VPU)
+
+
+def _paged_allheads_kernel(
+    # scalar prefetch
+    block_tables_ref,  # (B, max_pages) int32
+    seq_lens_ref,  # (B,) int32
+    # inputs
+    q_ref,  # (1, KH, G_pad, D) VMEM
+    k_hbm,  # (P, KH, ps, D) ANY/HBM
+    v_hbm,
+    k_scale_ref,  # (1,) SMEM
+    v_scale_ref,  # (1,) SMEM
+    # outputs
+    o_ref,  # (1, KH, G_pad, D) VMEM
+    # scratch
+    k_buf,  # (2, KH, C, ps, D) VMEM
+    v_buf,
+    sems,  # DMA semaphores (2, 2, C)
+    m_scr,  # (KH*G_pad, 128) f32
+    l_scr,
+    acc_scr,  # (KH*G_pad, D) f32
+    *,
+    page_size: int,
+    chunk_pages: int,
+    scale: float,
+    softcap: float,
+    num_kv_heads: int,
+    group_pad: int,
+):
+    """All-kv-heads decode: one page DMA feeds every head.
+
+    Per-head (ps, D) page slices are 4-16 KB; at the measured ~35
+    descriptor-issues/us the per-head kernel tops out near 280 GB/s no
+    matter the wave width. Whole (KH, ps, D) pages carry KH x the bytes
+    per descriptor, moving the bottleneck back to HBM bandwidth.
+    """
+    b = pl.program_id(0)
+    seq_len = seq_lens_ref[b]
+    num_pages = jax.lax.div(seq_len + page_size - 1, page_size)
+    num_chunks = jax.lax.div(num_pages + chunk_pages - 1, chunk_pages)
+    chunk_tokens = chunk_pages * page_size
+
+    m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    kv_dtype = k_buf.dtype
+    mxu_dtype = kv_dtype if kv_dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    eff_scale = scale * k_scale_ref[0]
+    last_page = jnp.maximum(num_pages - 1, 0)
+
+    def wave(c, slot):
+        copies = []
+        for j in range(chunk_pages):
+            page = block_tables_ref[b, jnp.minimum(c * chunk_pages + j, last_page)]
+            copies.append(
+                pltpu.make_async_copy(k_hbm.at[page], k_buf.at[slot, :, j], sems.at[slot, 0, j])
+            )
+            copies.append(
+                pltpu.make_async_copy(v_hbm.at[page], v_buf.at[slot, :, j], sems.at[slot, 1, j])
+            )
+        return copies
+
+    @pl.when(num_chunks > 0)
+    def _():
+        for cp in wave(0, 0):
+            cp.start()
+
+    def process(c, masked: bool):
+        slot = jax.lax.rem(c, 2)
+        next_slot = jax.lax.rem(c + 1, 2)
+
+        @pl.when(c + 1 < num_chunks)
+        def _():
+            for cp in wave(c + 1, next_slot):
+                cp.start()
+
+        for cp in wave(c, slot):
+            cp.wait()
+
+        for h in range(num_kv_heads):
+            r0, r1 = h * group_pad, (h + 1) * group_pad
+            q = q_ref[0, h].astype(mxu_dtype)  # (G_pad, D)
+            k = k_buf[slot, h].reshape(chunk_tokens, k_buf.shape[-1]).astype(mxu_dtype)
+            if softcap > 0.0:
+                s = jax.lax.dot_general(
+                    q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * eff_scale
+                s = softcap * jnp.tanh(s / softcap) * _LOG2E
+            else:
+                s = jax.lax.dot_general(
+                    q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * (eff_scale * _LOG2E)
+
+            if masked:
+                entry_pos = c * chunk_tokens + jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, dimension=1
+                )
+                s = jnp.where(entry_pos < seq_len, s, _NEG_INF)
+
+            m_prev = m_scr[r0:r1, :1]
+            l_prev = l_scr[r0:r1, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+
+            p = jnp.exp2(s - m_new)
+            alpha = jnp.exp2(m_prev - m_new)
+            l_scr[r0:r1, :] = jnp.broadcast_to(
+                l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True), (group_pad, l_scr.shape[-1])
+            )
+
+            v = v_buf[slot, h].reshape(chunk_tokens, v_buf.shape[-1]).astype(mxu_dtype)
+            acc_scr[r0:r1, :] = acc_scr[r0:r1, :] * alpha + jnp.dot(
+                p.astype(mxu_dtype), v, preferred_element_type=jnp.float32
+            )
+            m_scr[r0:r1, :] = jnp.broadcast_to(m_new, (group_pad, m_scr.shape[-1]))
+
+    num_full = jax.lax.div(seq_len, chunk_tokens)
+
+    def full_body(c, _):
+        process(c, masked=False)
+        return 0
+
+    jax.lax.fori_loop(0, num_full, full_body, 0)
+
+    @pl.when(num_full < num_chunks)
+    def _():
+        process(num_full, masked=True)
+
+    for h in range(num_kv_heads):
+        r0, r1 = h * group_pad, (h + 1) * group_pad
+        l = l_scr[r0:r1, :1]
+        normalized = acc_scr[r0:r1, :] / jnp.where(l > 0.0, l, 1.0)
+        o_ref[0, h] = (normalized * v_scale_ref[0]).astype(o_ref.dtype)
 
 
 def _paged_attention_kernel(
@@ -258,10 +394,6 @@ def paged_attention_launcher(
             scale=scale, softcap=softcap, k_scale=k_scale, v_scale=v_scale,
         ).astype(out_dtype)
 
-    # Pages per DMA wave: enough bytes in flight to hide HBM latency, but
-    # never more pages than the table can hold.
-    chunk_pages = max(1, min(chunk_tokens // page_size, block_table.shape[1]))
-
     # Query-group packing: (B, QH, D) -> (B, KH, G_pad, D).
     group_pad = round_up(group, 8)
     q_grouped = query.reshape(batch, num_kv_heads, group, head_size)
@@ -271,6 +403,75 @@ def paged_attention_launcher(
     one = jnp.ones((1,), dtype=jnp.float32)
     k_scale_arr = one if k_scale is None else k_scale.astype(jnp.float32).reshape(1)
     v_scale_arr = one if v_scale is None else v_scale.astype(jnp.float32).reshape(1)
+
+    # All-heads path: one page DMA feeds every kv head (see kernel
+    # docstring — per-head page slices are DMA-issue-bound). Falls back to
+    # the per-head kernel when the KH-wide chunk buffers would not fit VMEM.
+    kv_itemsize = jnp.dtype(key_cache.dtype).itemsize
+    ah_chunk_tokens = min(chunk_tokens, 512)
+    ah_chunk_pages = max(1, min(ah_chunk_tokens // page_size, block_table.shape[1]))
+    ah_bufs = 2 * 2 * num_kv_heads * ah_chunk_pages * page_size * head_size * kv_itemsize
+    ah_stats = num_kv_heads * group_pad * (2 * 128 + head_size) * 4
+    if ah_bufs + ah_stats <= 10 * 1024 * 1024:
+        def q_index_ah(b, bt, sl):
+            return (b, 0, 0, 0)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(batch,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, num_kv_heads, group_pad, head_size), q_index_ah, memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, num_kv_heads, group_pad, head_size), q_index_ah, memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM(
+                    (2, num_kv_heads, ah_chunk_pages, page_size, head_size), key_cache.dtype
+                ),
+                pltpu.VMEM(
+                    (2, num_kv_heads, ah_chunk_pages, page_size, head_size), value_cache.dtype
+                ),
+                pltpu.SemaphoreType.DMA((2, 2, ah_chunk_pages)),
+                pltpu.VMEM((num_kv_heads * group_pad, 128), jnp.float32),
+                pltpu.VMEM((num_kv_heads * group_pad, 128), jnp.float32),
+                pltpu.VMEM((num_kv_heads * group_pad, head_size), jnp.float32),
+            ],
+        )
+
+        out = pl.pallas_call(
+            functools.partial(
+                _paged_allheads_kernel,
+                page_size=page_size,
+                chunk_pages=ah_chunk_pages,
+                scale=scale,
+                softcap=softcap,
+                num_kv_heads=num_kv_heads,
+                group_pad=group_pad,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (batch, num_kv_heads, group_pad, head_size), out_dtype
+            ),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=use_interpret_mode(),
+        )(
+            block_table.astype(jnp.int32), seq_lens.astype(jnp.int32),
+            q_grouped, key_cache, value_cache, k_scale_arr, v_scale_arr,
+        )
+        return out[:, :, :group, :].reshape(batch, num_q_heads, head_size)
+
+    # Pages per DMA wave: enough bytes in flight to hide HBM latency, but
+    # never more pages than the table can hold.
+    chunk_pages = max(1, min(chunk_tokens // page_size, block_table.shape[1]))
 
     def q_index(b, h, bt, sl):
         return (b, h, 0, 0)

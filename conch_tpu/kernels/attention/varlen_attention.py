@@ -17,9 +17,17 @@ long KV ranges across SMs with an LSE merge; on TPU we instead:
   (q_rows, head) x (head, page) dot for a whole query chunk including all
   its grouped heads (reference packs query groups the same way,
   ``:635-658``).
-- **Single online-softmax pass** over KV pages (innermost grid dim), with
-  the block table steering page DMAs via scalar prefetch - no KV-split
-  scratchpads or reduce stage (see paged_attention.py for rationale).
+- **Single online-softmax pass** over KV, with the block table steering
+  *in-kernel chunked double-buffered page DMAs* (``make_async_copy``
+  waves, exactly the paged_attention.py machinery) - no KV-split
+  scratchpads or reduce stage. The grid is (batch, kv_heads, q_chunks):
+  putting KV pages in the grid instead (one page per step) costs a fixed
+  per-step overhead times ~100k steps and re-fetches each page per query
+  chunk through the automatic pipeline — measured 36x slower at
+  Llama-8B prefill shapes.
+- **Causal work split**: chunks fully below the query chunk's causal
+  frontier take an unmasked fast path; only the diagonal band pays the
+  iota/compare/select masking. Pages past the frontier are never fetched.
 - **Causal masking by position algebra**: query token ``j`` of a sequence
   sits at KV position ``seq_len_k - seq_len_q + j`` (the queries are the
   trailing tokens of the sequence), matching the reference's convention.
@@ -40,6 +48,321 @@ from jax.experimental.pallas import tpu as pltpu
 from conch_tpu.kernels.common import round_up, use_interpret_mode
 
 _NEG_INF = -1e30
+_LOG2E = 1.4426950408889634  # softmax in base 2: exp2 is cheaper than exp
+# on the VPU, and the online-softmax recurrence is base-invariant once the
+# logits carry a log2(e) factor.
+
+
+def _varlen_dma_kernel(
+    # scalar prefetch
+    block_tables_ref,  # (B, max_pages) int32
+    seq_lens_q_ref,  # (B,) int32
+    seq_lens_k_ref,  # (B,) int32
+    # inputs
+    q_ref,  # (1, 1, cq_rows, D) VMEM
+    k_hbm,  # (P, KH, ps, D) ANY/HBM
+    v_hbm,  # (P, KH, ps, D) ANY/HBM
+    qk_scale_ref,  # (1,) SMEM
+    v_scale_ref,  # (1,) SMEM
+    # outputs
+    o_ref,  # (1, 1, cq_rows, D) VMEM
+    # scratch
+    k_buf,  # (2, C, ps, D) VMEM
+    v_buf,
+    sems,  # DMA semaphores (2, 2, C)
+    m_scr,  # (cq_rows, 128) f32
+    l_scr,
+    acc_scr,  # (cq_rows, D) f32
+    *,
+    page_size: int,
+    chunk_pages: int,
+    softcap: float,
+    causal: bool,
+    group: int,
+    cq_rows: int,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    t = pl.program_id(2)
+    seq_q = seq_lens_q_ref[b]
+    seq_k = seq_lens_k_ref[b]
+    chunk_tokens = chunk_pages * page_size
+
+    row_start = t * cq_rows
+    first_q = row_start // group
+    chunk_last_q = jnp.minimum((row_start + cq_rows - 1) // group, seq_q - 1)
+    chunk_active = (row_start < seq_q * group) & (seq_k > 0)
+
+    # KV tokens this query chunk must see; tokens valid for EVERY row.
+    if causal:
+        kv_limit = jnp.maximum(seq_k - seq_q + chunk_last_q + 1, 0)
+        full_limit = jnp.clip(seq_k - seq_q + first_q + 1, 0, kv_limit)
+    else:
+        kv_limit = seq_k
+        full_limit = seq_k
+    kv_limit = jnp.where(chunk_active, kv_limit, 0)
+    full_limit = jnp.where(chunk_active, full_limit, 0)
+
+    num_chunks = jax.lax.div(kv_limit + chunk_tokens - 1, chunk_tokens)
+    num_full = jax.lax.div(full_limit, chunk_tokens)
+
+    m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    kv_dtype = k_buf.dtype
+    mxu_dtype = kv_dtype if kv_dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    q = q_ref[0, 0].astype(mxu_dtype)  # (cq_rows, D)
+    eff_scale = qk_scale_ref[0]
+    last_page = jnp.maximum(jax.lax.div(kv_limit - 1, page_size), 0)
+
+    def wave(c, slot):
+        copies = []
+        for j in range(chunk_pages):
+            page = block_tables_ref[b, jnp.minimum(c * chunk_pages + j, last_page)]
+            copies.append(
+                pltpu.make_async_copy(k_hbm.at[page, h], k_buf.at[slot, j], sems.at[slot, 0, j])
+            )
+            copies.append(
+                pltpu.make_async_copy(v_hbm.at[page, h], v_buf.at[slot, j], sems.at[slot, 1, j])
+            )
+        return copies
+
+    @pl.when(num_chunks > 0)
+    def _():
+        for cp in wave(0, 0):
+            cp.start()
+
+    def process(c, masked: bool):
+        slot = jax.lax.rem(c, 2)
+        next_slot = jax.lax.rem(c + 1, 2)
+
+        @pl.when(c + 1 < num_chunks)
+        def _():
+            for cp in wave(c + 1, next_slot):
+                cp.start()
+
+        for cp in wave(c, slot):
+            cp.wait()
+
+        k = k_buf[slot].reshape(chunk_tokens, k_buf.shape[-1]).astype(mxu_dtype)
+        if softcap > 0.0:
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * eff_scale  # (cq_rows, chunk_tokens)
+            s = softcap * jnp.tanh(s / softcap) * _LOG2E
+        else:
+            # log2(e) folded into the scale: softmax runs in base 2.
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * (eff_scale * _LOG2E)
+
+        if masked:
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=0)
+            q_idx = (row_start + row_ids) // group
+            k_pos = c * chunk_tokens + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+            mask = (k_pos < seq_k) & (q_idx < seq_q)
+            if causal:
+                mask &= k_pos <= seq_k - seq_q + q_idx
+            s = jnp.where(mask, s, _NEG_INF)
+
+        m_prev = m_scr[:, :1]
+        l_prev = l_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+
+        p = jnp.exp2(s - m_new)
+        if masked:
+            # Fully-masked rows (query padding): keep p at 0.
+            p = jnp.where(m_new > _NEG_INF / 2, p, 0.0)
+        alpha = jnp.exp2(m_prev - m_new)
+        l_scr[...] = jnp.broadcast_to(l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True), l_scr.shape)
+
+        v = v_buf[slot].reshape(chunk_tokens, v_buf.shape[-1]).astype(mxu_dtype)
+        acc_scr[...] = acc_scr[...] * alpha + jnp.dot(
+            p.astype(mxu_dtype), v, preferred_element_type=jnp.float32
+        )
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+
+    def full_body(c, _):
+        process(c, masked=False)
+        return 0
+
+    jax.lax.fori_loop(0, num_full, full_body, 0)
+
+    def masked_body(c, _):
+        process(c, masked=True)
+        return 0
+
+    jax.lax.fori_loop(num_full, num_chunks, masked_body, 0)
+
+    l = l_scr[:, :1]
+    normalized = acc_scr[...] / jnp.where(l > 0.0, l, 1.0)
+    o_ref[0, 0] = (normalized * v_scale_ref[0]).astype(o_ref.dtype)
+
+
+def _varlen_dma_allheads_kernel(
+    # scalar prefetch
+    block_tables_ref,  # (B, max_pages) int32
+    seq_lens_q_ref,  # (B,) int32
+    seq_lens_k_ref,  # (B,) int32
+    # inputs
+    q_ref,  # (1, KH, cq_rows, D) VMEM
+    k_hbm,  # (P, KH, ps, D) ANY/HBM
+    v_hbm,
+    qk_scale_ref,  # (1,) SMEM
+    v_scale_ref,  # (1,) SMEM
+    # outputs
+    o_ref,  # (1, KH, cq_rows, D) VMEM
+    # scratch
+    k_buf,  # (2, KH, C, ps, D) VMEM
+    v_buf,
+    sems,  # DMA semaphores (2, 2, C)
+    m_scr,  # (KH*cq_rows, 128) f32
+    l_scr,
+    acc_scr,  # (KH*cq_rows, D) f32
+    *,
+    page_size: int,
+    chunk_pages: int,
+    softcap: float,
+    causal: bool,
+    group: int,
+    cq_rows: int,
+    num_kv_heads: int,
+):
+    """All-kv-heads variant: one page DMA feeds every head.
+
+    Small page slices make the DMA issue rate the bottleneck (measured
+    ~25-35 copies/us on v5e — 4 KB per-head page slices cap the stream at
+    ~100-280 GB/s no matter how wide the waves are). Copying whole
+    (KH, ps, D) pages moves KH x the bytes per descriptor; the head loop
+    runs inside the kernel over the shared chunk buffer.
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    seq_q = seq_lens_q_ref[b]
+    seq_k = seq_lens_k_ref[b]
+    chunk_tokens = chunk_pages * page_size
+
+    row_start = t * cq_rows
+    first_q = row_start // group
+    chunk_last_q = jnp.minimum((row_start + cq_rows - 1) // group, seq_q - 1)
+    chunk_active = (row_start < seq_q * group) & (seq_k > 0)
+
+    if causal:
+        kv_limit = jnp.maximum(seq_k - seq_q + chunk_last_q + 1, 0)
+        full_limit = jnp.clip(seq_k - seq_q + first_q + 1, 0, kv_limit)
+    else:
+        kv_limit = seq_k
+        full_limit = seq_k
+    kv_limit = jnp.where(chunk_active, kv_limit, 0)
+    full_limit = jnp.where(chunk_active, full_limit, 0)
+
+    num_chunks = jax.lax.div(kv_limit + chunk_tokens - 1, chunk_tokens)
+    num_full = jax.lax.div(full_limit, chunk_tokens)
+
+    m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    kv_dtype = k_buf.dtype
+    mxu_dtype = kv_dtype if kv_dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    eff_scale = qk_scale_ref[0]
+    last_page = jnp.maximum(jax.lax.div(kv_limit - 1, page_size), 0)
+
+    def wave(c, slot):
+        copies = []
+        for j in range(chunk_pages):
+            page = block_tables_ref[b, jnp.minimum(c * chunk_pages + j, last_page)]
+            copies.append(
+                pltpu.make_async_copy(k_hbm.at[page], k_buf.at[slot, :, j], sems.at[slot, 0, j])
+            )
+            copies.append(
+                pltpu.make_async_copy(v_hbm.at[page], v_buf.at[slot, :, j], sems.at[slot, 1, j])
+            )
+        return copies
+
+    @pl.when(num_chunks > 0)
+    def _():
+        for cp in wave(0, 0):
+            cp.start()
+
+    def process(c, masked: bool):
+        slot = jax.lax.rem(c, 2)
+        next_slot = jax.lax.rem(c + 1, 2)
+
+        @pl.when(c + 1 < num_chunks)
+        def _():
+            for cp in wave(c + 1, next_slot):
+                cp.start()
+
+        for cp in wave(c, slot):
+            cp.wait()
+
+        # Mask is head-independent: build once per chunk.
+        if masked:
+            shape = (cq_rows, chunk_tokens)
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, shape, dimension=0)
+            q_idx = (row_start + row_ids) // group
+            k_pos = c * chunk_tokens + jax.lax.broadcasted_iota(jnp.int32, shape, dimension=1)
+            mask = (k_pos < seq_k) & (q_idx < seq_q)
+            if causal:
+                mask &= k_pos <= seq_k - seq_q + q_idx
+
+        for h in range(num_kv_heads):
+            r0, r1 = h * cq_rows, (h + 1) * cq_rows
+            q = q_ref[0, h].astype(mxu_dtype)  # (cq_rows, D)
+            k = k_buf[slot, h].reshape(chunk_tokens, k_buf.shape[-1]).astype(mxu_dtype)
+            if softcap > 0.0:
+                s = jax.lax.dot_general(
+                    q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * eff_scale
+                s = softcap * jnp.tanh(s / softcap) * _LOG2E
+            else:
+                # log2(e) folded into the scale: softmax runs in base 2.
+                s = jax.lax.dot_general(
+                    q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * (eff_scale * _LOG2E)
+            if masked:
+                s = jnp.where(mask, s, _NEG_INF)
+
+            m_prev = m_scr[r0:r1, :1]
+            l_prev = l_scr[r0:r1, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+
+            p = jnp.exp2(s - m_new)
+            if masked:
+                # Fully-masked rows (query padding): keep p at 0.
+                p = jnp.where(m_new > _NEG_INF / 2, p, 0.0)
+            alpha = jnp.exp2(m_prev - m_new)
+            l_scr[r0:r1, :] = jnp.broadcast_to(
+                l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True), (cq_rows, l_scr.shape[-1])
+            )
+
+            v = v_buf[slot, h].reshape(chunk_tokens, v_buf.shape[-1]).astype(mxu_dtype)
+            acc_scr[r0:r1, :] = acc_scr[r0:r1, :] * alpha + jnp.dot(
+                p.astype(mxu_dtype), v, preferred_element_type=jnp.float32
+            )
+            m_scr[r0:r1, :] = jnp.broadcast_to(m_new, (cq_rows, m_scr.shape[-1]))
+
+    def full_body(c, _):
+        process(c, masked=False)
+        return 0
+
+    jax.lax.fori_loop(0, num_full, full_body, 0)
+
+    def masked_body(c, _):
+        process(c, masked=True)
+        return 0
+
+    jax.lax.fori_loop(num_full, num_chunks, masked_body, 0)
+
+    for h in range(num_kv_heads):
+        r0, r1 = h * cq_rows, (h + 1) * cq_rows
+        l = l_scr[r0:r1, :1]
+        normalized = acc_scr[r0:r1, :] / jnp.where(l > 0.0, l, 1.0)
+        o_ref[0, h] = (normalized * v_scale_ref[0]).astype(o_ref.dtype)
 
 
 def _varlen_attention_kernel(
@@ -137,7 +460,8 @@ def _varlen_attention_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_seqlen_q", "scale", "softcap", "causal")
+    jax.jit,
+    static_argnames=("max_seqlen_q", "scale", "softcap", "causal", "chunk_tokens", "q_chunk_rows"),
 )
 def varlen_attention_launcher(
     query: jax.Array,
@@ -154,6 +478,8 @@ def varlen_attention_launcher(
     q_scale: jax.Array | None = None,
     k_scale: jax.Array | None = None,
     v_scale: jax.Array | None = None,
+    chunk_tokens: int = 1024,
+    q_chunk_rows: int = 512,
 ) -> jax.Array:
     """Variable-length attention over a paged KV cache.
 
@@ -197,7 +523,24 @@ def varlen_attention_launcher(
     q_pad = q_pad.transpose(0, 2, 1, 3, 4).reshape(batch, num_kv_heads, max_seqlen_q * group, head_size)
 
     total_rows = max_seqlen_q * group
-    cq_rows = min(round_up(total_rows, 8), 256 if group <= 256 else round_up(group, 8))
+    # Path choice. Manual-DMA kernels need lane-aligned heads; among them,
+    # fetching whole (KH, ps, D) pages (all-heads kernel) moves KH x the
+    # bytes per DMA descriptor — the issue rate, not bandwidth, is the
+    # bottleneck for per-head page slices — whenever the working set fits
+    # VMEM. The BlockSpec fallback handles odd head sizes.
+    dma_path = head_size % 128 == 0
+    kv_itemsize = jnp.dtype(key_cache.dtype).itemsize
+
+    def _allheads_vmem(cq: int, ct: int) -> int:
+        bufs = 2 * 2 * num_kv_heads * ct * head_size * kv_itemsize
+        stats = num_kv_heads * cq * (2 * 128 + head_size) * 4
+        qo = 2 * 2 * num_kv_heads * cq * head_size * jnp.dtype(query.dtype).itemsize
+        return bufs + stats + qo
+
+    ah_cq, ah_ct = min(q_chunk_rows, 256), min(chunk_tokens, 512)
+    all_heads = dma_path and _allheads_vmem(ah_cq, ah_ct) <= 10 * 1024 * 1024
+    cq_cap = (ah_cq if all_heads else q_chunk_rows) if dma_path else 256
+    cq_rows = min(round_up(total_rows, 8), cq_cap if group <= cq_cap else round_up(group, 8))
     cq_rows = max(cq_rows, round_up(group, 8))
     rows_padded = round_up(total_rows, cq_rows)
     if rows_padded != total_rows:
@@ -212,67 +555,177 @@ def varlen_attention_launcher(
     )
     v_scale_arr = (one if v_scale is None else v_scale.astype(jnp.float32).reshape(())).reshape(1)
 
-    def q_index(b, h, t, i, bt, slq, slk):
-        return (b, h, t, 0)
+    if all_heads:
+        chunk_pages = max(1, min(ah_ct // page_size, max_pages))
 
-    def kv_index(b, h, t, i, bt, slq, slk):
-        # Clamp i to this (sequence, chunk)'s last *active* page. Steps past
-        # it map to the same block as the last active step, so the Pallas
-        # pipeline skips their fetch entirely — no DMAs for pages beyond
-        # seq_len (short sequences in a padded batch) or beyond the causal
-        # frontier of this query chunk.
-        last_kv = slk[b] - 1
-        if causal:
-            chunk_last_q = jnp.minimum((t * cq_rows + cq_rows - 1) // group, slq[b] - 1)
-            last_kv = jnp.minimum(last_kv, slk[b] - slq[b] + chunk_last_q)
-        i_max = jnp.maximum(last_kv, 0) // page_size
-        i_eff = jnp.minimum(i, i_max)
-        return (bt[b, i_eff], h, 0, 0)
+        def q_index_ah(b, t, bt, slq, slk):
+            return (b, 0, t, 0)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(batch, num_kv_heads, num_q_chunks, max_pages),
-        in_specs=[
-            pl.BlockSpec((1, 1, cq_rows, head_size), q_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, page_size, head_size), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, page_size, head_size), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, cq_rows, head_size), q_index, memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((cq_rows, 128), jnp.float32),
-            pltpu.VMEM((cq_rows, 128), jnp.float32),
-            pltpu.VMEM((cq_rows, head_size), jnp.float32),
-        ],
-    )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(batch, num_q_chunks),
+            in_specs=[
+                pl.BlockSpec((1, num_kv_heads, cq_rows, head_size), q_index_ah, memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, num_kv_heads, cq_rows, head_size), q_index_ah, memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, num_kv_heads, chunk_pages, page_size, head_size), key_cache.dtype),
+                pltpu.VMEM((2, num_kv_heads, chunk_pages, page_size, head_size), value_cache.dtype),
+                pltpu.SemaphoreType.DMA((2, 2, chunk_pages)),
+                pltpu.VMEM((num_kv_heads * cq_rows, 128), jnp.float32),
+                pltpu.VMEM((num_kv_heads * cq_rows, 128), jnp.float32),
+                pltpu.VMEM((num_kv_heads * cq_rows, head_size), jnp.float32),
+            ],
+        )
 
-    out = pl.pallas_call(
-        functools.partial(
-            _varlen_attention_kernel,
-            page_size=page_size,
-            softcap=softcap,
-            causal=causal,
-            group=group,
-            cq_rows=cq_rows,
-            num_pages=max_pages,
-        ),
-        out_shape=jax.ShapeDtypeStruct((batch, num_kv_heads, rows_padded, head_size), out_dtype),
-        grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-        interpret=use_interpret_mode(),
-    )(
-        block_table.astype(jnp.int32),
-        seq_lens_q,
-        seq_lens.astype(jnp.int32),
-        q_pad,
-        key_cache,
-        value_cache,
-        qk_scale.reshape(1),
-        v_scale_arr,
-    )
+        out = pl.pallas_call(
+            functools.partial(
+                _varlen_dma_allheads_kernel,
+                page_size=page_size,
+                chunk_pages=chunk_pages,
+                softcap=softcap,
+                causal=causal,
+                group=group,
+                cq_rows=cq_rows,
+                num_kv_heads=num_kv_heads,
+            ),
+            out_shape=jax.ShapeDtypeStruct((batch, num_kv_heads, rows_padded, head_size), out_dtype),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            interpret=use_interpret_mode(),
+        )(
+            block_table.astype(jnp.int32),
+            seq_lens_q,
+            seq_lens.astype(jnp.int32),
+            q_pad,
+            key_cache,
+            value_cache,
+            qk_scale.reshape(1),
+            v_scale_arr,
+        )
+    elif dma_path:
+        chunk_pages = max(1, min(chunk_tokens // page_size, max_pages))
+
+        def q_index_dma(b, h, t, bt, slq, slk):
+            return (b, h, t, 0)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(batch, num_kv_heads, num_q_chunks),
+            in_specs=[
+                pl.BlockSpec((1, 1, cq_rows, head_size), q_index_dma, memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, cq_rows, head_size), q_index_dma, memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, chunk_pages, page_size, head_size), key_cache.dtype),
+                pltpu.VMEM((2, chunk_pages, page_size, head_size), value_cache.dtype),
+                pltpu.SemaphoreType.DMA((2, 2, chunk_pages)),
+                pltpu.VMEM((cq_rows, 128), jnp.float32),
+                pltpu.VMEM((cq_rows, 128), jnp.float32),
+                pltpu.VMEM((cq_rows, head_size), jnp.float32),
+            ],
+        )
+
+        out = pl.pallas_call(
+            functools.partial(
+                _varlen_dma_kernel,
+                page_size=page_size,
+                chunk_pages=chunk_pages,
+                softcap=softcap,
+                causal=causal,
+                group=group,
+                cq_rows=cq_rows,
+            ),
+            out_shape=jax.ShapeDtypeStruct((batch, num_kv_heads, rows_padded, head_size), out_dtype),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            ),
+            interpret=use_interpret_mode(),
+        )(
+            block_table.astype(jnp.int32),
+            seq_lens_q,
+            seq_lens.astype(jnp.int32),
+            q_pad,
+            key_cache,
+            value_cache,
+            qk_scale.reshape(1),
+            v_scale_arr,
+        )
+    else:
+        def q_index(b, h, t, i, bt, slq, slk):
+            return (b, h, t, 0)
+
+        def kv_index(b, h, t, i, bt, slq, slk):
+            # Clamp i to this (sequence, chunk)'s last *active* page. Steps past
+            # it map to the same block as the last active step, so the Pallas
+            # pipeline skips their fetch entirely — no DMAs for pages beyond
+            # seq_len (short sequences in a padded batch) or beyond the causal
+            # frontier of this query chunk.
+            last_kv = slk[b] - 1
+            if causal:
+                chunk_last_q = jnp.minimum((t * cq_rows + cq_rows - 1) // group, slq[b] - 1)
+                last_kv = jnp.minimum(last_kv, slk[b] - slq[b] + chunk_last_q)
+            i_max = jnp.maximum(last_kv, 0) // page_size
+            i_eff = jnp.minimum(i, i_max)
+            return (bt[b, i_eff], h, 0, 0)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(batch, num_kv_heads, num_q_chunks, max_pages),
+            in_specs=[
+                pl.BlockSpec((1, 1, cq_rows, head_size), q_index, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, page_size, head_size), kv_index, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, page_size, head_size), kv_index, memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, cq_rows, head_size), q_index, memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((cq_rows, 128), jnp.float32),
+                pltpu.VMEM((cq_rows, 128), jnp.float32),
+                pltpu.VMEM((cq_rows, head_size), jnp.float32),
+            ],
+        )
+
+        out = pl.pallas_call(
+            functools.partial(
+                _varlen_attention_kernel,
+                page_size=page_size,
+                softcap=softcap,
+                causal=causal,
+                group=group,
+                cq_rows=cq_rows,
+                num_pages=max_pages,
+            ),
+            out_shape=jax.ShapeDtypeStruct((batch, num_kv_heads, rows_padded, head_size), out_dtype),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            ),
+            interpret=use_interpret_mode(),
+        )(
+            block_table.astype(jnp.int32),
+            seq_lens_q,
+            seq_lens.astype(jnp.int32),
+            q_pad,
+            key_cache,
+            value_cache,
+            qk_scale.reshape(1),
+            v_scale_arr,
+        )
 
     # Padded rectangle -> ragged: invert the packing and gather valid rows.
     out = out[:, :, :total_rows, :].reshape(batch, num_kv_heads, max_seqlen_q, group, head_size)

@@ -116,6 +116,16 @@ def _varlen_dma_kernel(
     eff_scale = qk_scale_ref[0]
     last_page = jnp.maximum(jax.lax.div(kv_limit - 1, page_size), 0)
 
+    # Mask threshold, hoisted out of the chunk loop (see the all-heads
+    # kernel for the derivation): one broadcast compare per masked chunk.
+    mask_shape = (cq_rows, chunk_tokens)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, mask_shape, dimension=0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, mask_shape, dimension=1)
+    q_idx_rows = (row_start + row_ids) // group
+    row_limit = (seq_k - seq_q + q_idx_rows) if causal else jnp.broadcast_to(seq_k - 1, mask_shape)
+    row_limit = jnp.where(q_idx_rows < seq_q, row_limit, -1)
+    mask_thresh = row_limit - col_ids
+
     def wave(c, slot):
         copies = []
         for j in range(chunk_pages):
@@ -158,13 +168,7 @@ def _varlen_dma_kernel(
             ) * (eff_scale * _LOG2E)
 
         if masked:
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=0)
-            q_idx = (row_start + row_ids) // group
-            k_pos = c * chunk_tokens + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-            mask = (k_pos < seq_k) & (q_idx < seq_q)
-            if causal:
-                mask &= k_pos <= seq_k - seq_q + q_idx
-            s = jnp.where(mask, s, _NEG_INF)
+            s = jnp.where(c * chunk_tokens <= mask_thresh, s, _NEG_INF)
 
         m_prev = m_scr[:, :1]
         l_prev = l_scr[:, :1]
@@ -269,6 +273,20 @@ def _varlen_dma_allheads_kernel(
     eff_scale = qk_scale_ref[0]
     last_page = jnp.maximum(jax.lax.div(kv_limit - 1, page_size), 0)
 
+    # Mask threshold, hoisted out of the chunk loop (the iota/div/multi-
+    # compare build dominated the diagonal chunks — measured ~1.5x on
+    # causal prefill). Row r's last visible KV position is
+    # seq_k - seq_q + q_idx(r) (causal) or seq_k - 1; padding rows get -1.
+    # Each masked chunk then needs ONE broadcast compare:
+    # k_pos <= limit  <=>  c*chunk_tokens <= thresh.
+    mask_shape = (cq_rows, chunk_tokens)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, mask_shape, dimension=0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, mask_shape, dimension=1)
+    q_idx_rows = (row_start + row_ids) // group
+    row_limit = (seq_k - seq_q + q_idx_rows) if causal else jnp.broadcast_to(seq_k - 1, mask_shape)
+    row_limit = jnp.where(q_idx_rows < seq_q, row_limit, -1)
+    mask_thresh = row_limit - col_ids
+
     def wave(c, slot):
         copies = []
         for j in range(chunk_pages):
@@ -298,15 +316,9 @@ def _varlen_dma_allheads_kernel(
         for cp in wave(c, slot):
             cp.wait()
 
-        # Mask is head-independent: build once per chunk.
+        # Mask is head-independent: one broadcast compare per chunk.
         if masked:
-            shape = (cq_rows, chunk_tokens)
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, shape, dimension=0)
-            q_idx = (row_start + row_ids) // group
-            k_pos = c * chunk_tokens + jax.lax.broadcasted_iota(jnp.int32, shape, dimension=1)
-            mask = (k_pos < seq_k) & (q_idx < seq_q)
-            if causal:
-                mask &= k_pos <= seq_k - seq_q + q_idx
+            mask = c * chunk_tokens <= mask_thresh
 
         for h in range(num_kv_heads):
             r0, r1 = h * cq_rows, (h + 1) * cq_rows
@@ -537,8 +549,23 @@ def varlen_attention_launcher(
         qo = 2 * 2 * num_kv_heads * cq * head_size * jnp.dtype(query.dtype).itemsize
         return bufs + stats + qo
 
-    ah_cq, ah_ct = min(q_chunk_rows, 256), min(chunk_tokens, 512)
-    all_heads = dma_path and _allheads_vmem(ah_cq, ah_ct) <= 10 * 1024 * 1024
+    # Refetch traffic scales as total_rows / cq_rows (each query chunk
+    # re-reads its KV prefix), so prefer the LARGEST cq_rows the VMEM
+    # budget allows, shrinking whichever of (kv bufs, stats+q/o) costs
+    # more. Floors: one page per chunk, one GQA group of rows.
+    budget = 13 * 1024 * 1024
+    ah_cq, ah_ct = q_chunk_rows, chunk_tokens
+    while _allheads_vmem(ah_cq, ah_ct) > budget:
+        kv_cost = 4 * num_kv_heads * ah_ct * head_size * kv_itemsize
+        can_ct = ah_ct > page_size
+        can_cq = ah_cq > max(256, group)
+        if not (can_ct or can_cq):
+            break
+        if can_ct and (kv_cost * 2 > _allheads_vmem(ah_cq, ah_ct) or not can_cq):
+            ah_ct = max(page_size, ah_ct // 2)
+        else:
+            ah_cq = max(256, group, ah_cq // 2)
+    all_heads = dma_path and _allheads_vmem(ah_cq, ah_ct) <= budget
     cq_cap = (ah_cq if all_heads else q_chunk_rows) if dma_path else 256
     cq_rows = min(round_up(total_rows, 8), cq_cap if group <= cq_cap else round_up(group, 8))
     cq_rows = max(cq_rows, round_up(group, 8))

@@ -199,6 +199,36 @@ def gemma_prefill(
     return logits, k_caches, v_caches
 
 
+def gemma_verify_forward(
+    params, config: GemmaConfig, token_ids, positions, cu_seqlens_q, max_seqlen_q: int,
+    seq_lens, block_tables, slot_mapping, k_caches, v_caches, tp_axis=None,
+):
+    """Speculative-decoding verification forward: ``gemma_prefill`` but
+    returning logits for EVERY query token so the engine can check each
+    drafted token in one pass (KV for rejected positions needs no
+    rollback — entries past ``seq_len`` are masked and overwritten).
+    """
+    hidden = jnp.take(params["embedding"], token_ids, axis=0)
+    hidden = hidden * jnp.asarray(config.hidden_size**0.5, hidden.dtype)
+
+    kv_quant = _kv_cache_quant(config, k_caches.dtype)
+
+    def attn_fn(q, kc, vc):
+        return varlen_attention(
+            q, kc, vc, cu_seqlens_q, max_seqlen_q, seq_lens, max_seqlen_q,
+            block_tables, causal=True, scale=_attn_scale(config),
+            softcap=config.attn_logit_softcap,
+            kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
+        )
+
+    hidden, (k_caches, v_caches) = _gemma_layers(
+        config, params, hidden, positions, slot_mapping, attn_fn, k_caches, v_caches, tp_axis,
+        kv_quant=kv_quant,
+    )
+    logits = _final_logits(params, config, hidden)
+    return logits, k_caches, v_caches
+
+
 def gemma_decode_step(
     params, config: GemmaConfig, token_ids, positions, seq_lens, block_tables,
     slot_mapping, k_caches, v_caches, tp_axis=None,

@@ -133,6 +133,7 @@ class LLMEngine:
         cache_dtype=None,
         prefill_fn=None,
         decode_fn=None,
+        verify_fn=None,
         mesh=None,
     ):
         self.params = params
@@ -191,12 +192,15 @@ class LLMEngine:
                 donate_argnames=("k_caches", "v_caches"),
             )
             self._verify_fn = jax.jit(
-                functools.partial(llama_verify_forward, config=model_config),
+                functools.partial(verify_fn or llama_verify_forward, config=model_config),
                 static_argnames=("max_seqlen_q",),
                 donate_argnames=("k_caches", "v_caches"),
             )
-        if engine_config.num_speculative_tokens > 0 and decode_fn is not None:
-            msg = "speculative decoding currently supports the Llama model family only"
+        if engine_config.num_speculative_tokens > 0 and decode_fn is not None and verify_fn is None:
+            msg = (
+                "speculative decoding with a custom decode_fn needs a matching "
+                "verify_fn (e.g. models.gemma.gemma_verify_forward)"
+            )
             raise ValueError(msg)
 
     def _make_tp_steps(self, mesh):

@@ -77,6 +77,44 @@ def test_gemma_served_by_engine(tiny_gemma):
     assert outputs[0] == solo[0]
 
 
+def test_gemma_speculative_decoding_exact(tiny_gemma):
+    """Prompt-lookup speculative decoding with Gemma's verify forward is
+    greedy-exact: identical outputs to the plain Gemma engine."""
+    from conch_tpu.models.gemma import gemma_verify_forward
+
+    cfg, params = tiny_gemma
+    ecfg = EngineConfig(page_size=16, num_pages=64, max_batch_size=4, max_pages_per_seq=8)
+    prompts = [[1, 2, 3, 1, 2, 3, 1, 2], [9, 8, 7, 6, 5]]
+    plain = LLMEngine(params, cfg, ecfg, prefill_fn=gemma_prefill, decode_fn=gemma_decode_step)
+    spec = LLMEngine(
+        params, cfg,
+        EngineConfig(
+            page_size=16, num_pages=64, max_batch_size=4, max_pages_per_seq=8,
+            num_speculative_tokens=4,
+        ),
+        prefill_fn=gemma_prefill,
+        decode_fn=gemma_decode_step,
+        verify_fn=gemma_verify_forward,
+    )
+    spec_out = spec.generate(prompts, SamplingParams(max_tokens=12))
+    assert spec_out == plain.generate(prompts, SamplingParams(max_tokens=12))
+    assert spec.spec_tokens_drafted > 0
+
+
+def test_gemma_spec_decode_requires_verify_fn(tiny_gemma):
+    cfg, params = tiny_gemma
+    with pytest.raises(ValueError, match="verify_fn"):
+        LLMEngine(
+            params, cfg,
+            EngineConfig(
+                page_size=16, num_pages=64, max_batch_size=4, max_pages_per_seq=8,
+                num_speculative_tokens=4,
+            ),
+            prefill_fn=gemma_prefill,
+            decode_fn=gemma_decode_step,
+        )
+
+
 def test_gemma_int8_kv_decode_close_to_fp32():
     """Gemma decode with an int8 KV cache stays close to the fp32 cache."""
     import dataclasses

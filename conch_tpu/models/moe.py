@@ -75,6 +75,24 @@ class MoEConfig:
         cap = math.ceil(num_tokens * self.top_k / self.num_experts * self.capacity_factor)
         return max(1, min(cap, num_tokens))
 
+    # Engine-facing attributes (LLMEngine sizes the KV pool off the model
+    # config; MoE attention geometry is the inner Llama config's).
+    @property
+    def num_layers(self) -> int:
+        return self.llama.num_layers
+
+    @property
+    def num_kv_heads(self) -> int:
+        return self.llama.num_kv_heads
+
+    @property
+    def head_dim(self) -> int:
+        return self.llama.head_dim
+
+    @property
+    def dtype(self):
+        return self.llama.dtype
+
 
 def route_topk(router_logits: jax.Array, top_k: int) -> tuple[jax.Array, jax.Array]:
     """Top-k routing with Mixtral's renormalized softmax.
@@ -336,6 +354,50 @@ def mixtral_prefill(
     hidden_last = jnp.take(hidden, last_rows, axis=0)
     hidden_last = rms_norm(hidden_last, params["final_norm"], c.rms_norm_eps)
     logits = params["lm_head"].apply(hidden_last)
+    return logits.astype(jnp.float32), k_caches, v_caches
+
+
+def mixtral_verify_forward(
+    params: dict,
+    config: MoEConfig,
+    token_ids: jax.Array,
+    positions: jax.Array,
+    cu_seqlens_q: jax.Array,
+    max_seqlen_q: int,
+    seq_lens: jax.Array,
+    block_tables: jax.Array,
+    slot_mapping: jax.Array,
+    k_caches: jax.Array,
+    v_caches: jax.Array,
+    tp_axis: str | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Speculative-decoding verification: ``mixtral_prefill`` but with
+    logits for EVERY query token (same contract as
+    ``llama_verify_forward``; rejected positions need no KV rollback).
+    """
+    c = config.llama
+    hidden = jnp.take(params["embedding"], token_ids, axis=0)
+    num_kv_heads = k_caches.shape[2]
+    group = c.num_heads // c.num_kv_heads
+    kv_quant = _kv_cache_quant(c, k_caches.dtype)
+
+    def attn_fn(q, k_cache, v_cache):
+        return varlen_attention(
+            q, k_cache, v_cache, cu_seqlens_q, max_seqlen_q, seq_lens,
+            max_seqlen_q, block_tables, causal=True,
+            kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
+        )
+
+    layer_step = _layer_step_factory(
+        c, attn_fn, params["cos_sin_cache"], positions, slot_mapping,
+        tp_axis=tp_axis, num_heads=num_kv_heads * group, num_kv_heads=num_kv_heads,
+        kv_quant=kv_quant,
+        mlp_fn=_moe_mlp_fn(config, config.capacity(token_ids.shape[0]), tp_axis),
+    )
+    hidden, (k_caches, v_caches) = jax.lax.scan(layer_step, hidden, (params["layers"], k_caches, v_caches))
+
+    hidden = rms_norm(hidden, params["final_norm"], c.rms_norm_eps)
+    logits = params["lm_head"].apply(hidden)
     return logits.astype(jnp.float32), k_caches, v_caches
 
 

@@ -234,3 +234,30 @@ def test_mixtral_tp_ep_decode_matches_single_device(nrng):
     np.testing.assert_allclose(
         np.asarray(k_out, np.float32), np.asarray(ref_k, np.float32), atol=2e-2, rtol=2e-2
     )
+
+
+def test_mixtral_served_by_engine(nrng):
+    """The model-agnostic engine serves Mixtral, including prompt-lookup
+    speculative decoding (greedy-exact vs the plain Mixtral engine)."""
+    from conch_tpu.models.moe import mixtral_verify_forward
+    from conch_tpu.serving import EngineConfig, LLMEngine, SamplingParams
+
+    cfg = _tiny_cfg()
+    params = init_moe_params(0, cfg)
+    ecfg = dict(page_size=8, num_pages=64, max_batch_size=4, max_pages_per_seq=8)
+    prompts = [[1, 2, 3, 1, 2, 3, 1, 2], [9, 8, 7, 6, 5]]
+
+    plain = LLMEngine(
+        params, cfg, EngineConfig(**ecfg),
+        prefill_fn=mixtral_prefill, decode_fn=mixtral_decode_step,
+    )
+    outputs = plain.generate(prompts, SamplingParams(max_tokens=8))
+    assert all(len(o) == 8 for o in outputs)
+
+    spec = LLMEngine(
+        params, cfg, EngineConfig(**ecfg, num_speculative_tokens=4),
+        prefill_fn=mixtral_prefill, decode_fn=mixtral_decode_step,
+        verify_fn=mixtral_verify_forward,
+    )
+    assert spec.generate(prompts, SamplingParams(max_tokens=8)) == outputs
+    assert spec.spec_tokens_drafted > 0

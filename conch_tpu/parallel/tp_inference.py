@@ -108,6 +108,10 @@ def make_tp_prefill(mesh: Mesh, config: Any, params_example: Any, max_seqlen_q: 
     return _make_tp_varlen_step(mesh, config, params_example, max_seqlen_q, prefill_fn)
 
 
-def make_tp_verify(mesh: Mesh, config: LlamaConfig, params_example: Any, max_seqlen_q: int):
-    """Tensor-parallel speculative-decoding verification forward."""
-    return _make_tp_varlen_step(mesh, config, params_example, max_seqlen_q, llama_verify_forward)
+def make_tp_verify(mesh: Mesh, config: Any, params_example: Any, max_seqlen_q: int, verify_fn=llama_verify_forward):
+    """Tensor-parallel speculative-decoding verification forward.
+
+    ``verify_fn`` swaps the model family (``gemma.gemma_verify_forward``,
+    ``moe.mixtral_verify_forward``, ...).
+    """
+    return _make_tp_varlen_step(mesh, config, params_example, max_seqlen_q, verify_fn)

@@ -152,9 +152,6 @@ class LLMEngine:
         self.k_caches = jnp.zeros(cache_shape, dtype=dtype)
         self.v_caches = jnp.zeros(cache_shape, dtype=dtype)
         if mesh is not None:
-            if prefill_fn is not None or decode_fn is not None:
-                msg = "mesh-based TP serving currently supports the Llama model family only"
-                raise ValueError(msg)
             if mesh.shape.get("data", 1) != 1:
                 msg = (
                     "the engine's mesh must have data=1: data parallelism is "
@@ -180,7 +177,9 @@ class LLMEngine:
         self.spec_tokens_accepted = 0
 
         if mesh is not None:
-            self._prefill_fn, self._decode_fn, self._verify_fn = self._make_tp_steps(mesh)
+            self._prefill_fn, self._decode_fn, self._verify_fn = self._make_tp_steps(
+                mesh, prefill_fn, decode_fn, verify_fn
+            )
         else:
             self._prefill_fn = jax.jit(
                 functools.partial(prefill_fn or llama_prefill, config=model_config),
@@ -203,33 +202,41 @@ class LLMEngine:
             )
             raise ValueError(msg)
 
-    def _make_tp_steps(self, mesh):
+    def _make_tp_steps(self, mesh, prefill_fn=None, decode_fn=None, verify_fn=None):
         """Adapt the shard_map TP steps to the engine's kwarg signatures.
 
         The ragged steps (prefill/verify) close over a static
         ``max_seqlen_q``; the engine buckets it to powers of two, so each
         bucket builds (and caches) one jitted step — the same recompile
         granularity as the single-device ``static_argnames`` path.
+        Custom ``*_fn``s swap the model family (Gemma, Mixtral, ...); the
+        TP sharding rules key on the shared param names (wq/wk/.../lm_head).
         """
         from conch_tpu.parallel.tp_inference import make_tp_decode_step, make_tp_prefill, make_tp_verify
 
-        tp_decode = make_tp_decode_step(mesh, self.config, self.params)
+        tp_decode = make_tp_decode_step(
+            mesh, self.config, self.params, decode_fn=decode_fn or llama_decode_step
+        )
 
         def decode_adapter(params, *, token_ids, positions, seq_lens, block_tables, slot_mapping, k_caches, v_caches):
             return tp_decode(params, token_ids, positions, seq_lens, block_tables, slot_mapping, k_caches, v_caches)
 
-        def make_ragged_adapter(builder):
+        def make_ragged_adapter(builder, model_fn):
             by_bucket: dict[int, Any] = {}
 
             def adapter(params, *, token_ids, positions, cu_seqlens_q, max_seqlen_q, seq_lens, block_tables, slot_mapping, k_caches, v_caches):
                 fn = by_bucket.get(max_seqlen_q)
                 if fn is None:
-                    fn = by_bucket[max_seqlen_q] = builder(mesh, self.config, self.params, max_seqlen_q)
+                    fn = by_bucket[max_seqlen_q] = builder(mesh, self.config, self.params, max_seqlen_q, model_fn)
                 return fn(params, token_ids, positions, cu_seqlens_q, seq_lens, block_tables, slot_mapping, k_caches, v_caches)
 
             return adapter
 
-        return make_ragged_adapter(make_tp_prefill), decode_adapter, make_ragged_adapter(make_tp_verify)
+        return (
+            make_ragged_adapter(make_tp_prefill, prefill_fn or llama_prefill),
+            decode_adapter,
+            make_ragged_adapter(make_tp_verify, verify_fn or llama_verify_forward),
+        )
 
     # -- public API --------------------------------------------------------
 

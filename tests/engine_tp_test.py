@@ -100,3 +100,30 @@ def test_engine_rejects_data_axis(model):
 
     with pytest.raises(ValueError, match="data=1"):
         LLMEngine(params, cfg, _ecfg(), mesh=create_mesh(data=2, model=4))
+
+
+def test_engine_tp_gemma(model):
+    """TP serving is model-agnostic: Gemma's step fns plug into the mesh
+    path (same param names -> same Megatron sharding rules)."""
+    from conch_tpu.models.gemma import (
+        GemmaConfig,
+        gemma_decode_step,
+        gemma_prefill,
+        gemma_verify_forward,
+        init_gemma_params,
+    )
+
+    cfg = GemmaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_layers=2, num_heads=8, num_kv_heads=4, head_dim=32,
+        max_position=512, dtype=jnp.float32,
+    )
+    params = init_gemma_params(0, cfg)
+    fns = dict(prefill_fn=gemma_prefill, decode_fn=gemma_decode_step, verify_fn=gemma_verify_forward)
+    prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [9, 8, 7, 6]]
+    single = LLMEngine(params, cfg, _ecfg(), **fns).generate(prompts, SamplingParams(max_tokens=6))
+    tp = LLMEngine(
+        params, cfg, _ecfg(num_speculative_tokens=3), mesh=tp_mesh(jax.devices()[:4]), **fns
+    )
+    assert tp.generate(prompts, SamplingParams(max_tokens=6)) == single
+    assert tp.spec_tokens_drafted > 0

@@ -99,3 +99,40 @@ def restore_checkpoint(path: str | pathlib.Path, params_like: Any) -> Any:
             raise ValueError(msg)
         restored.append(arr)
     return jax.tree_util.tree_unflatten(treedef, restored)
+
+
+def save_sharded_checkpoint(path: str | pathlib.Path, params: Any) -> None:
+    """Save a (possibly mesh-sharded) param pytree via orbax.
+
+    Each host writes only the shards it owns, so this is the multi-host
+    checkpoint path (the ``.npz`` functions above gather to one host).
+    Works for quantized pytrees: ``QuantizedLinear`` static metadata is
+    carried by the template at restore time, matching the npz contract.
+    """
+    import orbax.checkpoint as ocp
+
+    path = pathlib.Path(path).resolve()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, params, force=True)
+
+
+def restore_sharded_checkpoint(path: str | pathlib.Path, params_like: Any) -> Any:
+    """Restore a checkpoint saved by :func:`save_sharded_checkpoint`.
+
+    ``params_like`` provides tree structure AND target shardings: concrete
+    ``jax.Array`` leaves (e.g. from ``shard_llama_params``) restore onto
+    their mesh placement directly — each host reads only its shards —
+    while plain numpy/abstract leaves restore unsharded.
+    """
+    import orbax.checkpoint as ocp
+
+    path = pathlib.Path(path).resolve()
+
+    def as_abstract(leaf: Any) -> Any:
+        arr = jnp.asarray(leaf) if not isinstance(leaf, jax.Array) else leaf
+        sharding = getattr(arr, "sharding", None)
+        return jax.ShapeDtypeStruct(arr.shape, arr.dtype, sharding=sharding)
+
+    abstract = jax.tree_util.tree_map(as_abstract, params_like)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, abstract)

@@ -61,3 +61,36 @@ def test_checkpoint_dtype_mismatch_raises(tmp_path):
     save_checkpoint(tmp_path / "ckpt", {"w": jnp.zeros((4, 4), jnp.float32)})
     with pytest.raises(ValueError, match="template expects"):
         restore_checkpoint(tmp_path / "ckpt", {"w": jnp.zeros((4, 4), jnp.bfloat16)})
+
+
+def test_sharded_checkpoint_roundtrip_on_mesh(tmp_path):
+    """Orbax-backed multi-host path: int4 params sharded over a tp=4 mesh
+    save shard-wise and restore onto their mesh placement bit-exactly."""
+    import jax
+
+    from conch_tpu.models.llama import LlamaConfig, init_llama_params
+    from conch_tpu.parallel.mesh import create_mesh
+    from conch_tpu.parallel.sharding import shard_llama_params
+    from conch_tpu.utils.checkpoint import (
+        restore_sharded_checkpoint,
+        save_sharded_checkpoint,
+    )
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=16, max_position=64, dtype=jnp.float32,
+    )
+    sharded = shard_llama_params(
+        init_llama_params(0, cfg, "int4", group_size=16), create_mesh(data=1, model=4)
+    )
+    save_sharded_checkpoint(tmp_path / "ckpt", sharded)
+    restored = restore_sharded_checkpoint(
+        tmp_path / "ckpt", jax.tree.map(jnp.zeros_like, sharded)
+    )
+    assert jax.tree.all(jax.tree.map(lambda a, b: bool(jnp.all(a == b)), sharded, restored))
+    assert all(
+        r.sharding == s.sharding
+        for r, s in zip(jax.tree.leaves(restored), jax.tree.leaves(sharded), strict=True)
+    )

@@ -8,6 +8,7 @@
 # tools/plot_benchmark_results.py.
 set -euo pipefail
 cd "$(dirname "$0")/../.."
+export PYTHONPATH="$PWD:${PYTHONPATH:-}"
 OUT_DIR="${OUT_DIR:-benchmark_results/paged_attention_sweep}"
 BENCH="${BENCH:-paged_attention_benchmark}"
 mkdir -p "$OUT_DIR"
@@ -15,9 +16,9 @@ for seq in 32 128 512 2048 8192 32768 131072; do
   batch=4
   # keep KV cache under ~8 GB: batch * seq * 8 heads * 128 * 2 * 2B
   if [ "$seq" -ge 32768 ]; then batch=1; fi
-  python "benchmarks/${BENCH}.py" --csv \
+  python "benchmarks/${BENCH}.py" --csv --calibrate \
     --batch "$batch" --num-q-heads 32 --num-kv-heads 8 --head-size 128 \
     --seq-len "$seq" --iterations "${ITERATIONS:-20}" \
-    | awk -v s="$seq" 'NR==1{print $0",seq_len"} NR>1{print $0","s}' \
+    | awk -v s="$seq" '/^#/{print; next} /^tag,/{print $0",seq_len"; next} {print $0","s}' \
     | tee "$OUT_DIR/seq${seq}.csv"
 done

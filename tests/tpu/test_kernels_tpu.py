@@ -152,6 +152,19 @@ def test_reshape_and_cache_and_paged_attention(nrng):
     )
 
 
+def test_copy_blocks_on_hw(nrng):
+    from conch_tpu.ops.cache import copy_blocks
+
+    kcs = [jnp.asarray(nrng.normal(size=(8, 2, 16, 64)), jnp.bfloat16) for _ in range(2)]
+    vcs = [jnp.asarray(nrng.normal(size=(8, 2, 16, 64)), jnp.bfloat16) for _ in range(2)]
+    pairs = jnp.asarray([[0, 5], [3, 7]], jnp.int32)
+    kcs2, vcs2 = copy_blocks(kcs, vcs, pairs)
+    for layer in range(2):
+        np.testing.assert_array_equal(np.asarray(kcs2[layer][5]), np.asarray(kcs[layer][0]))
+        np.testing.assert_array_equal(np.asarray(vcs2[layer][7]), np.asarray(vcs[layer][3]))
+        np.testing.assert_array_equal(np.asarray(kcs2[layer][1]), np.asarray(kcs[layer][1]))
+
+
 def test_paged_attention_odd_head_on_hw(nrng):
     """Head 96 routes through the varlen path and must lower on hardware."""
     from conch_tpu.ops.attention import paged_attention

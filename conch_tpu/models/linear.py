@@ -9,8 +9,10 @@ whose ``kind`` selects the matmul kernel:
 - ``dense``: plain MXU matmul (bf16/f32 weights).
 - ``int4``/``int8_grouped``: GPTQ-style packed weights + per-group scales
   -> ``mixed_precision_gemm`` (in-VMEM unpack + dequant before the dot).
-- ``int8``: per-channel scaled int8 weights -> ``scaled_gemm`` with
-  dynamic per-token activation quantization.
+- ``w8a8``: per-channel int8 weights + dynamic per-token int8
+  activations -> ``scaled_gemm`` on the int8 MXU path (int32
+  accumulation); the compute-bound (prefill) counterpart to the
+  weight-only modes.
 - ``nf4``: 4-bit NF4 codebook weights in GPTQ row layout with per-K-group
   absmax -> ``mixed_precision_gemm`` with the in-kernel 16-way codebook
   select (fused dequant; the dense (K, N) weight is never materialized).
@@ -31,7 +33,7 @@ import numpy as np
 
 from conch_tpu.kernels.quantization.bitsandbytes.blockwise import NF4_CODE
 from conch_tpu.ops.quantization.bitsandbytes.functional import quantize_4bit
-from conch_tpu.ops.quantization.gemm import mixed_precision_gemm
+from conch_tpu.ops.quantization.gemm import mixed_precision_gemm, scaled_gemm
 from conch_tpu.types.scalar_type import scalar_types
 from conch_tpu.utils.quant_utils import pack_rows, quantize_weights
 
@@ -125,6 +127,23 @@ class QuantizedLinear:
             {"shape": (k_dim, n_dim), "blocksize": blocksize, "dtype": str(jnp.dtype(dtype))},
         )
 
+    @staticmethod
+    def w8a8_from_dense(w: np.ndarray) -> "QuantizedLinear":
+        """Per-output-channel symmetric int8 weight quantization (W8A8).
+
+        Activations are quantized dynamically per token in :meth:`apply`;
+        the matmul runs on the MXU's int8 path with int32 accumulation
+        (reference scaled-GEMM frontend: conch/ops/quantization/gemm.py).
+        """
+        w = np.asarray(w, dtype=np.float32)
+        scales = np.maximum(np.abs(w).max(axis=0) / 127.0, 1e-8)  # (N,)
+        w8 = np.clip(np.rint(w / scales), -127, 127).astype(np.int8)
+        return QuantizedLinear(
+            "w8a8",
+            {"w8": jnp.asarray(w8), "out_scales": jnp.asarray(scales, jnp.float32)},
+            {},
+        )
+
     # -- application -------------------------------------------------------
 
     def apply(self, x: jax.Array) -> jax.Array:
@@ -152,6 +171,11 @@ class QuantizedLinear:
                 self.meta["blocksize"],
                 codebook=tuple(float(v) for v in NF4_CODE),
             )
+        if self.kind == "w8a8":
+            xf = x.astype(jnp.float32)
+            a_scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0  # (M,)
+            xq = jnp.clip(jnp.rint(xf / a_scale[:, None]), -127, 127).astype(jnp.int8)
+            return scaled_gemm(xq, self.arrays["w8"], a_scale, self.arrays["out_scales"], x.dtype)
         msg = f"Unknown linear kind: {self.kind}"
         raise ValueError(msg)
 
@@ -166,5 +190,7 @@ def quantize_linear(w: np.ndarray, mode: str, **kwargs) -> QuantizedLinear:
         return QuantizedLinear.int8_grouped_from_dense(w, **kwargs)
     if mode == "nf4":
         return QuantizedLinear.nf4_from_dense(w, **kwargs)
+    if mode == "w8a8":
+        return QuantizedLinear.w8a8_from_dense(w, **kwargs)
     msg = f"Unknown quantization mode: {mode}"
     raise ValueError(msg)

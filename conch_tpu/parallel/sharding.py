@@ -51,6 +51,14 @@ def _spec_for(path: str, ndim: int) -> P:
     if ndim >= 4 and any(k in path for k in ("w_gate", "w_up", "w_down")):
         return P(*([None] * (ndim - 3) + ["model", None, None]))
 
+    # w8a8 per-output-channel scales are (N,): they follow N — sharded
+    # under column-parallel, replicated under row-parallel (where K is
+    # the sharded dimension and every chip keeps all N columns).
+    if "out_scales" in path:
+        if any(k in path for k in ("wq", "wk", "wv", "w_gate", "w_up", "lm_head")):
+            return last_on_model()
+        return P()
+
     # nf4 storage is K-grouped (K//8, N) packed + (K//g, N) absmax — the
     # same geometry as int4 packed/scales — so the generic rules apply.
     if any(k in path for k in ("wq", "wk", "wv", "w_gate", "w_up", "lm_head")):

@@ -187,3 +187,57 @@ def test_fused_nf4_gemm_bf16_activations():
     ref = np.asarray(x, np.float32) @ w
     rel = np.abs(np.asarray(out, np.float32) - ref).max() / np.abs(ref).max()
     assert rel < 0.15  # nf4 quantization + bf16 rounding
+
+
+def test_w8a8_linear_matches_dense():
+    """QuantizedLinear('w8a8'): dynamic per-token int8 activations x
+    per-channel int8 weights on the int8 MXU path vs the fp32 matmul."""
+    from conch_tpu.models.linear import QuantizedLinear, quantize_linear
+
+    rng = np.random.default_rng(11)
+    w = rng.normal(size=(256, 512)).astype(np.float32) * 0.02
+    lin = quantize_linear(w, "w8a8")
+    assert lin.kind == "w8a8"
+    assert lin.arrays["w8"].dtype == jnp.int8
+
+    x = rng.normal(size=(16, 256)).astype(np.float32)
+    out = np.asarray(lin.apply(jnp.asarray(x)))
+    ref = x @ w
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 0.03, rel  # two int8 roundings
+
+    # bf16 activations keep the output dtype.
+    out_bf = QuantizedLinear.w8a8_from_dense(w).apply(jnp.asarray(x, jnp.bfloat16))
+    assert out_bf.dtype == jnp.bfloat16
+
+
+def test_w8a8_tp_sharding_column_and_row():
+    """w8a8 leaves shard correctly: (N,) out_scales follow N under
+    column-parallel and replicate under row-parallel."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from conch_tpu.models.linear import quantize_linear
+    from conch_tpu.parallel.sharding import llama_param_pspecs
+
+    rng = np.random.default_rng(12)
+    params = {
+        "wq": quantize_linear(rng.normal(size=(64, 128)).astype(np.float32), "w8a8"),
+        "wo": quantize_linear(rng.normal(size=(128, 64)).astype(np.float32), "w8a8"),
+    }
+    specs = llama_param_pspecs(params)
+    assert specs["wq"].arrays["w8"] == P(None, "model")
+    assert specs["wq"].arrays["out_scales"] == P("model")
+    assert specs["wo"].arrays["w8"] == P("model", None)
+    assert specs["wo"].arrays["out_scales"] == P()
+
+    if len(jax.devices()) >= 4:
+        from conch_tpu.parallel.mesh import create_mesh
+        from conch_tpu.parallel.sharding import llama_param_shardings
+
+        mesh = create_mesh(data=1, model=4)
+        sharded = jax.device_put(params, llama_param_shardings(params, mesh))
+        x = jnp.asarray(rng.normal(size=(8, 64)), jnp.float32)
+        out = sharded["wq"].apply(x)  # GSPMD handles the sharded apply
+        ref = params["wq"].apply(x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)

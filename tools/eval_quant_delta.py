@@ -109,7 +109,7 @@ def main() -> None:
 
     results = {}
     ref_logits = None
-    for mode in ("bf16", "int8", "int4", "nf4"):
+    for mode in ("bf16", "int8", "w8a8", "int4", "nf4"):
         qp = params if mode == "bf16" else requantize_llama_params(params, config, mode, group_size=64)
         ppl, kl, logits = eval_ppl_and_kl(qp, ref_logits, config, heldout)
         if mode == "bf16":
@@ -125,7 +125,7 @@ def main() -> None:
 
     bf16_ppl = results["bf16"][0]
     assert bf16_ppl < uniform_ppl / 4, "training failed to learn structure"
-    worst = max(abs(results[m][0] - bf16_ppl) for m in ("int8", "int4", "nf4"))
+    worst = max(abs(results[m][0] - bf16_ppl) for m in ("int8", "w8a8", "int4", "nf4"))
     print(f"# bf16 ppl {bf16_ppl:.3f} (uniform {uniform_ppl}); worst quant ppl delta {worst:.4f}")
 
 

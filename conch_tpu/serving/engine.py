@@ -274,8 +274,13 @@ class LLMEngine:
             self._run_prefill(prefilling)
         else:
             decodable = [r for r in self.running if r.state == RequestState.RUNNING]
+            # Speculation verifies with RAW greedy argmax: every request
+            # must be plain greedy with no pending logit rules.
             use_spec = self.ecfg.num_speculative_tokens > 0 and all(
-                r.sampling.temperature <= 0.0 for r in decodable
+                r.sampling.temperature <= 0.0
+                and r.sampling.repetition_penalty == 1.0
+                and len(r.output_tokens) >= r.sampling.min_tokens
+                for r in decodable
             )
             if use_spec:
                 self._run_spec_decode(decodable)
@@ -638,16 +643,46 @@ class LLMEngine:
             temps[row] = r.sampling.temperature
             top_ks[row] = r.sampling.top_k
             top_ps[row] = r.sampling.top_p
+        logits = self._apply_logit_rules(logits, reqs, rows)
         toks = sample_tokens(
             logits, key, jnp.asarray(temps), top_k=jnp.asarray(top_ks), top_p=jnp.asarray(top_ps)
         )
         return np.asarray(toks)[rows]
 
+    def _apply_logit_rules(self, logits: jax.Array, reqs: list[Request], rows: list[int]) -> jax.Array:
+        """min_tokens eos/stop suppression + repetition penalty (host-built
+        sparse index lists, one scatter each; no-ops cost nothing)."""
+        sup_r, sup_c = [], []
+        pen_r, pen_c, pen_v = [], [], []
+        eos = self.ecfg.eos_token_id
+        for row, r in zip(rows, reqs):
+            s = r.sampling
+            if len(r.output_tokens) < s.min_tokens:
+                for tok in ({eos} if eos is not None else set()) | set(s.stop_token_ids):
+                    sup_r.append(row)
+                    sup_c.append(tok)
+            if s.repetition_penalty != 1.0:
+                for tok in set(r.prompt) | set(r.output_tokens):
+                    pen_r.append(row)
+                    pen_c.append(tok)
+                    pen_v.append(s.repetition_penalty)
+        if sup_r:
+            logits = logits.at[jnp.asarray(sup_r), jnp.asarray(sup_c)].set(-jnp.inf)
+        if pen_r:
+            rr, cc = jnp.asarray(pen_r), jnp.asarray(pen_c)
+            seen = logits[rr, cc]
+            pv = jnp.asarray(pen_v, jnp.float32)
+            logits = logits.at[rr, cc].set(jnp.where(seen > 0, seen / pv, seen * pv))
+        return logits
+
     def _maybe_finish(self, req: Request) -> None:
         eos = self.ecfg.eos_token_id
-        hit_eos = eos is not None and req.output_tokens and req.output_tokens[-1] == eos
+        last = req.output_tokens[-1] if req.output_tokens else None
+        hit_stop = last is not None and (last == eos or last in req.sampling.stop_token_ids)
+        if hit_stop and len(req.output_tokens) < req.sampling.min_tokens:
+            hit_stop = False  # suppressed at sampling; belt-and-braces here
         out_of_len = len(req.output_tokens) >= req.sampling.max_tokens
         # Hard cap only: pages grow on demand up to max_pages_per_seq.
         at_cap = req.total_len >= self.ecfg.max_pages_per_seq * self.ecfg.page_size
-        if hit_eos or out_of_len or at_cap:
+        if hit_stop or out_of_len or at_cap:
             req.state = RequestState.FINISHED

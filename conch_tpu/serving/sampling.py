@@ -19,6 +19,9 @@ class SamplingParams:
     top_k: int = 0  # 0 => disabled
     top_p: float = 1.0
     max_tokens: int = 64
+    min_tokens: int = 0  # eos/stop tokens are suppressed until this many
+    stop_token_ids: tuple[int, ...] = ()  # finish on any of these (like eos)
+    repetition_penalty: float = 1.0  # >1 discourages already-seen tokens
 
 
 @jax.jit

@@ -355,3 +355,75 @@ def test_engine_per_request_top_k(tiny_model):
         [prompt], SamplingParams(temperature=5.0, top_k=1, max_tokens=6)
     )[0]
     assert top1 == greedy
+
+
+def test_engine_stop_token_ids(tiny_model):
+    """A per-request stop token finishes the request at its first
+    occurrence (included in the output, like EOS)."""
+    cfg, params = tiny_model
+    prompt = [1, 5, 9, 23, 40]
+    plain = _make_engine(cfg, params).generate([prompt], SamplingParams(max_tokens=8))[0]
+    stop = plain[3]
+    out = _make_engine(cfg, params).generate(
+        [prompt], SamplingParams(max_tokens=8, stop_token_ids=(stop,))
+    )[0]
+    first = plain.index(stop)
+    assert out == plain[: first + 1]
+
+
+def test_engine_min_tokens_suppresses_eos(tiny_model):
+    """With min_tokens, EOS cannot be sampled before the floor is met."""
+    cfg, params = tiny_model
+    prompt = [1, 5, 9, 23, 40]
+    plain = _make_engine(cfg, params).generate([prompt], SamplingParams(max_tokens=8))[0]
+    eos = plain[0]  # greedy would emit EOS immediately
+    short = _make_engine(cfg, params, eos_token_id=eos).generate(
+        [prompt], SamplingParams(max_tokens=8)
+    )[0]
+    assert short == [eos]
+    out = _make_engine(cfg, params, eos_token_id=eos).generate(
+        [prompt], SamplingParams(max_tokens=8, min_tokens=4)
+    )[0]
+    assert len(out) >= 4
+    assert eos not in out[:3]
+
+
+def test_engine_repetition_penalty_rules():
+    """_apply_logit_rules penalizes exactly the seen tokens."""
+    from conch_tpu.serving.engine import Request
+
+    cfg = LlamaConfig(
+        vocab_size=16, hidden_size=32, intermediate_size=64, num_layers=1,
+        num_heads=2, num_kv_heads=1, head_dim=16, max_position=64, dtype=jnp.float32,
+    )
+    engine = _make_engine(cfg, init_llama_params(0, cfg, "bf16"))
+    req = Request(0, prompt=[2, 3], sampling=SamplingParams(repetition_penalty=2.0))
+    req.output_tokens = [5]
+    logits = jnp.asarray(np.linspace(-1.0, 1.0, 16, dtype=np.float32)[None, :])
+    out = np.asarray(engine._apply_logit_rules(logits, [req], rows=[0]))
+    base = np.linspace(-1.0, 1.0, 16, dtype=np.float32)
+    for tok in range(16):
+        if tok in (2, 3, 5):
+            exp = base[tok] / 2.0 if base[tok] > 0 else base[tok] * 2.0
+        else:
+            exp = base[tok]
+        np.testing.assert_allclose(out[0, tok], exp, rtol=1e-6)
+
+
+def test_engine_repetition_penalty_end_to_end(tiny_model):
+    """Penalty flows through generate() without disturbing other requests."""
+    cfg, params = tiny_model
+    prompts = [[1, 5, 9, 23, 40], [7, 8, 9]]
+    plain = _make_engine(cfg, params).generate(prompts, SamplingParams(max_tokens=6))
+    # Per-request params via add_request directly:
+    eng = _make_engine(cfg, params)
+    ids = [
+        eng.add_request(prompts[0], SamplingParams(max_tokens=6, repetition_penalty=1.5)),
+        eng.add_request(prompts[1], SamplingParams(max_tokens=6)),
+    ]
+    done = {}
+    while eng.waiting or eng.running:
+        for r in eng.step():
+            done[r.request_id] = r.output_tokens
+    assert done[ids[1]] == plain[1]  # unpenalized request unchanged
+    assert len(done[ids[0]]) == 6

@@ -1,0 +1,222 @@
+# Copyright 2026 Conch-TPU authors.
+# SPDX-License-Identifier: Apache-2.0
+
+"""HuggingFace checkpoint import: HF state dicts -> conch_tpu param trees.
+
+A user of the reference serves HF-format weights; this module is the
+bridge for the Llama/Mixtral/Gemma families. The converter is pure
+numpy -> pytree (no torch dependency at import time); safetensors
+loading is an optional helper. Weights can be quantized on the way in
+(``quant_mode``: bf16/int4/int8/nf4/w8a8 — the same modes as
+``models.linear.quantize_linear``).
+
+Layout notes (validated by the transformers-oracle test
+``tests/hf_convert_test.py``):
+- HF ``nn.Linear`` stores (out_features, in_features); conch projections
+  are (K, N) = (in, out), so every weight transposes.
+- HF Llama RoPE is NeoX-style rotate-half — identical to
+  ``ops.embedding.rotary_embedding``; head ordering is head-major in
+  both, so q/k/v need no permutation.
+- Tied embeddings (no ``lm_head.weight``) reuse ``embed_tokens``.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conch_tpu.models.linear import quantize_linear
+from conch_tpu.reference.embedding.rotary_embedding import compute_cos_sin_cache
+
+
+def load_safetensors_dir(path: str | pathlib.Path) -> dict[str, np.ndarray]:
+    """Load every ``*.safetensors`` shard under ``path`` into one dict."""
+    from safetensors.numpy import load_file
+
+    path = pathlib.Path(path)
+    shards = sorted(path.glob("*.safetensors"))
+    if not shards:
+        msg = f"no .safetensors files under {path}"
+        raise FileNotFoundError(msg)
+    state: dict[str, np.ndarray] = {}
+    for shard in shards:
+        state.update(load_file(str(shard)))
+    return state
+
+
+def _np(x: Any) -> np.ndarray:
+    """Accept numpy arrays or torch tensors."""
+    if hasattr(x, "detach"):  # torch tensor without importing torch
+        x = x.detach().to("cpu").float().numpy()
+    return np.asarray(x)
+
+
+def _num_layers(state: Mapping[str, Any]) -> int:
+    pat = re.compile(r"model\.layers\.(\d+)\.")
+    idx = {int(m.group(1)) for k in state if (m := pat.match(k))}
+    if not idx:
+        msg = "no 'model.layers.N.' keys found — not an HF decoder state dict?"
+        raise ValueError(msg)
+    return max(idx) + 1
+
+
+def _stack(trees: list[Any]) -> Any:
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def llama_params_from_hf(
+    state: Mapping[str, Any],
+    config,
+    quant_mode: str = "bf16",
+    group_size: int = 128,
+) -> dict:
+    """Convert an HF ``LlamaForCausalLM`` state dict to conch_tpu params.
+
+    ``config`` is a ``models.llama.LlamaConfig`` matching the checkpoint.
+    """
+
+    def proj(name: str, mode: str = quant_mode):
+        w = _np(state[name]).T.astype(np.float32)  # (out,in) -> (K,N)
+        kwargs = {"group_size": group_size} if mode in ("int4", "int8") else {}
+        return quantize_linear(w, mode, **kwargs)
+
+    layers = []
+    for i in range(config.num_layers):
+        p = f"model.layers.{i}."
+        layers.append(
+            {
+                "wq": proj(p + "self_attn.q_proj.weight"),
+                "wk": proj(p + "self_attn.k_proj.weight"),
+                "wv": proj(p + "self_attn.v_proj.weight"),
+                "wo": proj(p + "self_attn.o_proj.weight"),
+                "w_gate": proj(p + "mlp.gate_proj.weight"),
+                "w_up": proj(p + "mlp.up_proj.weight"),
+                "w_down": proj(p + "mlp.down_proj.weight"),
+                "input_norm": jnp.asarray(_np(state[p + "input_layernorm.weight"]), config.dtype),
+                "post_attn_norm": jnp.asarray(
+                    _np(state[p + "post_attention_layernorm.weight"]), config.dtype
+                ),
+            }
+        )
+
+    head_key = "lm_head.weight" if "lm_head.weight" in state else "model.embed_tokens.weight"
+    head_mode = quant_mode if quant_mode != "int4" else "bf16"  # match init_llama_params
+    return {
+        "embedding": jnp.asarray(_np(state["model.embed_tokens.weight"]), config.dtype),
+        "layers": _stack(layers),
+        "final_norm": jnp.asarray(_np(state["model.norm.weight"]), config.dtype),
+        "lm_head": quantize_linear(
+            _np(state[head_key]).T.astype(np.float32),
+            head_mode,
+            **({"group_size": group_size} if head_mode == "int8" else {}),
+        ),
+        "cos_sin_cache": compute_cos_sin_cache(
+            config.rope_theta, config.head_dim, config.max_position
+        ),
+    }
+
+
+def mixtral_params_from_hf(
+    state: Mapping[str, Any],
+    config,
+    quant_mode: str = "bf16",
+    group_size: int = 128,
+) -> dict:
+    """Convert an HF ``MixtralForCausalLM`` state dict.
+
+    ``config`` is a ``models.moe.MoEConfig``. Expert weights
+    ``block_sparse_moe.experts.{e}.w{1,2,3}`` stack to the (L, E, ...)
+    einsum layout ``init_moe_params`` uses (w1=gate, w3=up, w2=down);
+    the router is ``block_sparse_moe.gate``.
+    """
+    c = config.llama
+
+    def proj(name: str):
+        w = _np(state[name]).T.astype(np.float32)
+        kwargs = {"group_size": group_size} if quant_mode in ("int4", "int8") else {}
+        return quantize_linear(w, quant_mode, **kwargs)
+
+    layers = []
+    for i in range(c.num_layers):
+        p = f"model.layers.{i}."
+        gate = jnp.stack(
+            [jnp.asarray(_np(state[f"{p}block_sparse_moe.experts.{e}.w1.weight"]).T, c.dtype)
+             for e in range(config.num_experts)]
+        )
+        up = jnp.stack(
+            [jnp.asarray(_np(state[f"{p}block_sparse_moe.experts.{e}.w3.weight"]).T, c.dtype)
+             for e in range(config.num_experts)]
+        )
+        down = jnp.stack(
+            [jnp.asarray(_np(state[f"{p}block_sparse_moe.experts.{e}.w2.weight"]).T, c.dtype)
+             for e in range(config.num_experts)]
+        )
+        layers.append(
+            {
+                "wq": proj(p + "self_attn.q_proj.weight"),
+                "wk": proj(p + "self_attn.k_proj.weight"),
+                "wv": proj(p + "self_attn.v_proj.weight"),
+                "wo": proj(p + "self_attn.o_proj.weight"),
+                "router": jnp.asarray(_np(state[p + "block_sparse_moe.gate.weight"]).T, jnp.float32),
+                "w_gate": gate,
+                "w_up": up,
+                "w_down": down,
+                "input_norm": jnp.asarray(_np(state[p + "input_layernorm.weight"]), c.dtype),
+                "post_attn_norm": jnp.asarray(
+                    _np(state[p + "post_attention_layernorm.weight"]), c.dtype
+                ),
+            }
+        )
+
+    head_key = "lm_head.weight" if "lm_head.weight" in state else "model.embed_tokens.weight"
+    return {
+        "embedding": jnp.asarray(_np(state["model.embed_tokens.weight"]), c.dtype),
+        "layers": _stack(layers),
+        "final_norm": jnp.asarray(_np(state["model.norm.weight"]), c.dtype),
+        "lm_head": quantize_linear(_np(state[head_key]).T.astype(np.float32), "bf16"),
+        "cos_sin_cache": compute_cos_sin_cache(c.rope_theta, c.head_dim, c.max_position),
+    }
+
+
+def gemma_params_from_hf(state: Mapping[str, Any], config, quant_mode: str = "bf16", group_size: int = 128) -> dict:
+    """Convert an HF ``GemmaForCausalLM`` state dict (tied embeddings;
+    HF stores Gemma norm weights as the ``(1 + w)`` offset form conch
+    uses natively, so norms copy through unchanged)."""
+
+    def proj(name: str):
+        w = _np(state[name]).T.astype(np.float32)
+        kwargs = {"group_size": group_size} if quant_mode in ("int4", "int8") else {}
+        return quantize_linear(w, quant_mode, **kwargs)
+
+    layers = []
+    for i in range(config.num_layers):
+        p = f"model.layers.{i}."
+        layers.append(
+            {
+                "wq": proj(p + "self_attn.q_proj.weight"),
+                "wk": proj(p + "self_attn.k_proj.weight"),
+                "wv": proj(p + "self_attn.v_proj.weight"),
+                "wo": proj(p + "self_attn.o_proj.weight"),
+                "w_gate": proj(p + "mlp.gate_proj.weight"),
+                "w_up": proj(p + "mlp.up_proj.weight"),
+                "w_down": proj(p + "mlp.down_proj.weight"),
+                "input_norm": jnp.asarray(_np(state[p + "input_layernorm.weight"]), config.dtype),
+                "post_attn_norm": jnp.asarray(
+                    _np(state[p + "post_attention_layernorm.weight"]), config.dtype
+                ),
+            }
+        )
+
+    return {
+        "embedding": jnp.asarray(_np(state["model.embed_tokens.weight"]), config.dtype),
+        "layers": _stack(layers),
+        "final_norm": jnp.asarray(_np(state["model.norm.weight"]), config.dtype),
+        "cos_sin_cache": compute_cos_sin_cache(
+            config.rope_theta, config.head_dim, config.max_position
+        ),
+    }

@@ -1,0 +1,179 @@
+# Copyright 2026 Conch-TPU authors.
+# SPDX-License-Identifier: Apache-2.0
+
+"""HF-checkpoint conversion vs the transformers oracle (env-gated).
+
+The strongest model-correctness check available offline: a randomly
+initialized ``transformers`` model IS the HF architecture definition, so
+matching its full logits through our converted params + paged serving
+forward proves the conch_tpu model family is bit-faithful Llama/Mixtral
+(RoPE convention, GQA head layout, norm placement, SwiGLU, tied heads).
+
+Run with: CONCH_ENABLE_TORCH=1 python -m pytest tests/hf_convert_test.py
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conch_tpu import envs
+
+if not envs.CONCH_ENABLE_TORCH:
+    pytest.skip("CONCH_ENABLE_TORCH=1 to enable transformers oracle tests", allow_module_level=True)
+
+import torch  # noqa: E402
+import transformers  # noqa: E402
+
+from conch_tpu.models.hf import llama_params_from_hf, mixtral_params_from_hf  # noqa: E402
+from conch_tpu.models.llama import LlamaConfig, init_kv_caches, llama_verify_forward  # noqa: E402
+from conch_tpu.models.moe import MoEConfig, init_moe_kv_caches, mixtral_verify_forward  # noqa: E402
+
+
+def _forward_ours(verify_fn, params, cfg, tokens, num_kv_heads, head_dim, init_caches, moe_cfg=None):
+    """All-token logits through the paged varlen forward (one sequence)."""
+    t = len(tokens)
+    page_size = 16
+    num_pages = -(-t // page_size) + 1
+    kc, vc = init_caches
+    bt = jnp.arange(num_pages, dtype=jnp.int32)[None, :]
+    positions = jnp.arange(t, dtype=jnp.int32)
+    slots = positions  # identity block table: slot == position
+    cu = jnp.asarray([0, t], jnp.int32)
+    logits, _, _ = verify_fn(
+        params, moe_cfg or cfg, jnp.asarray(tokens, jnp.int32), positions, cu, t,
+        jnp.asarray([t], jnp.int32), bt, slots, kc, vc,
+    )
+    return np.asarray(logits)
+
+
+def test_llama_conversion_matches_transformers():
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
+        attention_bias=False, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    model = transformers.LlamaForCausalLM(hf_cfg).eval()
+
+    tokens = [3, 17, 99, 4, 4, 127, 56, 23, 8, 1]
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([tokens])).logits[0].float().numpy()
+
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=16, max_position=128,
+        rope_theta=10000.0, dtype=jnp.float32,
+    )
+    params = llama_params_from_hf(model.state_dict(), cfg, quant_mode="bf16")
+    ours = _forward_ours(
+        llama_verify_forward, params, cfg, tokens, 2, 16,
+        init_kv_caches(cfg, 8, 16),
+    )
+
+    # bf16 weights vs fp32 torch: compare directions, not bits.
+    hf_n = hf_logits - hf_logits.mean(-1, keepdims=True)
+    our_n = ours[: len(tokens)] - ours[: len(tokens)].mean(-1, keepdims=True)
+    cos = (hf_n * our_n).sum(-1) / (
+        np.linalg.norm(hf_n, axis=-1) * np.linalg.norm(our_n, axis=-1)
+    )
+    assert cos.min() > 0.999, cos
+    np.testing.assert_array_equal(our_n.argmax(-1), hf_n.argmax(-1))
+
+
+def test_llama_conversion_tied_embeddings():
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=64, tie_word_embeddings=True,
+    )
+    torch.manual_seed(1)
+    model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    state = {k: v for k, v in model.state_dict().items() if k != "lm_head.weight"}
+
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=1,
+        num_heads=2, num_kv_heads=2, head_dim=16, max_position=64, dtype=jnp.float32,
+    )
+    params = llama_params_from_hf(state, cfg)
+    tokens = [5, 9, 23, 1]
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([tokens])).logits[0].float().numpy()
+    ours = _forward_ours(llama_verify_forward, params, cfg, tokens, 2, 16, init_kv_caches(cfg, 8, 16))
+    np.testing.assert_array_equal(ours[: len(tokens)].argmax(-1), hf_logits.argmax(-1))
+
+
+def test_mixtral_conversion_matches_transformers():
+    hf_cfg = transformers.MixtralConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=64, num_local_experts=4, num_experts_per_tok=2,
+        rope_theta=10000.0,
+    )
+    torch.manual_seed(2)
+    model = transformers.MixtralForCausalLM(hf_cfg).eval()
+
+    tokens = [3, 17, 9, 4, 60, 2]
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([tokens])).logits[0].float().numpy()
+
+    cfg = MoEConfig(
+        llama=LlamaConfig(
+            vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+            num_heads=2, num_kv_heads=2, head_dim=16, max_position=64,
+            rope_theta=10000.0, dtype=jnp.float32,
+        ),
+        num_experts=4, top_k=2, capacity_factor=4.0,
+    )
+    params = mixtral_params_from_hf(model.state_dict(), cfg)
+    ours = _forward_ours(
+        mixtral_verify_forward, params, cfg.llama, tokens, 2, 16,
+        init_moe_kv_caches(cfg, 8, 16), moe_cfg=cfg,
+    )
+    hf_n = hf_logits - hf_logits.mean(-1, keepdims=True)
+    our_n = ours[: len(tokens)] - ours[: len(tokens)].mean(-1, keepdims=True)
+    cos = (hf_n * our_n).sum(-1) / (
+        np.linalg.norm(hf_n, axis=-1) * np.linalg.norm(our_n, axis=-1)
+    )
+    assert cos.min() > 0.999, cos
+    np.testing.assert_array_equal(our_n.argmax(-1), hf_n.argmax(-1))
+
+
+def test_gemma_conversion_matches_transformers():
+    from conch_tpu.models.gemma import GemmaConfig, gemma_verify_forward, init_gemma_kv_caches
+    from conch_tpu.models.hf import gemma_params_from_hf
+
+    hf_cfg = transformers.GemmaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=64, rope_theta=10000.0,
+        hidden_activation="gelu_pytorch_tanh",
+    )
+    torch.manual_seed(3)
+    model = transformers.GemmaForCausalLM(hf_cfg).eval()
+
+    tokens = [3, 17, 9, 4, 60, 2]
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([tokens])).logits[0].float().numpy()
+
+    cfg = GemmaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=8, max_position=64,
+        rope_theta=10000.0, dtype=jnp.float32,
+    )
+    params = gemma_params_from_hf(model.state_dict(), cfg)
+    t = len(tokens)
+    kc, vc = init_gemma_kv_caches(cfg, 8, 16)
+    logits, _, _ = gemma_verify_forward(
+        params, cfg, jnp.asarray(tokens, jnp.int32), jnp.arange(t, dtype=jnp.int32),
+        jnp.asarray([0, t], jnp.int32), t, jnp.asarray([t], jnp.int32),
+        jnp.arange(8, dtype=jnp.int32)[None, :], jnp.arange(t, dtype=jnp.int32), kc, vc,
+    )
+    ours = np.asarray(logits)[:t]
+    hf_n = hf_logits - hf_logits.mean(-1, keepdims=True)
+    our_n = ours - ours.mean(-1, keepdims=True)
+    cos = (hf_n * our_n).sum(-1) / (
+        np.linalg.norm(hf_n, axis=-1) * np.linalg.norm(our_n, axis=-1)
+    )
+    assert cos.min() > 0.999, cos
+    np.testing.assert_array_equal(our_n.argmax(-1), hf_n.argmax(-1))

@@ -88,21 +88,27 @@ def llama_params_from_hf(
     layers = []
     for i in range(config.num_layers):
         p = f"model.layers.{i}."
-        layers.append(
-            {
-                "wq": proj(p + "self_attn.q_proj.weight"),
-                "wk": proj(p + "self_attn.k_proj.weight"),
-                "wv": proj(p + "self_attn.v_proj.weight"),
-                "wo": proj(p + "self_attn.o_proj.weight"),
-                "w_gate": proj(p + "mlp.gate_proj.weight"),
-                "w_up": proj(p + "mlp.up_proj.weight"),
-                "w_down": proj(p + "mlp.down_proj.weight"),
-                "input_norm": jnp.asarray(_np(state[p + "input_layernorm.weight"]), config.dtype),
-                "post_attn_norm": jnp.asarray(
-                    _np(state[p + "post_attention_layernorm.weight"]), config.dtype
-                ),
-            }
-        )
+        layer = {
+            "wq": proj(p + "self_attn.q_proj.weight"),
+            "wk": proj(p + "self_attn.k_proj.weight"),
+            "wv": proj(p + "self_attn.v_proj.weight"),
+            "wo": proj(p + "self_attn.o_proj.weight"),
+            "w_gate": proj(p + "mlp.gate_proj.weight"),
+            "w_up": proj(p + "mlp.up_proj.weight"),
+            "w_down": proj(p + "mlp.down_proj.weight"),
+            "input_norm": jnp.asarray(_np(state[p + "input_layernorm.weight"]), config.dtype),
+            "post_attn_norm": jnp.asarray(
+                _np(state[p + "post_attention_layernorm.weight"]), config.dtype
+            ),
+        }
+        if p + "self_attn.q_proj.bias" in state:  # Qwen2-family
+            if not config.attention_bias:
+                msg = "checkpoint has q/k/v biases: set LlamaConfig.attention_bias=True"
+                raise ValueError(msg)
+            layer["bq"] = jnp.asarray(_np(state[p + "self_attn.q_proj.bias"]), config.dtype)
+            layer["bk"] = jnp.asarray(_np(state[p + "self_attn.k_proj.bias"]), config.dtype)
+            layer["bv"] = jnp.asarray(_np(state[p + "self_attn.v_proj.bias"]), config.dtype)
+        layers.append(layer)
 
     head_key = "lm_head.weight" if "lm_head.weight" in state else "model.embed_tokens.weight"
     head_mode = quant_mode if quant_mode != "int4" else "bf16"  # match init_llama_params

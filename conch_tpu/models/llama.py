@@ -58,6 +58,25 @@ class LlamaConfig:
     # the attention scalars. Used only when the cache buffers are int8 or
     # float8 (see _kv_cache_quant).
     kv_cache_scale: float = 1.0 / 16
+    # Qwen2-style additive q/k/v projection biases ("bq"/"bk"/"bv" layer
+    # params; TP: sharded with the column-parallel outputs).
+    attention_bias: bool = False
+
+    @staticmethod
+    def qwen2_7b() -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=152064,
+            hidden_size=3584,
+            intermediate_size=18944,
+            num_layers=28,
+            num_heads=28,
+            num_kv_heads=4,
+            head_dim=128,
+            rope_theta=1e6,
+            rms_norm_eps=1e-6,
+            max_position=32768,
+            attention_bias=True,
+        )
 
     @staticmethod
     def llama3_8b() -> "LlamaConfig":
@@ -120,8 +139,8 @@ def init_llama_params(
         layers = [make_fn() for _ in range(config.num_layers)]
         return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
 
-    layer_params = stack_layers(
-        lambda: {
+    def make_layer():
+        layer = {
             "wq": make_proj(h, q_dim),
             "wk": make_proj(h, kv_dim),
             "wv": make_proj(h, kv_dim),
@@ -132,7 +151,13 @@ def init_llama_params(
             "input_norm": jnp.ones((h,), dtype=config.dtype),
             "post_attn_norm": jnp.ones((h,), dtype=config.dtype),
         }
-    )
+        if config.attention_bias:
+            layer["bq"] = jnp.asarray(rng.normal(size=q_dim) * std, config.dtype)
+            layer["bk"] = jnp.asarray(rng.normal(size=kv_dim) * std, config.dtype)
+            layer["bv"] = jnp.asarray(rng.normal(size=kv_dim) * std, config.dtype)
+        return layer
+
+    layer_params = stack_layers(make_layer)
 
     return {
         "embedding": jnp.asarray(rng.normal(size=(config.vocab_size, h)) * std, dtype=config.dtype),
@@ -227,6 +252,10 @@ def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, 
         q = layer["wq"].apply(attn_in)
         k = layer["wk"].apply(attn_in)
         v = layer["wv"].apply(attn_in)
+        if "bq" in layer:  # Qwen2-style attention bias
+            q = q + layer["bq"].astype(q.dtype)
+            k = k + layer["bk"].astype(k.dtype)
+            v = v + layer["bv"].astype(v.dtype)
         q, k = rotary_embedding(positions, q, k, config.head_dim, cos_sin_cache)
 
         k = k.reshape(t, *kv_heads)

@@ -59,6 +59,11 @@ def _spec_for(path: str, ndim: int) -> P:
             return last_on_model()
         return P()
 
+    # Qwen2 attention biases are (N,) on the column-parallel outputs:
+    # each chip adds its local head slice's bias.
+    if any(k in path for k in ("bq", "bk", "bv")):
+        return last_on_model()
+
     # nf4 storage is K-grouped (K//8, N) packed + (K//g, N) absmax — the
     # same geometry as int4 packed/scales — so the generic rules apply.
     if any(k in path for k in ("wq", "wk", "wv", "w_gate", "w_up", "lm_head")):

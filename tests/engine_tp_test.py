@@ -127,3 +127,17 @@ def test_engine_tp_gemma(model):
     )
     assert tp.generate(prompts, SamplingParams(max_tokens=6)) == single
     assert tp.spec_tokens_drafted > 0
+
+
+def test_engine_tp_qwen2_bias(model):
+    """Qwen2-family attention biases shard with the column-parallel heads."""
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_layers=2, num_heads=8, num_kv_heads=4, head_dim=32,
+        max_position=512, dtype=jnp.float32, attention_bias=True,
+    )
+    params = init_llama_params(3, cfg, "bf16")
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    single = LLMEngine(params, cfg, _ecfg()).generate(prompts, SamplingParams(max_tokens=6))
+    tp = LLMEngine(params, cfg, _ecfg(), mesh=tp_mesh(jax.devices()[:4]))
+    assert tp.generate(prompts, SamplingParams(max_tokens=6)) == single

@@ -177,3 +177,37 @@ def test_gemma_conversion_matches_transformers():
     )
     assert cos.min() > 0.999, cos
     np.testing.assert_array_equal(our_n.argmax(-1), hf_n.argmax(-1))
+
+
+def test_qwen2_conversion_matches_transformers():
+    """Qwen2 = Llama family + q/k/v biases; full-logit parity."""
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(4)
+    model = transformers.Qwen2ForCausalLM(hf_cfg).eval()
+
+    tokens = [3, 17, 9, 4, 60, 2]
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([tokens])).logits[0].float().numpy()
+
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=8, max_position=64,
+        rope_theta=10000.0, dtype=jnp.float32, attention_bias=True,
+    )
+    params = llama_params_from_hf(model.state_dict(), cfg)
+    assert "bq" in params["layers"], "biases must be picked up"
+    ours = _forward_ours(
+        llama_verify_forward, params, cfg, tokens, 2, 8, init_kv_caches(cfg, 8, 16)
+    )
+    hf_n = hf_logits - hf_logits.mean(-1, keepdims=True)
+    our_n = ours[: len(tokens)] - ours[: len(tokens)].mean(-1, keepdims=True)
+    cos = (hf_n * our_n).sum(-1) / (
+        np.linalg.norm(hf_n, axis=-1) * np.linalg.norm(our_n, axis=-1)
+    )
+    assert cos.min() > 0.999, cos
+    np.testing.assert_array_equal(our_n.argmax(-1), hf_n.argmax(-1))

@@ -32,10 +32,14 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 
 def _ring_attention_local(q, k, v, *, axis_name: str, scale: float, causal: bool):
-    """Per-chip body: q/k/v are (batch, local_seq, heads, head_dim) shards."""
+    """Per-chip body: q (batch, local_seq, heads, head_dim) and k/v
+    (batch, local_seq, kv_heads, head_dim) shards; GQA repeats each KV
+    head over its query group at score time (never materialized in HBM).
+    """
     num_chips = jax.lax.axis_size(axis_name)
     my_idx = jax.lax.axis_index(axis_name)
     b, t_local, h, d = q.shape
+    group = h // k.shape[2]
 
     qf = q.astype(jnp.float32) * scale
     perm = [(i, (i + 1) % num_chips) for i in range(num_chips)]
@@ -44,7 +48,8 @@ def _ring_attention_local(q, k, v, *, axis_name: str, scale: float, causal: bool
         kv, src, m, l, acc = carry
         kb, vb = kv
         # Scores for the resident K/V block (which originated on chip `src`).
-        s = jnp.einsum("bqhd,bkhd->bhqk", qf, kb.astype(jnp.float32))
+        kb_r = jnp.repeat(kb, group, axis=2) if group > 1 else kb
+        s = jnp.einsum("bqhd,bkhd->bhqk", qf, kb_r.astype(jnp.float32))
         if causal:
             q_pos = my_idx * t_local + jnp.arange(t_local)
             k_pos = src * t_local + jnp.arange(t_local)
@@ -60,8 +65,9 @@ def _ring_attention_local(q, k, v, *, axis_name: str, scale: float, causal: bool
         p = jnp.where(jnp.isneginf(s), 0.0, p)
         correction = jnp.where(jnp.isneginf(m), 0.0, jnp.exp(m - safe_m))
         l = l * correction + jnp.sum(p, axis=-1)
+        vb_r = jnp.repeat(vb, group, axis=2) if group > 1 else vb
         acc = acc * correction[..., None] + jnp.einsum(
-            "bhqk,bkhd->bhqd", p, vb.astype(jnp.float32)
+            "bhqk,bkhd->bhqd", p, vb_r.astype(jnp.float32)
         )
 
         # Rotate the K/V block (and its provenance) one hop up the ring.

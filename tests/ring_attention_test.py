@@ -69,3 +69,20 @@ def test_ring_attention_differentiable(seq_mesh):
     )(q, k, v)
     for a, e in zip(g_ring, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=1e-4, rtol=1e-4)
+
+
+def test_ring_attention_gqa(seq_mesh):
+    """GQA: 8 query heads, 4 KV heads (group of 2) over the 8-chip ring."""
+    nrng = np.random.default_rng(14)
+    b, s, hq, hkv, d = 1, 64, 8, 4, 16
+    q = jnp.asarray(nrng.normal(size=(b, s, hq, d)), jnp.float32)
+    k = jnp.asarray(nrng.normal(size=(b, s, hkv, d)), jnp.float32)
+    v = jnp.asarray(nrng.normal(size=(b, s, hkv, d)), jnp.float32)
+    scale = 1 / math.sqrt(d)
+
+    ring = make_ring_attention(seq_mesh, scale=scale, causal=True)
+    out = ring(q, k, v)
+    k_rep = jnp.repeat(k, hq // hkv, axis=2)
+    v_rep = jnp.repeat(v, hq // hkv, axis=2)
+    exp = dense_attention_reference(q, k_rep, v_rep, scale=scale, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(exp), atol=2e-5, rtol=2e-5)

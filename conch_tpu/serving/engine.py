@@ -54,6 +54,10 @@ class Request:
     pages: list[int] = field(default_factory=list)
     num_computed: int = 0  # tokens already prefilled (incl. recompute after preemption)
     output_tokens: list[int] = field(default_factory=list)
+    # log P(sampled token) under the rule-adjusted, unscaled logits; only
+    # recorded when sampling.logprobs is set. Stays index-aligned with
+    # output_tokens (tokens survive preemption; recompute only appends).
+    output_logprobs: list[float] = field(default_factory=list)
     num_preemptions: int = 0
 
     @property
@@ -279,6 +283,7 @@ class LLMEngine:
             use_spec = self.ecfg.num_speculative_tokens > 0 and all(
                 r.sampling.temperature <= 0.0
                 and r.sampling.repetition_penalty == 1.0
+                and not r.sampling.logprobs
                 and len(r.output_tokens) >= r.sampling.min_tokens
                 for r in decodable
             )
@@ -647,7 +652,16 @@ class LLMEngine:
         toks = sample_tokens(
             logits, key, jnp.asarray(temps), top_k=jnp.asarray(top_ks), top_p=jnp.asarray(top_ps)
         )
-        return np.asarray(toks)[rows]
+        out = np.asarray(toks)[rows]
+        lp_pairs = [(row, r) for row, r in zip(rows, reqs) if r.sampling.logprobs]
+        if lp_pairs:
+            lp_rows = jnp.asarray([row for row, _ in lp_pairs])
+            lsm = jax.nn.log_softmax(logits[lp_rows].astype(jnp.float32), axis=-1)
+            chosen = jnp.asarray(np.asarray(toks)[np.asarray([row for row, _ in lp_pairs])])
+            vals = np.asarray(jnp.take_along_axis(lsm, chosen[:, None], axis=-1))[:, 0]
+            for (_, r), v in zip(lp_pairs, vals):
+                r.output_logprobs.append(float(v))
+        return out
 
     def _apply_logit_rules(self, logits: jax.Array, reqs: list[Request], rows: list[int]) -> jax.Array:
         """min_tokens eos/stop suppression + repetition penalty (host-built

@@ -427,3 +427,22 @@ def test_engine_repetition_penalty_end_to_end(tiny_model):
             done[r.request_id] = r.output_tokens
     assert done[ids[1]] == plain[1]  # unpenalized request unchanged
     assert len(done[ids[0]]) == 6
+
+
+def test_engine_logprobs(tiny_model):
+    """logprobs=True records one log-prob per output token, aligned with
+    greedy outputs (each greedy logprob is the row max => > others)."""
+    cfg, params = tiny_model
+    eng = _make_engine(cfg, params)
+    rid = eng.add_request([1, 5, 9, 23, 40], SamplingParams(max_tokens=5, logprobs=True))
+    done = {}
+    while eng.waiting or eng.running:
+        for r in eng.step():
+            done[r.request_id] = r
+    req = done[rid]
+    assert len(req.output_logprobs) == len(req.output_tokens) == 5
+    assert all(-30.0 < lp <= 0.0 for lp in req.output_logprobs)
+
+    # Unchanged outputs vs a no-logprobs run (observation only).
+    plain = _make_engine(cfg, params).generate([[1, 5, 9, 23, 40]], SamplingParams(max_tokens=5))[0]
+    assert req.output_tokens == plain

@@ -258,6 +258,28 @@ class LLMEngine:
         self.waiting.append(Request(rid, list(prompt), sampling or SamplingParams()))
         return rid
 
+    def abort_request(self, request_id: int) -> bool:
+        """Cancel a live request and release its pages immediately.
+
+        Prefix-cached pages survive (the cache owns its own reference,
+        exactly as on normal finish). Returns False if the id is unknown
+        or already finished.
+        """
+        for i, r in enumerate(self.waiting):
+            if r.request_id == request_id:
+                self.waiting.pop(i)
+                r.state = RequestState.FINISHED
+                return True
+        for r in self.running:
+            if r.request_id == request_id:
+                for page in r.pages:
+                    self.allocator.free(page)
+                r.pages = []
+                r.state = RequestState.FINISHED
+                self.running = [x for x in self.running if x.request_id != request_id]
+                return True
+        return False
+
     def generate(self, prompts: list[list[int]], sampling: SamplingParams | None = None) -> list[list[int]]:
         """Offline batch generation: returns output token lists per prompt."""
         ids = [self.add_request(p, sampling) for p in prompts]

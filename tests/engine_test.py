@@ -446,3 +446,35 @@ def test_engine_logprobs(tiny_model):
     # Unchanged outputs vs a no-logprobs run (observation only).
     plain = _make_engine(cfg, params).generate([[1, 5, 9, 23, 40]], SamplingParams(max_tokens=5))[0]
     assert req.output_tokens == plain
+
+
+def test_engine_abort_request(tiny_model):
+    """Aborting mid-flight frees pages and leaves other requests exact."""
+    cfg, params = tiny_model
+    solo = _make_engine(cfg, params, enable_prefix_caching=False).generate(
+        [[9, 8, 7]], SamplingParams(max_tokens=6)
+    )[0]
+
+    eng = _make_engine(cfg, params, enable_prefix_caching=False)
+    free0 = eng.allocator.num_free
+    victim = eng.add_request([1, 2, 3, 4, 5], SamplingParams(max_tokens=6))
+    keeper = eng.add_request([9, 8, 7], SamplingParams(max_tokens=6))
+    eng.step()  # prefill both
+    assert eng.abort_request(victim)
+    assert not eng.abort_request(victim)  # already gone
+    done = {}
+    while eng.waiting or eng.running:
+        for r in eng.step():
+            done[r.request_id] = r.output_tokens
+    assert victim not in done
+    assert done[keeper] == solo
+    assert eng.allocator.num_free == free0  # no page leak
+
+    # Aborting a still-waiting request works too.
+    eng2 = _make_engine(cfg, params, max_batch_size=1, enable_prefix_caching=False)
+    eng2.add_request([1, 2, 3], SamplingParams(max_tokens=2))
+    waiting_id = eng2.add_request([4, 5, 6], SamplingParams(max_tokens=2))
+    assert eng2.abort_request(waiting_id)
+    while eng2.waiting or eng2.running:
+        eng2.step()
+    assert eng2.allocator.num_free == eng2.ecfg.num_pages

@@ -110,6 +110,31 @@ def main() -> None:
             assert counts["all-gather"] >= 1, f"tp={tp}: missing logits all-gather: {counts}"
         print(f"# tp={tp}: logits match 1-dev; HLO collectives {counts}")
 
+    # 2b: sequence-parallel schemes — audit each scheme's signature
+    # collectives on the full mesh (ring: one collective-permute chain;
+    # ulysses: all-to-alls, lowered by XLA as grouped all-to-all ops).
+    if n_dev >= 2:
+        import math as _math
+
+        from jax.sharding import Mesh as _Mesh
+
+        from conch_tpu.parallel.ring_attention import make_ring_attention
+        from conch_tpu.parallel.ulysses import make_ulysses_attention
+
+        seq_mesh = _Mesh(np.asarray(jax.devices()[:n_dev]).reshape(n_dev), ("seq",))
+        b2, s2, h2, d2 = 1, 16 * n_dev, n_dev, 32
+        q = jnp.asarray(rng.normal(size=(b2, s2, h2, d2)), jnp.float32)
+        ring = make_ring_attention(seq_mesh, scale=1 / _math.sqrt(d2))
+        hlo_ring = ring.lower(q, q, q).compile().as_text()
+        n_perm = len(re.findall(r"collective-permute(?:-start)?\(", hlo_ring))
+        assert n_perm >= 1, "ring attention must lower to collective-permutes"
+        uly = make_ulysses_attention(seq_mesh, scale=1 / _math.sqrt(d2))
+        hlo_uly = uly.lower(q, q, q).compile().as_text()
+        n_a2a = len(re.findall(r"all-to-all(?:-start)?\(", hlo_uly))
+        assert n_a2a >= 1, "ulysses must lower to all-to-alls"
+        print(f"# seq-parallel audit: ring collective-permutes {n_perm} "
+              f"(scan body), ulysses all-to-alls {n_a2a}")
+
     # 3: analytic tokens/s model for the real 8B int4 serving config.
     cfg8b = LlamaConfig.llama3_8b()
     weight_bits = {"int4": 4.5, "bf16": 16}  # incl. g128 bf16 scales

@@ -1,0 +1,87 @@
+# Copyright 2026 Conch-TPU authors.
+# SPDX-License-Identifier: Apache-2.0
+
+"""Serving-engine step benchmark (beyond the reference: engine-level rows).
+
+Measures the full continuous-batching path — scheduler + jitted decode /
+chunked-prefill steps — on a Llama-3-8B-shaped model truncated to
+``--num-layers`` (default 4; scale results by layers/4 for the full
+model). Wall-clock per engine step, host scheduling included, which is
+what a serving deployment actually sees.
+"""
+
+import numpy as np
+
+from benchmarks.common import make_parser, run_and_report
+
+
+def main() -> None:
+    parser = make_parser("Serving engine step benchmark")
+    parser.add_argument("--num-layers", type=int, default=4)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--context", type=int, default=256)
+    parser.add_argument("--quant", default="int4", choices=["int4", "bf16", "tiny"])
+    args = parser.parse_args()
+
+    import jax.numpy as jnp
+
+    from conch_tpu.models.llama import LlamaConfig, init_llama_params
+    from conch_tpu.serving import EngineConfig, LLMEngine, SamplingParams
+
+    if args.quant == "tiny":  # CPU smoke: interpret mode is slow
+        config = LlamaConfig(
+            vocab_size=512, hidden_size=256, intermediate_size=512,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64,
+            max_position=4096, dtype=jnp.bfloat16,
+        )
+        quant = "bf16"
+    else:
+        config = LlamaConfig.llama3_8b()
+        object.__setattr__(config, "num_layers", args.num_layers)
+        quant = args.quant
+
+    params = init_llama_params(0, config, quant)
+    page_size = 16
+    pages_per_seq = -(-(args.context + 64) // page_size)
+    ecfg = EngineConfig(
+        page_size=page_size,
+        num_pages=args.batch * pages_per_seq + 1,
+        max_batch_size=args.batch,
+        max_pages_per_seq=pages_per_seq,
+        max_prefill_tokens=2048,
+        enable_prefix_caching=False,
+    )
+    engine = LLMEngine(params, config, ecfg)
+
+    rng = np.random.default_rng(args.seed)
+    prompts = [rng.integers(0, config.vocab_size, args.context).tolist() for _ in range(args.batch)]
+    for p in prompts:
+        engine.add_request(p, SamplingParams(max_tokens=10**9))
+
+    # Prefill all prompts (chunked) before timing steady-state decode.
+    import time
+
+    from conch_tpu.serving.engine import RequestState
+
+    prefill_steps = 0
+    t0 = time.perf_counter()
+    while engine.waiting or any(r.state == RequestState.PREFILLING for r in engine.running):
+        engine.step()
+        prefill_steps += 1
+        if prefill_steps > 1000:
+            break
+    prefill_s = time.perf_counter() - t0
+
+    def decode_step():
+        engine.step()
+
+    decode_step()  # warm the decode jit before timing
+
+    results = run_and_report(args, [("engine_decode_step_b%d_ctx%d" % (args.batch, args.context), decode_step)])
+    med_ms = results[0].median_ms
+    print(f"# prefill: {args.batch}x{args.context} tokens in {prefill_s:.3f}s over {prefill_steps} steps")
+    print(f"# decode throughput: {args.batch / (med_ms / 1e3):.1f} tok/s at {config.num_layers} layers")
+
+
+if __name__ == "__main__":
+    main()

@@ -94,6 +94,15 @@ class EngineConfig:
     # 0 disables. Applies only when every running request is greedy.
     num_speculative_tokens: int = 0
     speculative_ngram: int = 2
+    # Multi-step greedy decode: run K decode iterations inside ONE jitted
+    # lax.scan dispatch (token feedback via argmax), then apply eos/stop/
+    # max_tokens checks on the host and discard overshoot — KV written
+    # past a finish sits beyond the rewound seq_len (masked, overwritten
+    # later), the same free-rollback property speculative decoding uses.
+    # Big win when per-dispatch host latency dominates (remote/tunneled
+    # chips). 1 disables. Applies only when every running request is
+    # plain greedy with no pending logit rules; single-device mode.
+    multi_step_decode: int = 1
 
 
 def _make_allocator(num_pages: int):
@@ -194,6 +203,11 @@ class LLMEngine:
                 functools.partial(decode_fn or llama_decode_step, config=model_config),
                 donate_argnames=("k_caches", "v_caches"),
             )
+            # Unjitted decode for the multi-step lax.scan wrapper.
+            self._raw_decode_fn = functools.partial(
+                decode_fn or llama_decode_step, config=model_config
+            )
+            self._multi_step_cache: dict[int, Any] = {}
             self._verify_fn = jax.jit(
                 functools.partial(verify_fn or llama_verify_forward, config=model_config),
                 static_argnames=("max_seqlen_q",),
@@ -309,8 +323,23 @@ class LLMEngine:
                 and len(r.output_tokens) >= r.sampling.min_tokens
                 for r in decodable
             )
+            k = self.ecfg.multi_step_decode
+            use_multi = (
+                not use_spec
+                and k > 1
+                and self.mesh is None
+                and all(
+                    r.sampling.temperature <= 0.0
+                    and r.sampling.repetition_penalty == 1.0
+                    and not r.sampling.logprobs
+                    and len(r.output_tokens) >= r.sampling.min_tokens
+                    for r in decodable
+                )
+            )
             if use_spec:
                 self._run_spec_decode(decodable)
+            elif use_multi:
+                self._run_multi_step_decode(decodable, k)
             else:
                 self._run_decode(self._ensure_decode_pages(decodable))
 
@@ -427,6 +456,11 @@ class LLMEngine:
         ps = self.ecfg.page_size
         ready = []
         for r in reqs:
+            if r.state != RequestState.RUNNING:
+                # Preempted by an earlier request's growth in this same
+                # pass: its pages are gone; growing it now would attach
+                # pages that _admit later replaces wholesale (leak).
+                continue
             needed = -(-(r.total_len + (extra or {}).get(r.request_id, 0)) // ps)
             ok = True
             while len(r.pages) < min(needed, self.ecfg.max_pages_per_seq):
@@ -569,6 +603,74 @@ class LLMEngine:
         for r, tok in zip(reqs, sampled):
             r.output_tokens.append(int(tok))
             self._maybe_finish(r)
+
+    def _multi_step_fn(self, k: int):
+        """Jitted K-iteration greedy decode scan (built once per K)."""
+        fn = self._multi_step_cache.get(k)
+        if fn is not None:
+            return fn
+        ps = self.ecfg.page_size
+        raw = self._raw_decode_fn
+        rows = jnp.arange(self.ecfg.max_batch_size)
+
+        def multi(params, tokens0, positions0, active, limit, bt, kc, vc):
+            def body(carry, _):
+                tokens, positions, kc, vc = carry
+                seq_lens = jnp.where(active, positions + 1, 0)
+                slots = bt[rows, positions // ps] * ps + positions % ps
+                # Never write past a sequence's owned pages (a finish-
+                # truncating request would otherwise scribble on page 0).
+                slots = jnp.where(active & (positions < limit), slots, -1)
+                logits, kc, vc = raw(
+                    params, token_ids=tokens, positions=positions, seq_lens=seq_lens,
+                    block_tables=bt, slot_mapping=slots, k_caches=kc, v_caches=vc,
+                )
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (nxt, positions + 1, kc, vc), nxt
+
+            (_, _, kc, vc), toks = jax.lax.scan(
+                body, (tokens0, positions0, kc, vc), None, length=k
+            )
+            return toks, kc, vc
+
+        fn = jax.jit(multi, donate_argnums=(6, 7))
+        self._multi_step_cache[k] = fn
+        return fn
+
+    def _run_multi_step_decode(self, reqs: list[Request], k: int) -> None:
+        """K greedy decode steps in one dispatch; host applies finish rules
+        per token and discards overshoot (KV past a finish sits beyond the
+        rewound seq_len — masked by attention and overwritten later)."""
+        reqs = self._ensure_decode_pages(reqs, extra={r.request_id: k - 1 for r in reqs})
+        if not reqs:
+            return
+        bpad = self.ecfg.max_batch_size
+        ps = self.ecfg.page_size
+
+        tokens = np.zeros(bpad, dtype=np.int32)
+        positions = np.zeros(bpad, dtype=np.int32)
+        active = np.zeros(bpad, dtype=bool)
+        limit = np.zeros(bpad, dtype=np.int32)
+        bt = np.zeros((bpad, self.ecfg.max_pages_per_seq), dtype=np.int32)
+        for i, r in enumerate(reqs):
+            tokens[i] = r.output_tokens[-1]
+            positions[i] = r.total_len - 1
+            active[i] = True
+            limit[i] = len(r.pages) * ps
+        bt[: len(reqs)] = self._block_table_rows(reqs)
+
+        toks, self.k_caches, self.v_caches = self._multi_step_fn(k)(
+            self.params, jnp.asarray(tokens), jnp.asarray(positions),
+            jnp.asarray(active), jnp.asarray(limit), jnp.asarray(bt),
+            self.k_caches, self.v_caches,
+        )
+        toks = np.asarray(toks)  # (k, bpad)
+        for i, r in enumerate(reqs):
+            for step in range(k):
+                r.output_tokens.append(int(toks[step, i]))
+                self._maybe_finish(r)
+                if r.state == RequestState.FINISHED:
+                    break
 
     def _draft(self, req: Request) -> list[int]:
         """Prompt-lookup draft: find the most recent earlier occurrence of

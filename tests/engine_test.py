@@ -478,3 +478,50 @@ def test_engine_abort_request(tiny_model):
     while eng2.waiting or eng2.running:
         eng2.step()
     assert eng2.allocator.num_free == eng2.ecfg.num_pages
+
+
+def test_engine_multi_step_decode_exact(tiny_model):
+    """K decode steps per dispatch are greedy-exact vs the plain engine,
+    including eos mid-window and max_tokens not divisible by K."""
+    cfg, params = tiny_model
+    prompts = [[1, 5, 9, 23, 40], [9, 8, 7], [50, 60]]
+    plain = _make_engine(cfg, params).generate(prompts, SamplingParams(max_tokens=11))
+    multi = _make_engine(cfg, params, multi_step_decode=4).generate(
+        prompts, SamplingParams(max_tokens=11)
+    )
+    assert multi == plain
+
+    # EOS lands mid-window: overshoot must be discarded.
+    eos = plain[0][5]
+    plain_eos = _make_engine(cfg, params, eos_token_id=eos).generate(
+        prompts, SamplingParams(max_tokens=11)
+    )
+    multi_eos = _make_engine(cfg, params, eos_token_id=eos, multi_step_decode=4).generate(
+        prompts, SamplingParams(max_tokens=11)
+    )
+    assert multi_eos == plain_eos
+
+
+def test_engine_multi_step_decode_under_page_pressure(tiny_model):
+    """Multi-step reserves K-1 lookahead slots; preemption-recompute under
+    a tiny pool still reproduces the unconstrained outputs."""
+    cfg, params = tiny_model
+    prompts = [[3, 1, 4, 1, 5], [2, 7, 1, 8, 2]]
+    roomy = _make_engine(cfg, params, page_size=4, num_pages=64, max_batch_size=2).generate(
+        prompts, SamplingParams(max_tokens=12)
+    )
+    tight = _make_engine(
+        cfg, params, page_size=4, num_pages=6, max_batch_size=2,
+        max_pages_per_seq=8, multi_step_decode=3,
+    ).generate(prompts, SamplingParams(max_tokens=12))
+    assert tight == roomy
+
+
+def test_engine_multi_step_falls_back_for_sampling(tiny_model):
+    """Temperature>0 requests bypass multi-step (argmax feedback is
+    greedy-only) — outputs match the plain engine's seeded sampling."""
+    cfg, params = tiny_model
+    sp = SamplingParams(temperature=0.8, top_p=0.9, max_tokens=6)
+    a = _make_engine(cfg, params).generate([[1, 2, 3]], sp)
+    b = _make_engine(cfg, params, multi_step_decode=4).generate([[1, 2, 3]], sp)
+    assert a == b

@@ -21,6 +21,10 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--context", type=int, default=256)
     parser.add_argument("--quant", default="int4", choices=["int4", "bf16", "tiny"])
+    parser.add_argument(
+        "--multi-step", type=int, default=1,
+        help="decode K tokens per dispatch (greedy; amortizes host RTT)",
+    )
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -50,6 +54,7 @@ def main() -> None:
         max_pages_per_seq=pages_per_seq,
         max_prefill_tokens=2048,
         enable_prefix_caching=False,
+        multi_step_decode=args.multi_step,
     )
     engine = LLMEngine(params, config, ecfg)
 
@@ -77,10 +82,14 @@ def main() -> None:
 
     decode_step()  # warm the decode jit before timing
 
-    results = run_and_report(args, [("engine_decode_step_b%d_ctx%d" % (args.batch, args.context), decode_step)])
+    tag = "engine_decode_step_b%d_ctx%d" % (args.batch, args.context)
+    if args.multi_step > 1:
+        tag += "_k%d" % args.multi_step
+    results = run_and_report(args, [(tag, decode_step)])
     med_ms = results[0].median_ms
+    toks_per_step = args.batch * args.multi_step
     print(f"# prefill: {args.batch}x{args.context} tokens in {prefill_s:.3f}s over {prefill_steps} steps")
-    print(f"# decode throughput: {args.batch / (med_ms / 1e3):.1f} tok/s at {config.num_layers} layers")
+    print(f"# decode throughput: {toks_per_step / (med_ms / 1e3):.1f} tok/s at {config.num_layers} layers")
 
 
 if __name__ == "__main__":

@@ -9,6 +9,9 @@ set -u
 cd "$(dirname "$0")/../.."
 mkdir -p tools/drive/logs
 export PYTHONPATH="$PWD:${PYTHONPATH:-}"
+# Persistent XLA compile cache: repeated shapes skip the ~30s remote
+# compile round trip on the tunneled chip.
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$PWD/.jax_cache}"
 
 stage() {
   local name=$1 tmo=$2; shift 2

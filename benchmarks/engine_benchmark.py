@@ -46,7 +46,10 @@ def main() -> None:
 
     params = init_llama_params(0, config, quant)
     page_size = 16
-    pages_per_seq = -(-(args.context + 64) // page_size)
+    # Headroom for EVERY timed step: requests must still be generating in
+    # the last iteration, or the median measures empty no-op steps.
+    decode_budget = (args.warmup + args.iterations + 4) * max(args.multi_step, 1)
+    pages_per_seq = -(-(args.context + decode_budget + 1) // page_size)
     ecfg = EngineConfig(
         page_size=page_size,
         num_pages=args.batch * pages_per_seq + 1,
@@ -87,6 +90,9 @@ def main() -> None:
         tag += "_k%d" % args.multi_step
     results = run_and_report(args, [(tag, decode_step)])
     med_ms = results[0].median_ms
+    assert all(
+        r.state == RequestState.RUNNING for r in engine.running
+    ) and not engine.waiting, "decode budget exhausted mid-benchmark: timed empty steps"
     toks_per_step = args.batch * args.multi_step
     print(f"# prefill: {args.batch}x{args.context} tokens in {prefill_s:.3f}s over {prefill_steps} steps")
     print(f"# decode throughput: {toks_per_step / (med_ms / 1e3):.1f} tok/s at {config.num_layers} layers")

@@ -25,6 +25,15 @@ from conch_tpu.models.llama import LlamaConfig, llama_decode_step, llama_prefill
 from conch_tpu.parallel.sharding import kv_cache_pspec, llama_param_pspecs
 
 
+def _has_sharded_head(params_example: Any) -> bool:
+    """True when the model's logits are vocab-column-sharded (a dedicated
+    ``lm_head`` projection, sharded by the Megatron rules) and therefore
+    need an all-gather; tied-embedding models (Gemma) compute the full
+    vocab replicated on every chip — gathering THOSE would concatenate n
+    identical copies, corrupting sampling past argmax."""
+    return isinstance(params_example, dict) and "lm_head" in params_example
+
+
 def make_tp_decode_step(mesh: Mesh, config: Any, params_example: Any, decode_fn=llama_decode_step):
     """Build a jitted tensor+data-parallel decode step over ``mesh``.
 
@@ -37,6 +46,7 @@ def make_tp_decode_step(mesh: Mesh, config: Any, params_example: Any, decode_fn=
     "model" axis as expert parallelism).
     """
     param_specs = llama_param_pspecs(params_example)
+    gather_logits = _has_sharded_head(params_example)
     data_specs = dict(
         token_ids=P("data"),
         positions=P("data"),
@@ -50,8 +60,9 @@ def make_tp_decode_step(mesh: Mesh, config: Any, params_example: Any, decode_fn=
             params, config, token_ids, positions, seq_lens, block_tables,
             slot_mapping, k_caches, v_caches, tp_axis="model",
         )
-        # Vocab is column-sharded: gather the full logits row.
-        logits = jax.lax.all_gather(logits, "model", axis=1, tiled=True)
+        if gather_logits:
+            # Vocab is column-sharded: gather the full logits row.
+            logits = jax.lax.all_gather(logits, "model", axis=1, tiled=True)
         return logits, k_caches, v_caches
 
     shard_mapped = jax.shard_map(
@@ -81,13 +92,15 @@ def _make_tp_varlen_step(mesh: Mesh, config: LlamaConfig, params_example: Any, m
     only. (Data-parallel prefill = separate engine shards per host.)
     """
     param_specs = llama_param_pspecs(params_example)
+    gather_logits = _has_sharded_head(params_example)
 
     def local_step(params, token_ids, positions, cu_seqlens_q, seq_lens, block_tables, slot_mapping, k_caches, v_caches):
         logits, k_caches, v_caches = forward(
             params, config, token_ids, positions, cu_seqlens_q, max_seqlen_q,
             seq_lens, block_tables, slot_mapping, k_caches, v_caches, tp_axis="model",
         )
-        logits = jax.lax.all_gather(logits, "model", axis=1, tiled=True)
+        if gather_logits:
+            logits = jax.lax.all_gather(logits, "model", axis=1, tiled=True)
         return logits, k_caches, v_caches
 
     shard_mapped = jax.shard_map(

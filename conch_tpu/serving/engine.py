@@ -314,28 +314,19 @@ class LLMEngine:
             self._run_prefill(prefilling)
         else:
             decodable = [r for r in self.running if r.state == RequestState.RUNNING]
-            # Speculation verifies with RAW greedy argmax: every request
-            # must be plain greedy with no pending logit rules.
-            use_spec = self.ecfg.num_speculative_tokens > 0 and all(
+            # Speculation and multi-step both advance with RAW greedy
+            # argmax: every request must be plain greedy with no pending
+            # logit rules.
+            all_plain_greedy = all(
                 r.sampling.temperature <= 0.0
                 and r.sampling.repetition_penalty == 1.0
                 and not r.sampling.logprobs
                 and len(r.output_tokens) >= r.sampling.min_tokens
                 for r in decodable
             )
+            use_spec = self.ecfg.num_speculative_tokens > 0 and all_plain_greedy
             k = self.ecfg.multi_step_decode
-            use_multi = (
-                not use_spec
-                and k > 1
-                and self.mesh is None
-                and all(
-                    r.sampling.temperature <= 0.0
-                    and r.sampling.repetition_penalty == 1.0
-                    and not r.sampling.logprobs
-                    and len(r.output_tokens) >= r.sampling.min_tokens
-                    for r in decodable
-                )
-            )
+            use_multi = not use_spec and k > 1 and self.mesh is None and all_plain_greedy
             if use_spec:
                 self._run_spec_decode(decodable)
             elif use_multi:
@@ -479,11 +470,17 @@ class LLMEngine:
                 ready.append(r)
         # A request admitted to `ready` early can be preempted by a later
         # request's allocation in this same pass — re-check state and
-        # page coverage before stepping.
+        # page coverage before stepping. Coverage clamps at the page cap:
+        # a request within `extra` tokens of its cap still steps (writes
+        # past its owned pages are masked / overshoot tokens discarded)
+        # and finishes at_cap — without the clamp it would be filtered
+        # forever while staying RUNNING (livelock).
+        cap_tokens = self.ecfg.max_pages_per_seq * ps
         return [
             r for r in ready
             if r.state == RequestState.RUNNING
-            and len(r.pages) * ps >= r.total_len + (extra or {}).get(r.request_id, 0)
+            and len(r.pages) * ps
+            >= min(r.total_len + (extra or {}).get(r.request_id, 0), cap_tokens)
         ]
 
     def _slot(self, req: Request, pos: int) -> int:

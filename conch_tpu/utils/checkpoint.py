@@ -129,9 +129,11 @@ def restore_sharded_checkpoint(path: str | pathlib.Path, params_like: Any) -> An
     path = pathlib.Path(path).resolve()
 
     def as_abstract(leaf: Any) -> Any:
-        arr = jnp.asarray(leaf) if not isinstance(leaf, jax.Array) else leaf
-        sharding = getattr(arr, "sharding", None)
-        return jax.ShapeDtypeStruct(arr.shape, arr.dtype, sharding=sharding)
+        if isinstance(leaf, jax.Array):
+            return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype, sharding=leaf.sharding)
+        # numpy / scalar template leaves: metadata only, no device transfer.
+        arr = np.asarray(leaf)
+        return jax.ShapeDtypeStruct(arr.shape, arr.dtype)
 
     abstract = jax.tree_util.tree_map(as_abstract, params_like)
     with ocp.StandardCheckpointer() as ckptr:

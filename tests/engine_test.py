@@ -525,3 +525,20 @@ def test_engine_multi_step_falls_back_for_sampling(tiny_model):
     a = _make_engine(cfg, params).generate([[1, 2, 3]], sp)
     b = _make_engine(cfg, params, multi_step_decode=4).generate([[1, 2, 3]], sp)
     assert a == b
+
+
+def test_engine_multi_step_near_page_cap_terminates(tiny_model):
+    """A request within K-1 tokens of its page cap must keep stepping and
+    finish at the cap (regression: the lookahead filter livelocked it)."""
+    cfg, params = tiny_model
+    # Cap = 4 pages x 4 slots = 16 tokens; prompt 13 + unlimited output.
+    eng = _make_engine(
+        cfg, params, page_size=4, num_pages=32, max_pages_per_seq=4,
+        multi_step_decode=3,
+    )
+    out = eng.generate([[1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13]], SamplingParams(max_tokens=64))[0]
+    assert len(out) == 3  # finish-truncated exactly at the 16-token cap
+    plain = _make_engine(
+        cfg, params, page_size=4, num_pages=32, max_pages_per_seq=4
+    ).generate([[1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13]], SamplingParams(max_tokens=64))[0]
+    assert out == plain

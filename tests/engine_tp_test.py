@@ -141,3 +141,52 @@ def test_engine_tp_qwen2_bias(model):
     single = LLMEngine(params, cfg, _ecfg()).generate(prompts, SamplingParams(max_tokens=6))
     tp = LLMEngine(params, cfg, _ecfg(), mesh=tp_mesh(jax.devices()[:4]))
     assert tp.generate(prompts, SamplingParams(max_tokens=6)) == single
+
+
+def test_engine_tp_gemma_logit_width(model):
+    """Tied-embedding (Gemma) TP steps must NOT all-gather logits: each
+    chip already holds the full vocab; gathering would emit duplicated
+    vocab copies and sampleable out-of-range token ids."""
+    import numpy as np
+
+    from conch_tpu.models.gemma import (
+        GemmaConfig,
+        gemma_decode_step,
+        init_gemma_kv_caches,
+        init_gemma_params,
+    )
+    from conch_tpu.parallel.sharding import kv_cache_sharding, shard_llama_params
+    from conch_tpu.parallel.tp_inference import make_tp_decode_step
+
+    cfg = GemmaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_layers=2, num_heads=8, num_kv_heads=4, head_dim=32,
+        max_position=512, dtype=jnp.float32,
+    )
+    params = init_gemma_params(0, cfg)
+    mesh = tp_mesh(jax.devices()[:4])
+    sharded = shard_llama_params(params, mesh)
+    kc, vc = init_gemma_kv_caches(cfg, num_pages=8, page_size=8)
+    kc = jax.device_put(kc, kv_cache_sharding(mesh))
+    vc = jax.device_put(vc, kv_cache_sharding(mesh))
+    step = make_tp_decode_step(mesh, cfg, sharded, decode_fn=gemma_decode_step)
+    b = 2
+    logits, _, _ = step(
+        sharded,
+        jnp.asarray([5, 9], jnp.int32), jnp.asarray([0, 0], jnp.int32),
+        jnp.asarray([1, 1], jnp.int32),
+        jnp.asarray(np.arange(8).reshape(b, 4), jnp.int32),
+        jnp.asarray([0, 32], jnp.int32), kc, vc,
+    )
+    assert logits.shape == (b, cfg.vocab_size)
+
+    # Single-device parity.
+    k0, v0 = init_gemma_kv_caches(cfg, num_pages=8, page_size=8)
+    ref, _, _ = gemma_decode_step(
+        params, cfg,
+        jnp.asarray([5, 9], jnp.int32), jnp.asarray([0, 0], jnp.int32),
+        jnp.asarray([1, 1], jnp.int32),
+        jnp.asarray(np.arange(8).reshape(b, 4), jnp.int32),
+        jnp.asarray([0, 32], jnp.int32), k0, v0,
+    )
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref), atol=2e-3, rtol=2e-3)

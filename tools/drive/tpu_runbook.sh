@@ -16,8 +16,10 @@ export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$PWD/.jax_cache}"
 stage() {
   local name=$1 tmo=$2; shift 2
   echo "=== $name ($(date +%H:%M:%S)) ==="
-  timeout "$tmo" "$@" 2>&1 | tail -40 | tee "tools/drive/logs/$name.log"
-  echo "=== $name done rc=$? ==="
+  timeout "$tmo" "$@" > "tools/drive/logs/$name.log" 2>&1
+  local rc=$?
+  tail -40 "tools/drive/logs/$name.log"
+  echo "=== $name done rc=$rc ==="
 }
 
 # 1. varlen chunk-geometry sweep (pick the default)

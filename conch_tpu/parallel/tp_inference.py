@@ -128,3 +128,62 @@ def make_tp_verify(mesh: Mesh, config: Any, params_example: Any, max_seqlen_q: i
     ``moe.mixtral_verify_forward``, ...).
     """
     return _make_tp_varlen_step(mesh, config, params_example, max_seqlen_q, verify_fn)
+
+
+def make_tp_multi_decode_step(
+    mesh: Mesh, config: Any, params_example: Any, k: int, decode_fn=llama_decode_step,
+    page_size: int = 16, max_batch_size: int = 8,
+):
+    """K greedy decode iterations in one dispatch under tensor parallelism.
+
+    Same contract as the engine's single-device multi-step scan (argmax
+    token feedback, overshoot handled by the host): returns
+    ``(toks (k, batch), k_caches, v_caches)``. Greedy selection over a
+    vocab-column-sharded head avoids gathering full logits every
+    iteration — each chip reduces to its local (max, argmax) and two
+    (batch,)-sized all-gathers pick the global winner (column shards are
+    concatenated in axis order, so global id = local id + chip offset).
+    """
+    param_specs = llama_param_pspecs(params_example)
+    gather = _has_sharded_head(params_example)
+    rows = jax.numpy.arange(max_batch_size)
+    jnp = jax.numpy
+
+    def local_step(params, tokens0, positions0, active, limit, bt, k_caches, v_caches):
+        def greedy(logits):
+            if not gather:
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            local_vocab = logits.shape[-1]
+            offset = jax.lax.axis_index("model") * local_vocab
+            local_max = jnp.max(logits, axis=-1)
+            local_arg = (jnp.argmax(logits, axis=-1) + offset).astype(jnp.int32)
+            all_max = jax.lax.all_gather(local_max, "model")  # (n, b)
+            all_arg = jax.lax.all_gather(local_arg, "model")
+            best = jnp.argmax(all_max, axis=0)
+            return jnp.take_along_axis(all_arg, best[None], axis=0)[0]
+
+        def body(carry, _):
+            tokens, positions, kc, vc = carry
+            seq_lens = jnp.where(active, positions + 1, 0)
+            slots = bt[rows, positions // page_size] * page_size + positions % page_size
+            slots = jnp.where(active & (positions < limit), slots, -1)
+            logits, kc, vc = decode_fn(
+                params, config, tokens, positions, seq_lens, bt, slots, kc, vc,
+                tp_axis="model",
+            )
+            nxt = greedy(logits)
+            return (nxt, positions + 1, kc, vc), nxt
+
+        (_, _, k_caches, v_caches), toks = jax.lax.scan(
+            body, (tokens0, positions0, k_caches, v_caches), None, length=k
+        )
+        return toks, k_caches, v_caches
+
+    shard_mapped = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(param_specs, P(), P(), P(), P(), P(), kv_cache_pspec(), kv_cache_pspec()),
+        out_specs=(P(), kv_cache_pspec(), kv_cache_pspec()),
+        check_vma=False,
+    )
+    return jax.jit(shard_mapped, donate_argnums=(6, 7))

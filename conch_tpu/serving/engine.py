@@ -101,7 +101,9 @@ class EngineConfig:
     # later), the same free-rollback property speculative decoding uses.
     # Big win when per-dispatch host latency dominates (remote/tunneled
     # chips). 1 disables. Applies only when every running request is
-    # plain greedy with no pending logit rules; single-device mode.
+    # plain greedy with no pending logit rules. Under TP, greedy
+    # selection uses a distributed argmax over the vocab-column shards
+    # (two (batch,)-sized all-gathers) instead of gathering full logits.
     multi_step_decode: int = 1
 
 
@@ -189,6 +191,8 @@ class LLMEngine:
         self.spec_tokens_drafted = 0
         self.spec_tokens_accepted = 0
 
+        self._model_decode_fn = decode_fn or llama_decode_step
+        self._multi_step_cache: dict[int, Any] = {}
         if mesh is not None:
             self._prefill_fn, self._decode_fn, self._verify_fn = self._make_tp_steps(
                 mesh, prefill_fn, decode_fn, verify_fn
@@ -207,7 +211,6 @@ class LLMEngine:
             self._raw_decode_fn = functools.partial(
                 decode_fn or llama_decode_step, config=model_config
             )
-            self._multi_step_cache: dict[int, Any] = {}
             self._verify_fn = jax.jit(
                 functools.partial(verify_fn or llama_verify_forward, config=model_config),
                 static_argnames=("max_seqlen_q",),
@@ -326,7 +329,7 @@ class LLMEngine:
             )
             use_spec = self.ecfg.num_speculative_tokens > 0 and all_plain_greedy
             k = self.ecfg.multi_step_decode
-            use_multi = not use_spec and k > 1 and self.mesh is None and all_plain_greedy
+            use_multi = not use_spec and k > 1 and all_plain_greedy
             if use_spec:
                 self._run_spec_decode(decodable)
             elif use_multi:
@@ -605,6 +608,17 @@ class LLMEngine:
         """Jitted K-iteration greedy decode scan (built once per K)."""
         fn = self._multi_step_cache.get(k)
         if fn is not None:
+            return fn
+        if self.mesh is not None:
+            from conch_tpu.parallel.tp_inference import make_tp_multi_decode_step
+
+            fn = make_tp_multi_decode_step(
+                self.mesh, self.config, self.params, k,
+                decode_fn=self._model_decode_fn,
+                page_size=self.ecfg.page_size,
+                max_batch_size=self.ecfg.max_batch_size,
+            )
+            self._multi_step_cache[k] = fn
             return fn
         ps = self.ecfg.page_size
         raw = self._raw_decode_fn

@@ -190,3 +190,35 @@ def test_engine_tp_gemma_logit_width(model):
         jnp.asarray([0, 32], jnp.int32), k0, v0,
     )
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref), atol=2e-3, rtol=2e-3)
+
+
+def test_engine_tp_multi_step_decode(model):
+    """TP multi-step decode (distributed argmax over vocab shards) is
+    greedy-exact vs the single-device engine; tied-embedding Gemma too."""
+    cfg, params = model
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    single = LLMEngine(params, cfg, _ecfg()).generate(prompts, SamplingParams(max_tokens=10))
+    tp_multi = LLMEngine(
+        params, cfg, _ecfg(multi_step_decode=4), mesh=tp_mesh(jax.devices()[:4])
+    )
+    assert tp_multi.generate(prompts, SamplingParams(max_tokens=10)) == single
+
+    from conch_tpu.models.gemma import (
+        GemmaConfig,
+        gemma_decode_step,
+        gemma_prefill,
+        init_gemma_params,
+    )
+
+    gcfg = GemmaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_layers=2, num_heads=8, num_kv_heads=4, head_dim=32,
+        max_position=512, dtype=jnp.float32,
+    )
+    gparams = init_gemma_params(0, gcfg)
+    fns = dict(prefill_fn=gemma_prefill, decode_fn=gemma_decode_step)
+    gsingle = LLMEngine(gparams, gcfg, _ecfg(), **fns).generate(prompts, SamplingParams(max_tokens=8))
+    gtp = LLMEngine(
+        gparams, gcfg, _ecfg(multi_step_decode=3), mesh=tp_mesh(jax.devices()[:4]), **fns
+    )
+    assert gtp.generate(prompts, SamplingParams(max_tokens=8)) == gsingle

@@ -117,3 +117,114 @@ def dense_attention_reference(q, k, v, *, scale: float, causal: bool = True):
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bhqk,bkhd->bhqd", p, v.astype(jnp.float32))
     return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
+
+def _seq_parallel_loss_local(params, token_ids, *, config, axis_name: str):
+    """Per-shard causal-LM loss body: ``token_ids`` is the (batch, t_local)
+    shard of a globally (batch, seq)-shaped batch; attention runs over the
+    ring (full effective context), everything else is token-local. The
+    returned scalar is the GLOBAL mean next-token NLL (psum-reduced), so
+    differentiating the shard_map-wrapped version yields exact full-context
+    gradients — long-context training where no chip ever holds the whole
+    sequence.
+    """
+    import math
+
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    b, t_local = token_ids.shape
+    h = config.hidden_size
+    positions_g = idx * t_local + jnp.arange(t_local, dtype=jnp.int32)
+
+    from conch_tpu.reference.embedding.rotary_embedding import rotary_embedding as rope_apply
+
+    def norm(x, w):
+        ms = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+        return (x * jax.lax.rsqrt(ms + config.rms_norm_eps)) * w.astype(jnp.float32)
+
+    hidden = jnp.take(params["embedding"], token_ids, axis=0).astype(jnp.float32)
+    scale = 1.0 / math.sqrt(config.head_dim)
+
+    def layer_step(hidden, layer):
+        x = norm(hidden, layer["input_norm"]).astype(config.dtype)
+        flat = x.reshape(b * t_local, h)
+        q = layer["wq"].apply(flat)
+        k = layer["wk"].apply(flat)
+        v = layer["wv"].apply(flat)
+        q, k = rope_apply(
+            jnp.tile(positions_g, b), q, k, params["cos_sin_cache"],
+            config.head_dim, config.head_dim,
+        )
+        qh = q.reshape(b, t_local, config.num_heads, config.head_dim)
+        kh = k.reshape(b, t_local, config.num_kv_heads, config.head_dim)
+        vh = v.reshape(b, t_local, config.num_kv_heads, config.head_dim)
+        attn = _ring_attention_local(qh, kh, vh, axis_name=axis_name, scale=scale, causal=True)
+        hidden = hidden + layer["wo"].apply(
+            attn.reshape(b * t_local, -1).astype(config.dtype)
+        ).reshape(b, t_local, h).astype(jnp.float32)
+
+        x = norm(hidden, layer["post_attn_norm"]).astype(config.dtype).reshape(b * t_local, h)
+        gate = layer["w_gate"].apply(x).astype(jnp.float32)
+        up = layer["w_up"].apply(x).astype(jnp.float32)
+        act = (gate * jax.nn.sigmoid(gate)).astype(config.dtype) * up.astype(config.dtype)
+        hidden = hidden + layer["w_down"].apply(act).reshape(b, t_local, h).astype(jnp.float32)
+        return hidden
+
+    hidden, _ = jax.lax.scan(
+        lambda hh, layer: (layer_step(hh, layer), None), hidden, params["layers"]
+    )
+    hidden = norm(hidden, params["final_norm"]).astype(config.dtype)
+    logits = params["lm_head"].apply(hidden.reshape(b * t_local, h))
+    logits = logits.reshape(b, t_local, -1).astype(jnp.float32)
+
+    # Each shard's last target is the NEXT shard's first token.
+    perm = [((i + 1) % n, i) for i in range(n)]
+    next_first = jax.lax.ppermute(token_ids[:, :1], axis_name, perm)
+    targets = jnp.concatenate([token_ids[:, 1:], next_first], axis=1)
+    valid = (positions_g < n * t_local - 1)[None, :]
+
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(log_probs, targets[..., None], axis=-1)[..., 0]
+    total = jax.lax.psum(jnp.sum(nll * valid), axis_name)
+    count = jax.lax.psum(jnp.sum(valid.astype(jnp.float32)) * b, axis_name)
+    return total / count
+
+
+def make_seq_parallel_train_step(mesh: Mesh, config, params_example, learning_rate: float = 1e-3, axis_name: str = "seq"):
+    """Long-context training: sequence sharded over ``axis_name``, ring
+    attention carrying the cross-shard context, params replicated.
+
+    Returns ``(train_step, init_opt_state, batch_sharding)`` with
+    ``train_step(params, opt_state, token_ids) -> (params, opt_state, loss)``
+    for globally-shaped (batch, seq) token ids. Gradients are exact
+    full-context gradients (the ring and its ``ppermute``s are
+    differentiable); each chip holds 1/n of every activation, which is
+    what makes context lengths beyond one chip's HBM trainable at all.
+    """
+    import functools
+
+    import optax
+    from jax.sharding import NamedSharding
+
+    optimizer = optax.adamw(learning_rate)
+    local = functools.partial(_seq_parallel_loss_local, config=config, axis_name=axis_name)
+    loss_fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis_name)),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def init_opt_state(params):
+        return optimizer.init(params)
+
+    def train_step(params, opt_state, token_ids):
+        loss, grads = jax.value_and_grad(lambda p: loss_fn(p, token_ids))(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    batch_sharding = NamedSharding(mesh, P(None, axis_name))
+    jitted = jax.jit(train_step, donate_argnums=(0, 1))
+    return jitted, init_opt_state, batch_sharding

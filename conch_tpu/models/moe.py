@@ -405,3 +405,105 @@ def init_moe_kv_caches(config: MoEConfig, num_pages: int, page_size: int, cache_
     from conch_tpu.models.llama import init_kv_caches
 
     return init_kv_caches(config.llama, num_pages, page_size, cache_dtype)
+
+
+def moe_dense_forward(params: dict, config: MoEConfig, token_ids: jax.Array):
+    """Full-context training forward; returns (logits, aux_loss).
+
+    Dense attention (whole sequences, no paged cache) + the einsum MoE
+    feed-forward in GSPMD mode: shard the batch over "data" and the
+    (L, E, ...) expert stacks over "model" (``parallel/sharding.py``) and
+    XLA keeps expert compute local, all-reducing only the combine
+    contraction. ``aux_loss`` is the mean Switch load-balance loss over
+    layers (router collapse regularizer).
+    """
+    c = config.llama
+    b, t = token_ids.shape
+    h = c.hidden_size
+    hidden = jnp.take(params["embedding"], token_ids, axis=0).astype(jnp.float32)
+
+    def norm(x, w):
+        ms = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+        return (x * jax.lax.rsqrt(ms + c.rms_norm_eps)) * w.astype(jnp.float32)
+
+    capacity = config.capacity(b * t)
+
+    def layer_step(carry, layer):
+        hidden, aux = carry
+        x = norm(hidden, layer["input_norm"]).astype(c.dtype)
+        flat = x.reshape(b * t, h)
+        # Attention (dense causal), same math as parallel/train.py.
+        from conch_tpu.reference.embedding.rotary_embedding import rotary_embedding as rope_apply
+
+        positions = jnp.arange(t, dtype=jnp.int32)
+        q = layer["wq"].apply(flat)
+        k = layer["wk"].apply(flat)
+        v = layer["wv"].apply(flat)
+        q, k = rope_apply(jnp.tile(positions, b), q, k, params["cos_sin_cache"], c.head_dim, c.head_dim)
+        qh = q.reshape(b, t, c.num_heads, c.head_dim).astype(jnp.float32)
+        kh = k.reshape(b, t, c.num_kv_heads, c.head_dim).astype(jnp.float32)
+        vh = v.reshape(b, t, c.num_kv_heads, c.head_dim).astype(jnp.float32)
+        group = c.num_heads // c.num_kv_heads
+        kh = jnp.repeat(kh, group, axis=2)
+        vh = jnp.repeat(vh, group, axis=2)
+        s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / math.sqrt(float(c.head_dim))
+        causal = jnp.tril(jnp.ones((t, t), bool))
+        s = jnp.where(causal[None, None], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", p, vh).reshape(b * t, -1).astype(c.dtype)
+        hidden = hidden + layer["wo"].apply(attn).reshape(b, t, h).astype(jnp.float32)
+
+        # MoE half (+ load-balance aux from this layer's router).
+        x = norm(hidden, layer["post_attn_norm"]).astype(c.dtype).reshape(b * t, h)
+        router_logits = x.astype(jnp.float32) @ layer["router"].astype(jnp.float32)
+        _, experts = route_topk(router_logits, config.top_k)
+        aux = aux + load_balance_loss(router_logits, experts, config.num_experts)
+        delta = moe_ffn(
+            x, layer["router"], layer["w_gate"], layer["w_up"], layer["w_down"],
+            top_k=config.top_k, capacity=capacity,
+        )
+        hidden = hidden + delta.reshape(b, t, h).astype(jnp.float32)
+        return (hidden, aux), None
+
+    (hidden, aux), _ = jax.lax.scan(layer_step, (hidden, jnp.float32(0.0)), params["layers"])
+    hidden = norm(hidden, params["final_norm"]).astype(c.dtype)
+    logits = params["lm_head"].apply(hidden.reshape(b * t, h))
+    return logits.reshape(b, t, -1).astype(jnp.float32), aux / config.llama.num_layers
+
+
+def make_moe_train_step(mesh, config: MoEConfig, params_example, learning_rate: float = 1e-3, aux_coef: float = 0.01):
+    """GSPMD Mixtral training step: batch over "data", experts (and
+    attention heads) over "model"; loss = next-token CE + aux_coef x
+    load-balance. Returns (train_step, init_opt_state, batch_sharding)."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from conch_tpu.parallel.sharding import llama_param_shardings
+
+    optimizer = optax.adamw(learning_rate)
+    param_shardings = llama_param_shardings(params_example, mesh)
+    batch_sharding = NamedSharding(mesh, P("data", None))
+
+    def loss_fn(params, token_ids):
+        logits, aux = moe_dense_forward(params, config, token_ids)
+        targets = token_ids[:, 1:]
+        log_probs = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+        nll = -jnp.take_along_axis(log_probs, targets[..., None], axis=-1)[..., 0]
+        return jnp.mean(nll) + aux_coef * aux
+
+    def init_opt_state(params):
+        return optimizer.init(params)
+
+    def train_step(params, opt_state, token_ids):
+        loss, grads = jax.value_and_grad(loss_fn)(params, token_ids)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    jitted = jax.jit(
+        train_step,
+        in_shardings=(param_shardings, None, batch_sharding),
+        out_shardings=(param_shardings, None, None),
+        donate_argnums=(0, 1),
+    )
+    return jitted, init_opt_state, batch_sharding

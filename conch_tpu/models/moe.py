@@ -407,7 +407,7 @@ def init_moe_kv_caches(config: MoEConfig, num_pages: int, page_size: int, cache_
     return init_kv_caches(config.llama, num_pages, page_size, cache_dtype)
 
 
-def moe_dense_forward(params: dict, config: MoEConfig, token_ids: jax.Array):
+def moe_dense_forward(params: dict, config: MoEConfig, token_ids: jax.Array, remat: bool = False):
     """Full-context training forward; returns (logits, aux_loss).
 
     Dense attention (whole sequences, no paged cache) + the einsum MoE
@@ -465,13 +465,14 @@ def moe_dense_forward(params: dict, config: MoEConfig, token_ids: jax.Array):
         hidden = hidden + delta.reshape(b, t, h).astype(jnp.float32)
         return (hidden, aux), None
 
-    (hidden, aux), _ = jax.lax.scan(layer_step, (hidden, jnp.float32(0.0)), params["layers"])
+    step = jax.checkpoint(layer_step) if remat else layer_step
+    (hidden, aux), _ = jax.lax.scan(step, (hidden, jnp.float32(0.0)), params["layers"])
     hidden = norm(hidden, params["final_norm"]).astype(c.dtype)
     logits = params["lm_head"].apply(hidden.reshape(b * t, h))
     return logits.reshape(b, t, -1).astype(jnp.float32), aux / config.llama.num_layers
 
 
-def make_moe_train_step(mesh, config: MoEConfig, params_example, learning_rate: float = 1e-3, aux_coef: float = 0.01):
+def make_moe_train_step(mesh, config: MoEConfig, params_example, learning_rate: float = 1e-3, aux_coef: float = 0.01, remat: bool = False):
     """GSPMD Mixtral training step: batch over "data", experts (and
     attention heads) over "model"; loss = next-token CE + aux_coef x
     load-balance. Returns (train_step, init_opt_state, batch_sharding)."""
@@ -485,7 +486,7 @@ def make_moe_train_step(mesh, config: MoEConfig, params_example, learning_rate: 
     batch_sharding = NamedSharding(mesh, P("data", None))
 
     def loss_fn(params, token_ids):
-        logits, aux = moe_dense_forward(params, config, token_ids)
+        logits, aux = moe_dense_forward(params, config, token_ids, remat=remat)
         targets = token_ids[:, 1:]
         log_probs = jax.nn.log_softmax(logits[:, :-1], axis=-1)
         nll = -jnp.take_along_axis(log_probs, targets[..., None], axis=-1)[..., 0]

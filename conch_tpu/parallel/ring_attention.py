@@ -119,7 +119,7 @@ def dense_attention_reference(q, k, v, *, scale: float, causal: bool = True):
     return out.transpose(0, 2, 1, 3).astype(q.dtype)
 
 
-def _seq_parallel_loss_local(params, token_ids, *, config, axis_name: str):
+def _seq_parallel_loss_local(params, token_ids, *, config, axis_name: str, remat: bool = False):
     """Per-shard causal-LM loss body: ``token_ids`` is the (batch, t_local)
     shard of a globally (batch, seq)-shaped batch; attention runs over the
     ring (full effective context), everything else is token-local. The
@@ -170,8 +170,9 @@ def _seq_parallel_loss_local(params, token_ids, *, config, axis_name: str):
         hidden = hidden + layer["w_down"].apply(act).reshape(b, t_local, h).astype(jnp.float32)
         return hidden
 
+    step = jax.checkpoint(layer_step) if remat else layer_step
     hidden, _ = jax.lax.scan(
-        lambda hh, layer: (layer_step(hh, layer), None), hidden, params["layers"]
+        lambda hh, layer: (step(hh, layer), None), hidden, params["layers"]
     )
     hidden = norm(hidden, params["final_norm"]).astype(config.dtype)
     logits = params["lm_head"].apply(hidden.reshape(b * t_local, h))
@@ -190,7 +191,7 @@ def _seq_parallel_loss_local(params, token_ids, *, config, axis_name: str):
     return total / count
 
 
-def make_seq_parallel_train_step(mesh: Mesh, config, params_example, learning_rate: float = 1e-3, axis_name: str = "seq"):
+def make_seq_parallel_train_step(mesh: Mesh, config, params_example, learning_rate: float = 1e-3, axis_name: str = "seq", remat: bool = True):
     """Long-context training: sequence sharded over ``axis_name``, ring
     attention carrying the cross-shard context, params replicated.
 
@@ -207,7 +208,9 @@ def make_seq_parallel_train_step(mesh: Mesh, config, params_example, learning_ra
     from jax.sharding import NamedSharding
 
     optimizer = optax.adamw(learning_rate)
-    local = functools.partial(_seq_parallel_loss_local, config=config, axis_name=axis_name)
+    local = functools.partial(
+        _seq_parallel_loss_local, config=config, axis_name=axis_name, remat=remat
+    )
     loss_fn = jax.shard_map(
         local,
         mesh=mesh,

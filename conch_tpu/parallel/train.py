@@ -76,8 +76,14 @@ def dense_layer_step(config: LlamaConfig):
     return layer_step
 
 
-def dense_forward(params: Any, config: LlamaConfig, token_ids: jax.Array) -> jax.Array:
-    """Full-context forward over (batch, seq) token ids; returns logits."""
+def dense_forward(params: Any, config: LlamaConfig, token_ids: jax.Array, remat: bool = False) -> jax.Array:
+    """Full-context forward over (batch, seq) token ids; returns logits.
+
+    ``remat=True`` wraps each layer in ``jax.checkpoint``: the backward
+    pass recomputes layer activations instead of storing them — O(1)
+    layers of activation memory, the standard FLOPs-for-HBM trade that
+    makes long-context/deep training fit.
+    """
     b, t = token_ids.shape
     h = config.hidden_size
     hidden = jnp.take(params["embedding"], token_ids, axis=0).astype(jnp.float32)
@@ -87,22 +93,24 @@ def dense_forward(params: Any, config: LlamaConfig, token_ids: jax.Array) -> jax
         return (x * jax.lax.rsqrt(ms + config.rms_norm_eps)) * w.astype(jnp.float32)
 
     layer_step = dense_layer_step(config)
+    if remat:
+        layer_step = jax.checkpoint(layer_step)
     hidden, _ = jax.lax.scan(lambda hh, layer: (layer_step(params, hh, layer), None), hidden, params["layers"])
     hidden = norm(hidden, params["final_norm"]).astype(config.dtype)
     logits = params["lm_head"].apply(hidden.reshape(b * t, h))
     return logits.reshape(b, t, -1).astype(jnp.float32)
 
 
-def causal_lm_loss(params: Any, config: LlamaConfig, token_ids: jax.Array) -> jax.Array:
+def causal_lm_loss(params: Any, config: LlamaConfig, token_ids: jax.Array, remat: bool = False) -> jax.Array:
     """Next-token cross entropy over (batch, seq) token ids."""
-    logits = dense_forward(params, config, token_ids)
+    logits = dense_forward(params, config, token_ids, remat=remat)
     targets = token_ids[:, 1:]
     log_probs = jax.nn.log_softmax(logits[:, :-1], axis=-1)
     nll = -jnp.take_along_axis(log_probs, targets[..., None], axis=-1)[..., 0]
     return jnp.mean(nll)
 
 
-def make_train_step(mesh: Mesh, config: LlamaConfig, params_example: Any, learning_rate: float = 1e-3):
+def make_train_step(mesh: Mesh, config: LlamaConfig, params_example: Any, learning_rate: float = 1e-3, remat: bool = False):
     """Build (train_step, init_opt_state) sharded over the mesh.
 
     Shardings: params TP over "model" (Megatron layout), batch DP over
@@ -118,7 +126,7 @@ def make_train_step(mesh: Mesh, config: LlamaConfig, params_example: Any, learni
         return optimizer.init(params)
 
     def train_step(params, opt_state, token_ids):
-        loss, grads = jax.value_and_grad(lambda p: causal_lm_loss(p, config, token_ids))(params)
+        loss, grads = jax.value_and_grad(lambda p: causal_lm_loss(p, config, token_ids, remat=remat))(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

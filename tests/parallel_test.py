@@ -289,3 +289,25 @@ def test_tp_prefill_matches_single_device(tp_model):
     np.testing.assert_allclose(
         np.asarray(tp_logits), np.asarray(ref_logits), atol=2e-3, rtol=2e-3
     )
+
+
+def test_train_step_remat_matches(tp_model):
+    """jax.checkpoint per layer changes memory, not math: identical loss
+    and gradients with and without remat."""
+    import numpy as np
+
+    from conch_tpu.models.llama import init_llama_params
+    from conch_tpu.parallel.train import causal_lm_loss
+
+    config, _ = tp_model
+    params = init_llama_params(3, config, "bf16")
+    rng = np.random.default_rng(9)
+    tokens = jnp.asarray(rng.integers(0, config.vocab_size, (2, 32)), jnp.int32)
+
+    plain = jax.value_and_grad(lambda p: causal_lm_loss(p, config, tokens))(params)
+    remat = jax.value_and_grad(lambda p: causal_lm_loss(p, config, tokens, remat=True))(params)
+    np.testing.assert_allclose(float(plain[0]), float(remat[0]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(plain[1]), jax.tree.leaves(remat[1]), strict=True):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=5e-5, rtol=5e-4
+        )

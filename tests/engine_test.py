@@ -542,3 +542,27 @@ def test_engine_multi_step_near_page_cap_terminates(tiny_model):
         cfg, params, page_size=4, num_pages=32, max_pages_per_seq=4
     ).generate([[1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13]], SamplingParams(max_tokens=64))[0]
     assert out == plain
+
+
+def test_engine_modes_agree_fuzz(tiny_model):
+    """Randomized scenarios: plain, speculative, and multi-step decoding
+    must produce identical greedy outputs (they share argmax semantics)."""
+    cfg, params = tiny_model
+    rng = np.random.default_rng(123)
+    for trial in range(4):
+        nprompts = int(rng.integers(1, 4))
+        prompts = [
+            rng.integers(0, cfg.vocab_size, size=int(rng.integers(2, 20))).tolist()
+            for _ in range(nprompts)
+        ]
+        max_tokens = int(rng.integers(3, 14))
+        page_size = int(rng.choice([4, 8, 16]))
+        base = dict(
+            page_size=page_size, num_pages=96, max_batch_size=4,
+            max_pages_per_seq=16, max_prefill_tokens=32,
+        )
+        sp = SamplingParams(max_tokens=max_tokens)
+        plain = _make_engine(cfg, params, **base).generate(prompts, sp)
+        spec = _make_engine(cfg, params, **base, num_speculative_tokens=3).generate(prompts, sp)
+        multi = _make_engine(cfg, params, **base, multi_step_decode=int(rng.choice([2, 3, 5]))).generate(prompts, sp)
+        assert plain == spec == multi, f"trial {trial}: modes diverged"

@@ -78,6 +78,7 @@ def _paged_allheads_kernel(
     chunk_pages: int,
     scale: float,
     softcap: float,
+    window: int = 0,
     num_kv_heads: int,
     group_pad: int,
 ):
@@ -115,9 +116,13 @@ def _paged_allheads_kernel(
             )
         return copies
 
+    start_chunk = (
+        jax.lax.div(jnp.maximum(seq_len - window, 0), chunk_tokens) if window > 0 else 0
+    )
+
     @pl.when(num_chunks > 0)
     def _():
-        for cp in wave(0, 0):
+        for cp in wave(start_chunk, jax.lax.rem(start_chunk, 2)):
             cp.start()
 
     def process(c, masked: bool):
@@ -152,7 +157,10 @@ def _paged_allheads_kernel(
                 entry_pos = c * chunk_tokens + jax.lax.broadcasted_iota(
                     jnp.int32, s.shape, dimension=1
                 )
-                s = jnp.where(entry_pos < seq_len, s, _NEG_INF)
+                visible = entry_pos < seq_len
+                if window > 0:
+                    visible &= entry_pos >= seq_len - window
+                s = jnp.where(visible, s, _NEG_INF)
 
             m_prev = m_scr[r0:r1, :1]
             l_prev = l_scr[r0:r1, :1]
@@ -171,12 +179,15 @@ def _paged_allheads_kernel(
             m_scr[r0:r1, :] = jnp.broadcast_to(m_new, (group_pad, m_scr.shape[-1]))
 
     num_full = jax.lax.div(seq_len, chunk_tokens)
+    # Sliding window: skip chunks wholly before the window; the remaining
+    # chunks all carry the lower-bound mask. start stays 0 when disabled.
+    start = jax.lax.div(jnp.maximum(seq_len - window, 0), chunk_tokens) if window > 0 else 0
 
     def full_body(c, _):
-        process(c, masked=False)
+        process(c, masked=window > 0)
         return 0
 
-    jax.lax.fori_loop(0, num_full, full_body, 0)
+    jax.lax.fori_loop(start, num_full, full_body, 0)
 
     @pl.when(num_full < num_chunks)
     def _():
@@ -213,6 +224,7 @@ def _paged_attention_kernel(
     chunk_pages: int,
     scale: float,
     softcap: float,
+    window: int = 0,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -251,9 +263,13 @@ def _paged_attention_kernel(
             )
         return copies
 
+    start_chunk = (
+        jax.lax.div(jnp.maximum(seq_len - window, 0), chunk_tokens) if window > 0 else 0
+    )
+
     @pl.when(num_chunks > 0)
     def _():
-        for cp in wave(0, 0):
+        for cp in wave(start_chunk, jax.lax.rem(start_chunk, 2)):
             cp.start()
 
     def process(c, masked: bool):
@@ -281,7 +297,10 @@ def _paged_attention_kernel(
 
         if masked:
             entry_pos = c * chunk_tokens + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-            s = jnp.where(entry_pos < seq_len, s, _NEG_INF)
+            visible = entry_pos < seq_len
+            if window > 0:
+                visible &= entry_pos >= seq_len - window
+            s = jnp.where(visible, s, _NEG_INF)
 
         m_prev = m_scr[:, :1]
         l_prev = l_scr[:, :1]
@@ -300,12 +319,15 @@ def _paged_attention_kernel(
     # Interior chunks (fully valid) then the tail chunk (masked). A
     # sequence whose length is an exact chunk multiple has no tail.
     num_full = jax.lax.div(seq_len, chunk_tokens)
+    # Sliding window: skip chunks wholly before the window; the remaining
+    # chunks all carry the lower-bound mask. start stays 0 when disabled.
+    start = jax.lax.div(jnp.maximum(seq_len - window, 0), chunk_tokens) if window > 0 else 0
 
     def full_body(c, _):
-        process(c, masked=False)
+        process(c, masked=window > 0)
         return 0
 
-    jax.lax.fori_loop(0, num_full, full_body, 0)
+    jax.lax.fori_loop(start, num_full, full_body, 0)
 
     @pl.when(num_full < num_chunks)
     def _():
@@ -317,7 +339,8 @@ def _paged_attention_kernel(
 
 
 def _decode_via_varlen(
-    query, key_cache, value_cache, block_table, seq_lens, *, scale, softcap, k_scale, v_scale
+    query, key_cache, value_cache, block_table, seq_lens, *, scale, softcap, k_scale, v_scale,
+    window_size=0,
 ):
     """Decode as single-token varlen attention (BlockSpec pipeline).
 
@@ -342,10 +365,11 @@ def _decode_via_varlen(
         causal=False,
         k_scale=k_scale,
         v_scale=v_scale,
+        window_size=window_size,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "softcap", "chunk_tokens"))
+@functools.partial(jax.jit, static_argnames=("scale", "softcap", "chunk_tokens", "window_size"))
 def paged_attention_launcher(
     query: jax.Array,
     key_cache: jax.Array,
@@ -358,6 +382,7 @@ def paged_attention_launcher(
     k_scale: jax.Array | None = None,
     v_scale: jax.Array | None = None,
     chunk_tokens: int = 1024,
+    window_size: int = 0,
 ) -> jax.Array:
     """Decode-time paged attention.
 
@@ -392,6 +417,7 @@ def paged_attention_launcher(
         return _decode_via_varlen(
             query, key_cache, value_cache, block_table, seq_lens,
             scale=scale, softcap=softcap, k_scale=k_scale, v_scale=v_scale,
+            window_size=window_size,
         ).astype(out_dtype)
 
     # Query-group packing: (B, QH, D) -> (B, KH, G_pad, D).
@@ -452,6 +478,7 @@ def paged_attention_launcher(
                 chunk_pages=ah_chunk_pages,
                 scale=scale,
                 softcap=softcap,
+                window=window_size,
                 num_kv_heads=num_kv_heads,
                 group_pad=group_pad,
             ),
@@ -504,6 +531,7 @@ def paged_attention_launcher(
             chunk_pages=chunk_pages,
             scale=scale,
             softcap=softcap,
+            window=window_size,
         ),
         out_shape=jax.ShapeDtypeStruct((batch, num_kv_heads, group_pad, head_size), out_dtype),
         grid_spec=grid_spec,

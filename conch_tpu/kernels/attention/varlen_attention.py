@@ -80,6 +80,7 @@ def _varlen_dma_kernel(
     causal: bool,
     group: int,
     cq_rows: int,
+    window: int = 0,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -105,6 +106,11 @@ def _varlen_dma_kernel(
 
     num_chunks = jax.lax.div(kv_limit + chunk_tokens - 1, chunk_tokens)
     num_full = jax.lax.div(full_limit, chunk_tokens)
+    if window > 0:
+        # Sliding window: every chunk needs the lower-bound mask. (A
+        # skip-start for chunks wholly before the window is a future
+        # perf win; masked chunks contribute zero via the online max.)
+        num_full = jnp.zeros_like(num_full)
 
     m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
     l_scr[...] = jnp.zeros_like(l_scr)
@@ -125,6 +131,10 @@ def _varlen_dma_kernel(
     row_limit = (seq_k - seq_q + q_idx_rows) if causal else jnp.broadcast_to(seq_k - 1, mask_shape)
     row_limit = jnp.where(q_idx_rows < seq_q, row_limit, -1)
     mask_thresh = row_limit - col_ids
+    # Window lower bound anchors at each row's own position (also for
+    # non-causal): k_pos >= q_pos - window + 1.
+    win_pos = seq_k - seq_q + q_idx_rows
+    low_thresh = (win_pos - (window - 1)) - col_ids
 
     def wave(c, slot):
         copies = []
@@ -168,7 +178,10 @@ def _varlen_dma_kernel(
             ) * (eff_scale * _LOG2E)
 
         if masked:
-            s = jnp.where(c * chunk_tokens <= mask_thresh, s, _NEG_INF)
+            visible = c * chunk_tokens <= mask_thresh
+            if window > 0:
+                visible &= c * chunk_tokens >= low_thresh
+            s = jnp.where(visible, s, _NEG_INF)
 
         m_prev = m_scr[:, :1]
         l_prev = l_scr[:, :1]
@@ -232,6 +245,7 @@ def _varlen_dma_allheads_kernel(
     group: int,
     cq_rows: int,
     num_kv_heads: int,
+    window: int = 0,
 ):
     """All-kv-heads variant: one page DMA feeds every head.
 
@@ -263,6 +277,11 @@ def _varlen_dma_allheads_kernel(
 
     num_chunks = jax.lax.div(kv_limit + chunk_tokens - 1, chunk_tokens)
     num_full = jax.lax.div(full_limit, chunk_tokens)
+    if window > 0:
+        # Sliding window: every chunk needs the lower-bound mask. (A
+        # skip-start for chunks wholly before the window is a future
+        # perf win; masked chunks contribute zero via the online max.)
+        num_full = jnp.zeros_like(num_full)
 
     m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
     l_scr[...] = jnp.zeros_like(l_scr)
@@ -286,6 +305,8 @@ def _varlen_dma_allheads_kernel(
     row_limit = (seq_k - seq_q + q_idx_rows) if causal else jnp.broadcast_to(seq_k - 1, mask_shape)
     row_limit = jnp.where(q_idx_rows < seq_q, row_limit, -1)
     mask_thresh = row_limit - col_ids
+    win_pos = seq_k - seq_q + q_idx_rows
+    low_thresh = (win_pos - (window - 1)) - col_ids
 
     def wave(c, slot):
         copies = []
@@ -319,6 +340,8 @@ def _varlen_dma_allheads_kernel(
         # Mask is head-independent: one broadcast compare per chunk.
         if masked:
             mask = c * chunk_tokens <= mask_thresh
+            if window > 0:
+                mask &= c * chunk_tokens >= low_thresh
 
         for h in range(num_kv_heads):
             r0, r1 = h * cq_rows, (h + 1) * cq_rows
@@ -401,6 +424,7 @@ def _varlen_attention_kernel(
     group: int,
     cq_rows: int,
     num_pages: int,
+    window: int = 0,
 ):
     b = pl.program_id(0)
     t = pl.program_id(2)
@@ -443,9 +467,11 @@ def _varlen_attention_kernel(
         k_pos = i * page_size + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
 
         mask = k_pos < seq_k
+        q_pos = seq_k - seq_q + q_idx
         if causal:
-            q_pos = seq_k - seq_q + q_idx
             mask &= k_pos <= q_pos
+        if window > 0:
+            mask &= k_pos > q_pos - window
         s = jnp.where(mask, s, _NEG_INF)
 
         m_prev = m_scr[:, :1]
@@ -473,7 +499,7 @@ def _varlen_attention_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_seqlen_q", "scale", "softcap", "causal", "chunk_tokens", "q_chunk_rows"),
+    static_argnames=("max_seqlen_q", "scale", "softcap", "causal", "chunk_tokens", "q_chunk_rows", "window_size"),
 )
 def varlen_attention_launcher(
     query: jax.Array,
@@ -492,6 +518,7 @@ def varlen_attention_launcher(
     v_scale: jax.Array | None = None,
     chunk_tokens: int = 1024,
     q_chunk_rows: int = 512,
+    window_size: int = 0,
 ) -> jax.Array:
     """Variable-length attention over a paged KV cache.
 
@@ -618,6 +645,7 @@ def varlen_attention_launcher(
                 chunk_pages=chunk_pages,
                 softcap=softcap,
                 causal=causal,
+                window=window_size,
                 group=group,
                 cq_rows=cq_rows,
                 num_kv_heads=num_kv_heads,
@@ -672,6 +700,7 @@ def varlen_attention_launcher(
                 chunk_pages=chunk_pages,
                 softcap=softcap,
                 causal=causal,
+                window=window_size,
                 group=group,
                 cq_rows=cq_rows,
             ),
@@ -733,6 +762,7 @@ def varlen_attention_launcher(
                 page_size=page_size,
                 softcap=softcap,
                 causal=causal,
+                window=window_size,
                 group=group,
                 cq_rows=cq_rows,
                 num_pages=max_pages,

@@ -61,6 +61,10 @@ class LlamaConfig:
     # Qwen2-style additive q/k/v projection biases ("bq"/"bk"/"bv" layer
     # params; TP: sharded with the column-parallel outputs).
     attention_bias: bool = False
+    # Mistral-style sliding-window attention: each token attends only the
+    # last `sliding_window` positions (0 disables). Applied uniformly to
+    # every layer (the Mistral/Mixtral convention).
+    sliding_window: int = 0
 
     @staticmethod
     def qwen2_7b() -> "LlamaConfig":
@@ -313,6 +317,7 @@ def llama_prefill(
             q, k_cache, v_cache, cu_seqlens_q, max_seqlen_q, seq_lens,
             max_seqlen_q, block_tables, causal=True,
             kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
+            window_size=config.sliding_window,
         )
 
     layer_step = _layer_step_factory(
@@ -360,6 +365,7 @@ def llama_verify_forward(
             q, k_cache, v_cache, cu_seqlens_q, max_seqlen_q, seq_lens,
             max_seqlen_q, block_tables, causal=True,
             kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
+            window_size=config.sliding_window,
         )
 
     layer_step = _layer_step_factory(
@@ -402,6 +408,7 @@ def llama_decode_step(
         return paged_attention(
             q, k_cache, v_cache, block_tables, seq_lens,
             kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
+            window_size=config.sliding_window,
         )
 
     layer_step = _layer_step_factory(

@@ -299,6 +299,7 @@ def mixtral_decode_step(
         return paged_attention(
             q, k_cache, v_cache, block_tables, seq_lens,
             kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
+            window_size=c.sliding_window,
         )
 
     layer_step = _layer_step_factory(
@@ -340,6 +341,7 @@ def mixtral_prefill(
             q, k_cache, v_cache, cu_seqlens_q, max_seqlen_q, seq_lens,
             max_seqlen_q, block_tables, causal=True,
             kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
+            window_size=c.sliding_window,
         )
 
     layer_step = _layer_step_factory(
@@ -386,6 +388,7 @@ def mixtral_verify_forward(
             q, k_cache, v_cache, cu_seqlens_q, max_seqlen_q, seq_lens,
             max_seqlen_q, block_tables, causal=True,
             kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
+            window_size=c.sliding_window,
         )
 
     layer_step = _layer_step_factory(

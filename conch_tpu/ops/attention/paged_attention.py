@@ -90,6 +90,7 @@ def paged_attention(
     kv_cache_dtype: str = "auto",
     k_scale: jax.Array | None = None,
     v_scale: jax.Array | None = None,
+    window_size: int = 0,
 ) -> jax.Array:
     """Decode-only paged attention over a paged KV cache.
 
@@ -100,6 +101,8 @@ def paged_attention(
         seq_lens: (batch,) sequence lengths.
         scale: softmax scale; defaults to 1/sqrt(head_size).
         softcap: logit softcap (0 disables).
+        window_size: sliding-window width (the query attends only the
+            last ``window_size`` cache positions; 0 disables).
         kv_cache_dtype: "auto" or "fp8"/"fp8_e4m3" (uint8 caches are
             bitcast to float8_e4m3fn).
         k_scale/v_scale: fp8 dequantization scales.
@@ -131,4 +134,5 @@ def paged_attention(
         softcap=softcap,
         k_scale=k_scale,
         v_scale=v_scale,
+        window_size=window_size,
     )

@@ -76,6 +76,7 @@ def varlen_attention(
     q_scale: jax.Array | None = None,
     k_scale: jax.Array | None = None,
     v_scale: jax.Array | None = None,
+    window_size: int = 0,
     strict: bool = False,
 ) -> jax.Array:
     """Variable-length (prefill + decode) attention over a paged KV cache.
@@ -93,6 +94,8 @@ def varlen_attention(
         softcap: logit softcap (0 disables).
         kv_cache_dtype: "auto" or "fp8"/"fp8_e4m3".
         q_scale/k_scale/v_scale: fp8 dequantization scales.
+        window_size: sliding-window width (each query attends the last
+            ``window_size`` positions, itself included; 0 disables).
 
     Returns:
         (total_num_q, num_q_heads, head_size) output.
@@ -126,4 +129,5 @@ def varlen_attention(
         q_scale=q_scale,
         k_scale=k_scale,
         v_scale=v_scale,
+        window_size=window_size,
     )

@@ -36,6 +36,7 @@ def masked_attention(
     scale: float,
     causal: bool,
     softcap: float = 0.0,
+    window_size: int = 0,
 ) -> np.ndarray:
     """Plain fp32 softmax attention for one sequence (GQA-aware)."""
     q_len, num_q_heads, _ = q.shape
@@ -51,9 +52,15 @@ def masked_attention(
     if softcap > 0.0:
         s = softcap * np.tanh(s / softcap)
 
+    q_pos = k_len - q_len + np.arange(q_len)
+    mask = np.ones((q_len, k_len), bool)
     if causal:
-        q_pos = k_len - q_len + np.arange(q_len)
-        mask = np.arange(k_len)[None, :] <= q_pos[:, None]  # (q_len, k_len)
+        mask &= np.arange(k_len)[None, :] <= q_pos[:, None]  # (q_len, k_len)
+    if window_size > 0:
+        # Sliding window: each query sees at most the last `window_size`
+        # positions (inclusive of itself): k_pos > q_pos - window_size.
+        mask &= np.arange(k_len)[None, :] > q_pos[:, None] - window_size
+    if causal or window_size > 0:
         s = np.where(mask[None, :, :], s, -np.inf)
 
     s = s - s.max(axis=-1, keepdims=True)
@@ -73,6 +80,7 @@ def paged_attention(
     softcap: float = 0.0,
     k_scale: float = 1.0,
     v_scale: float = 1.0,
+    window_size: int = 0,
 ) -> np.ndarray:
     """Golden decode attention: one query token per sequence."""
     q = np.asarray(query, dtype=np.float32)
@@ -85,7 +93,9 @@ def paged_attention(
     for b in range(q.shape[0]):
         k = gather_cache_for_sequence(kc, bt[b], int(sl[b]))
         v = gather_cache_for_sequence(vc, bt[b], int(sl[b]))
-        out = masked_attention(q[b : b + 1], k, v, scale, causal=False, softcap=softcap)
+        out = masked_attention(
+            q[b : b + 1], k, v, scale, causal=False, softcap=softcap, window_size=window_size
+        )
         outs.append(out[0])
     return np.stack(outs)
 
@@ -103,6 +113,7 @@ def varlen_attention(
     q_scale: float = 1.0,
     k_scale: float = 1.0,
     v_scale: float = 1.0,
+    window_size: int = 0,
 ) -> np.ndarray:
     """Golden varlen attention over ragged queries."""
     q = np.asarray(query, dtype=np.float32) * q_scale
@@ -117,5 +128,7 @@ def varlen_attention(
         qb = q[cu[b] : cu[b + 1]]
         k = gather_cache_for_sequence(kc, bt[b], int(sl[b]))
         v = gather_cache_for_sequence(vc, bt[b], int(sl[b]))
-        outs.append(masked_attention(qb, k, v, scale, causal=causal, softcap=softcap))
+        outs.append(
+            masked_attention(qb, k, v, scale, causal=causal, softcap=softcap, window_size=window_size)
+        )
     return np.concatenate(outs, axis=0)

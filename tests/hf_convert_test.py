@@ -211,3 +211,53 @@ def test_qwen2_conversion_matches_transformers():
     )
     assert cos.min() > 0.999, cos
     np.testing.assert_array_equal(our_n.argmax(-1), hf_n.argmax(-1))
+
+
+def test_mistral_sliding_window_matches_transformers():
+    """Mistral = Llama + sliding-window attention; parity requires the
+    window mask to be bit-faithful (seq 24 >> window 8, so a missing or
+    misaligned window would flip argmaxes)."""
+    hf_cfg = transformers.MistralConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=64, rope_theta=10000.0,
+        sliding_window=8, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(5)
+    model = transformers.MistralForCausalLM(hf_cfg).eval()
+
+    rng = np.random.default_rng(6)
+    tokens = rng.integers(0, 64, 24).tolist()
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([tokens])).logits[0].float().numpy()
+
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=8, max_position=64,
+        rope_theta=10000.0, dtype=jnp.float32, sliding_window=8,
+    )
+    params = llama_params_from_hf(model.state_dict(), cfg)
+    ours = _forward_ours(llama_verify_forward, params, cfg, tokens, 2, 8, init_kv_caches(cfg, 8, 16))
+
+    hf_n = hf_logits - hf_logits.mean(-1, keepdims=True)
+    our_n = ours[: len(tokens)] - ours[: len(tokens)].mean(-1, keepdims=True)
+    cos = (hf_n * our_n).sum(-1) / (
+        np.linalg.norm(hf_n, axis=-1) * np.linalg.norm(our_n, axis=-1)
+    )
+    assert cos.min() > 0.999, cos
+    np.testing.assert_array_equal(our_n.argmax(-1), hf_n.argmax(-1))
+
+    # Guard against the oracle silently ignoring the window: a
+    # no-window run must DISAGREE beyond the window.
+    cfg_nw = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=8, max_position=64,
+        rope_theta=10000.0, dtype=jnp.float32,
+    )
+    params_nw = llama_params_from_hf(model.state_dict(), cfg_nw)
+    ours_nw = _forward_ours(
+        llama_verify_forward, params_nw, cfg_nw, tokens, 2, 8, init_kv_caches(cfg_nw, 8, 16)
+    )
+    tail = slice(10, len(tokens))
+    assert np.abs(ours[tail] - ours_nw[tail]).max() > 1e-3

@@ -8,6 +8,8 @@ head sizes, MHA/GQA/MQA head pairs, non-power-of-two sequence lengths,
 dtypes, softcap, fp8 KV cache; tolerances fp32 2e-3 / fp16 5e-3 / bf16 3e-2.
 """
 
+import math
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -124,3 +126,23 @@ def test_paged_attention_odd_head_sizes_softcap_gqa(head_size, rng):
         page_size=16, seq_lens=[33, 17], dtype=jnp.float32,
     )
     _run_and_compare(fx, jnp.float32, softcap=30.0)
+
+
+def test_paged_sliding_window(rng):
+    from conch_tpu.reference.attention.attention import paged_attention as golden
+
+    for head_size, window in [(128, 3), (128, 16), (64, 9), (96, 100)]:
+        fx = create_paged_fixture(
+            rng, batch=4, num_q_heads=8, num_kv_heads=2, head_size=head_size,
+            page_size=16, seq_lens=[1, 17, 64, 33], dtype=jnp.float32,
+        )
+        scale = 1 / math.sqrt(head_size)
+        out = paged_attention(
+            fx.query, fx.key_cache, fx.value_cache, fx.block_table, fx.seq_lens,
+            scale=scale, window_size=window,
+        )
+        exp = golden(
+            fx.query, fx.key_cache, fx.value_cache, fx.block_table, fx.seq_lens,
+            scale, window_size=window,
+        )
+        np.testing.assert_allclose(np.asarray(out, np.float32), exp, atol=2e-3, rtol=2e-3)

@@ -9,6 +9,8 @@ non-power-of-two lengths, softcap, fp8 KV; tolerances fp16 7e-4 -> we use
 fp32 2e-3 / bf16 2e-2 against the fp32 golden reference.
 """
 
+import math
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -164,3 +166,26 @@ def test_varlen_odd_head_sizes(head_size, causal, rng):
         page_size=16, seq_lens=seq_lens, q_lens=[33, 9], dtype=jnp.float32,
     )
     _run_and_compare(fx, jnp.float32, causal)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_varlen_sliding_window(rng, causal):
+    """Sliding window masks everything before the last W positions."""
+    from conch_tpu.reference.attention.attention import varlen_attention as golden
+
+    fx = create_paged_fixture(
+        rng, batch=3, num_q_heads=4, num_kv_heads=2, head_size=64,
+        page_size=16, seq_lens=[33, 64, 17], q_lens=[33, 20, 1], dtype=jnp.float32,
+    )
+    scale = 1 / math.sqrt(64)
+    for window in (1, 7, 16, 1000):
+        out = varlen_attention(
+            fx.query, fx.key_cache, fx.value_cache, fx.cu_seqlens_q, fx.max_seqlen_q,
+            fx.seq_lens, fx.max_seqlen_q, fx.block_table, causal=causal, scale=scale,
+            window_size=window,
+        )
+        exp = golden(
+            fx.query, fx.key_cache, fx.value_cache, fx.cu_seqlens_q, fx.seq_lens,
+            fx.block_table, scale, causal, window_size=window,
+        )
+        np.testing.assert_allclose(np.asarray(out, np.float32), exp, atol=2e-3, rtol=2e-3)

@@ -255,3 +255,39 @@ def test_vision_kernels_on_hw(nrng):
     pts = jnp.asarray(nrng.uniform(0, 8, (200, 4)), jnp.float32)
     n, feats, idx, counts = generate_voxels(pts, param)
     assert int(n) > 0
+
+
+def test_sliding_window_on_hw(nrng):
+    from conch_tpu.ops.attention import paged_attention, varlen_attention
+    from conch_tpu.reference.attention.attention import paged_attention as paged_ref
+    from conch_tpu.reference.attention.attention import varlen_attention as varlen_ref
+    from conch_tpu.utils.test_utils import create_paged_fixture
+
+    fx = create_paged_fixture(
+        nrng, batch=2, num_q_heads=4, num_kv_heads=2, head_size=128,
+        page_size=16, seq_lens=[48, 33], q_lens=[48, 1], dtype=jnp.bfloat16,
+    )
+    scale = 1 / math.sqrt(128)
+    out = varlen_attention(
+        fx.query, fx.key_cache, fx.value_cache, fx.cu_seqlens_q, fx.max_seqlen_q,
+        fx.seq_lens, fx.max_seqlen_q, fx.block_table, causal=True, scale=scale, window_size=8,
+    )
+    exp = varlen_ref(
+        fx.query, fx.key_cache, fx.value_cache, fx.cu_seqlens_q, fx.seq_lens,
+        fx.block_table, scale, True, window_size=8,
+    )
+    np.testing.assert_allclose(np.asarray(out, np.float32), exp, atol=3e-2, rtol=3e-2)
+
+    fx2 = create_paged_fixture(
+        nrng, batch=2, num_q_heads=4, num_kv_heads=2, head_size=128,
+        page_size=16, seq_lens=[48, 17], dtype=jnp.bfloat16,
+    )
+    out2 = paged_attention(
+        fx2.query, fx2.key_cache, fx2.value_cache, fx2.block_table, fx2.seq_lens,
+        scale=scale, window_size=8,
+    )
+    exp2 = paged_ref(
+        fx2.query, fx2.key_cache, fx2.value_cache, fx2.block_table, fx2.seq_lens,
+        scale, window_size=8,
+    )
+    np.testing.assert_allclose(np.asarray(out2, np.float32), exp2, atol=3e-2, rtol=3e-2)

@@ -179,15 +179,14 @@ def _paged_allheads_kernel(
             m_scr[r0:r1, :] = jnp.broadcast_to(m_new, (group_pad, m_scr.shape[-1]))
 
     num_full = jax.lax.div(seq_len, chunk_tokens)
-    # Sliding window: skip chunks wholly before the window; the remaining
-    # chunks all carry the lower-bound mask. start stays 0 when disabled.
-    start = jax.lax.div(jnp.maximum(seq_len - window, 0), chunk_tokens) if window > 0 else 0
 
     def full_body(c, _):
         process(c, masked=window > 0)
         return 0
 
-    jax.lax.fori_loop(start, num_full, full_body, 0)
+    # start_chunk (shared with the prologue wave: prefetch slot parity
+    # MUST match the loop) skips chunks wholly before the window.
+    jax.lax.fori_loop(start_chunk, num_full, full_body, 0)
 
     @pl.when(num_full < num_chunks)
     def _():
@@ -319,15 +318,14 @@ def _paged_attention_kernel(
     # Interior chunks (fully valid) then the tail chunk (masked). A
     # sequence whose length is an exact chunk multiple has no tail.
     num_full = jax.lax.div(seq_len, chunk_tokens)
-    # Sliding window: skip chunks wholly before the window; the remaining
-    # chunks all carry the lower-bound mask. start stays 0 when disabled.
-    start = jax.lax.div(jnp.maximum(seq_len - window, 0), chunk_tokens) if window > 0 else 0
 
     def full_body(c, _):
         process(c, masked=window > 0)
         return 0
 
-    jax.lax.fori_loop(start, num_full, full_body, 0)
+    # start_chunk (shared with the prologue wave: prefetch slot parity
+    # MUST match the loop) skips chunks wholly before the window.
+    jax.lax.fori_loop(start_chunk, num_full, full_body, 0)
 
     @pl.when(num_full < num_chunks)
     def _():

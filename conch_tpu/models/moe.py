@@ -143,6 +143,7 @@ def moe_ffn(
     top_k: int,
     capacity: int,
     ep_axis: str | None = None,
+    routing: tuple[jax.Array, jax.Array] | None = None,
 ) -> jax.Array:
     """Sparse SwiGLU MoE feed-forward as dense batched einsums.
 
@@ -163,8 +164,10 @@ def moe_ffn(
     """
     compute_dtype = hidden.dtype
     num_global = router_w.shape[1]
-    logits = hidden.astype(jnp.float32) @ router_w.astype(jnp.float32)
-    weights, experts = route_topk(logits, top_k)
+    if routing is None:
+        logits = hidden.astype(jnp.float32) @ router_w.astype(jnp.float32)
+        routing = route_topk(logits, top_k)
+    weights, experts = routing
     dispatch, combine = make_dispatch(weights, experts, num_global, capacity)
 
     if ep_axis is not None:
@@ -451,19 +454,22 @@ def moe_dense_forward(params: dict, config: MoEConfig, token_ids: jax.Array, rem
         vh = jnp.repeat(vh, group, axis=2)
         s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / math.sqrt(float(c.head_dim))
         causal = jnp.tril(jnp.ones((t, t), bool))
+        if c.sliding_window > 0:
+            causal &= ~jnp.tril(jnp.ones((t, t), bool), -c.sliding_window)
         s = jnp.where(causal[None, None], s, -1e30)
         p = jax.nn.softmax(s, axis=-1)
         attn = jnp.einsum("bhqk,bkhd->bqhd", p, vh).reshape(b * t, -1).astype(c.dtype)
         hidden = hidden + layer["wo"].apply(attn).reshape(b, t, h).astype(jnp.float32)
 
-        # MoE half (+ load-balance aux from this layer's router).
+        # MoE half: route once — feed the same (weights, experts) to the
+        # dispatch AND the load-balance aux.
         x = norm(hidden, layer["post_attn_norm"]).astype(c.dtype).reshape(b * t, h)
         router_logits = x.astype(jnp.float32) @ layer["router"].astype(jnp.float32)
-        _, experts = route_topk(router_logits, config.top_k)
-        aux = aux + load_balance_loss(router_logits, experts, config.num_experts)
+        routing = route_topk(router_logits, config.top_k)
+        aux = aux + load_balance_loss(router_logits, routing[1], config.num_experts)
         delta = moe_ffn(
             x, layer["router"], layer["w_gate"], layer["w_up"], layer["w_down"],
-            top_k=config.top_k, capacity=capacity,
+            top_k=config.top_k, capacity=capacity, routing=routing,
         )
         hidden = hidden + delta.reshape(b, t, h).astype(jnp.float32)
         return (hidden, aux), None

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def _ring_attention_local(q, k, v, *, axis_name: str, scale: float, causal: bool):
+def _ring_attention_local(q, k, v, *, axis_name: str, scale: float, causal: bool, window: int = 0):
     """Per-chip body: q (batch, local_seq, heads, head_dim) and k/v
     (batch, local_seq, kv_heads, head_dim) shards; GQA repeats each KV
     head over its query group at score time (never materialized in HBM).
@@ -50,10 +50,14 @@ def _ring_attention_local(q, k, v, *, axis_name: str, scale: float, causal: bool
         # Scores for the resident K/V block (which originated on chip `src`).
         kb_r = jnp.repeat(kb, group, axis=2) if group > 1 else kb
         s = jnp.einsum("bqhd,bkhd->bhqk", qf, kb_r.astype(jnp.float32))
-        if causal:
+        if causal or window > 0:
             q_pos = my_idx * t_local + jnp.arange(t_local)
             k_pos = src * t_local + jnp.arange(t_local)
-            mask = q_pos[:, None] >= k_pos[None, :]
+            mask = jnp.ones((t_local, t_local), bool)
+            if causal:
+                mask &= q_pos[:, None] >= k_pos[None, :]
+            if window > 0:
+                mask &= k_pos[None, :] > q_pos[:, None] - window
             s = jnp.where(mask[None, None], s, -jnp.inf)
 
         # Online-softmax merge (FlashAttention recurrence).
@@ -89,7 +93,7 @@ def _ring_attention_local(q, k, v, *, axis_name: str, scale: float, causal: bool
     return out.transpose(0, 2, 1, 3).astype(q.dtype)  # (b, t_local, h, d)
 
 
-def make_ring_attention(mesh: Mesh, *, scale: float, causal: bool = True, axis_name: str = "seq"):
+def make_ring_attention(mesh: Mesh, *, scale: float, causal: bool = True, axis_name: str = "seq", window: int = 0):
     """Build jitted ring attention over ``mesh``'s ``axis_name`` axis.
 
     Takes globally-shaped (batch, seq, heads, head_dim) q/k/v with the
@@ -99,7 +103,7 @@ def make_ring_attention(mesh: Mesh, *, scale: float, causal: bool = True, axis_n
     already does for pages).
     """
     local = functools.partial(
-        _ring_attention_local, axis_name=axis_name, scale=scale, causal=causal
+        _ring_attention_local, axis_name=axis_name, scale=scale, causal=causal, window=window
     )
     spec = P(None, axis_name, None, None)
     return jax.jit(
@@ -158,7 +162,10 @@ def _seq_parallel_loss_local(params, token_ids, *, config, axis_name: str, remat
         qh = q.reshape(b, t_local, config.num_heads, config.head_dim)
         kh = k.reshape(b, t_local, config.num_kv_heads, config.head_dim)
         vh = v.reshape(b, t_local, config.num_kv_heads, config.head_dim)
-        attn = _ring_attention_local(qh, kh, vh, axis_name=axis_name, scale=scale, causal=True)
+        attn = _ring_attention_local(
+            qh, kh, vh, axis_name=axis_name, scale=scale, causal=True,
+            window=config.sliding_window,
+        )
         hidden = hidden + layer["wo"].apply(
             attn.reshape(b * t_local, -1).astype(config.dtype)
         ).reshape(b, t_local, h).astype(jnp.float32)

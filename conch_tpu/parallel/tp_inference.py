@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from conch_tpu.models.llama import LlamaConfig, llama_decode_step, llama_prefill, llama_verify_forward
@@ -130,6 +131,40 @@ def make_tp_verify(mesh: Mesh, config: Any, params_example: Any, max_seqlen_q: i
     return _make_tp_varlen_step(mesh, config, params_example, max_seqlen_q, verify_fn)
 
 
+def make_multi_step_scan(decode_with_config, k: int, page_size: int, max_batch_size: int, greedy_fn):
+    """Shared K-iteration greedy decode scan (single-device AND TP bodies).
+
+    ``decode_with_config(params, tokens, positions, seq_lens, bt, slots,
+    kc, vc) -> (logits, kc, vc)``; ``greedy_fn(logits) -> (batch,) int32``.
+    Semantics shared by both callers:
+    - seq_lens CLAMP at each sequence's owned pages (``limit``): overshoot
+      iterations past a finish/page-cap must not walk the block table out
+      of bounds (an unbounded page DMA on real hardware);
+    - writes past the owned pages mask their slot to -1 (skip);
+    - idle rows (``~active``) run with seq_len 0 / slot -1.
+    """
+    rows = jnp.arange(max_batch_size)
+
+    def multi(params, tokens0, positions0, active, limit, bt, k_caches, v_caches):
+        def body(carry, _):
+            tokens, positions, kc, vc = carry
+            seq_lens = jnp.where(active, jnp.minimum(positions + 1, limit), 0)
+            slots = bt[rows, positions // page_size] * page_size + positions % page_size
+            slots = jnp.where(active & (positions < limit), slots, -1)
+            logits, kc, vc = decode_with_config(
+                params, tokens, positions, seq_lens, bt, slots, kc, vc
+            )
+            nxt = greedy_fn(logits)
+            return (nxt, positions + 1, kc, vc), nxt
+
+        (_, _, k_caches, v_caches), toks = jax.lax.scan(
+            body, (tokens0, positions0, k_caches, v_caches), None, length=k
+        )
+        return toks, k_caches, v_caches
+
+    return multi
+
+
 def make_tp_multi_decode_step(
     mesh: Mesh, config: Any, params_example: Any, k: int, decode_fn=llama_decode_step,
     page_size: int = 16, max_batch_size: int = 8,
@@ -146,38 +181,28 @@ def make_tp_multi_decode_step(
     """
     param_specs = llama_param_pspecs(params_example)
     gather = _has_sharded_head(params_example)
-    rows = jax.numpy.arange(max_batch_size)
-    jnp = jax.numpy
 
-    def local_step(params, tokens0, positions0, active, limit, bt, k_caches, v_caches):
-        def greedy(logits):
-            if not gather:
-                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            local_vocab = logits.shape[-1]
-            offset = jax.lax.axis_index("model") * local_vocab
-            local_max = jnp.max(logits, axis=-1)
-            local_arg = (jnp.argmax(logits, axis=-1) + offset).astype(jnp.int32)
-            all_max = jax.lax.all_gather(local_max, "model")  # (n, b)
-            all_arg = jax.lax.all_gather(local_arg, "model")
-            best = jnp.argmax(all_max, axis=0)
-            return jnp.take_along_axis(all_arg, best[None], axis=0)[0]
+    def greedy(logits):
+        if not gather:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        local_vocab = logits.shape[-1]
+        offset = jax.lax.axis_index("model") * local_vocab
+        local_max = jnp.max(logits, axis=-1)
+        local_arg = (jnp.argmax(logits, axis=-1) + offset).astype(jnp.int32)
+        all_max = jax.lax.all_gather(local_max, "model")  # (n, b)
+        all_arg = jax.lax.all_gather(local_arg, "model")
+        best = jnp.argmax(all_max, axis=0)
+        return jnp.take_along_axis(all_arg, best[None], axis=0)[0]
 
-        def body(carry, _):
-            tokens, positions, kc, vc = carry
-            seq_lens = jnp.where(active, positions + 1, 0)
-            slots = bt[rows, positions // page_size] * page_size + positions % page_size
-            slots = jnp.where(active & (positions < limit), slots, -1)
-            logits, kc, vc = decode_fn(
-                params, config, tokens, positions, seq_lens, bt, slots, kc, vc,
-                tp_axis="model",
-            )
-            nxt = greedy(logits)
-            return (nxt, positions + 1, kc, vc), nxt
-
-        (_, _, k_caches, v_caches), toks = jax.lax.scan(
-            body, (tokens0, positions0, k_caches, v_caches), None, length=k
+    def decode_with_config(params, tokens, positions, seq_lens, bt, slots, kc, vc):
+        return decode_fn(
+            params, config, tokens, positions, seq_lens, bt, slots, kc, vc,
+            tp_axis="model",
         )
-        return toks, k_caches, v_caches
+
+    local_step = make_multi_step_scan(
+        decode_with_config, k, page_size, max_batch_size, greedy
+    )
 
     shard_mapped = jax.shard_map(
         local_step,

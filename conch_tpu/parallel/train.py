@@ -61,6 +61,9 @@ def dense_layer_step(config: LlamaConfig):
 
         s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / jnp.sqrt(float(config.head_dim))
         causal = jnp.tril(jnp.ones((t, t), bool))
+        if config.sliding_window > 0:
+            # Train with the same window the serving path applies.
+            causal &= ~jnp.tril(jnp.ones((t, t), bool), -config.sliding_window)
         s = jnp.where(causal[None, None], s, -1e30)
         p = jax.nn.softmax(s, axis=-1)
         attn = jnp.einsum("bhqk,bkhd->bqhd", p, vh).reshape(b * t, -1).astype(config.dtype)

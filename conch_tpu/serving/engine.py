@@ -620,30 +620,22 @@ class LLMEngine:
             )
             self._multi_step_cache[k] = fn
             return fn
-        ps = self.ecfg.page_size
+        from conch_tpu.parallel.tp_inference import make_multi_step_scan
+
         raw = self._raw_decode_fn
-        rows = jnp.arange(self.ecfg.max_batch_size)
 
-        def multi(params, tokens0, positions0, active, limit, bt, kc, vc):
-            def body(carry, _):
-                tokens, positions, kc, vc = carry
-                seq_lens = jnp.where(active, positions + 1, 0)
-                slots = bt[rows, positions // ps] * ps + positions % ps
-                # Never write past a sequence's owned pages (a finish-
-                # truncating request would otherwise scribble on page 0).
-                slots = jnp.where(active & (positions < limit), slots, -1)
-                logits, kc, vc = raw(
-                    params, token_ids=tokens, positions=positions, seq_lens=seq_lens,
-                    block_tables=bt, slot_mapping=slots, k_caches=kc, v_caches=vc,
-                )
-                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                return (nxt, positions + 1, kc, vc), nxt
-
-            (_, _, kc, vc), toks = jax.lax.scan(
-                body, (tokens0, positions0, kc, vc), None, length=k
+        def decode_with_config(params, tokens, positions, seq_lens, bt, slots, kc, vc):
+            return raw(
+                params, token_ids=tokens, positions=positions, seq_lens=seq_lens,
+                block_tables=bt, slot_mapping=slots, k_caches=kc, v_caches=vc,
             )
-            return toks, kc, vc
 
+        def greedy(logits):
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        multi = make_multi_step_scan(
+            decode_with_config, k, self.ecfg.page_size, self.ecfg.max_batch_size, greedy
+        )
         fn = jax.jit(multi, donate_argnums=(6, 7))
         self._multi_step_cache[k] = fn
         return fn

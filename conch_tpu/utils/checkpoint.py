@@ -131,9 +131,11 @@ def restore_sharded_checkpoint(path: str | pathlib.Path, params_like: Any) -> An
     def as_abstract(leaf: Any) -> Any:
         if isinstance(leaf, jax.Array):
             return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype, sharding=leaf.sharding)
-        # numpy / scalar template leaves: metadata only, no device transfer.
+        # numpy / scalar template leaves: metadata only, no device
+        # transfer. Canonicalize so Python ints/floats map to the JAX
+        # default widths (int32/float32), as jnp.asarray would.
         arr = np.asarray(leaf)
-        return jax.ShapeDtypeStruct(arr.shape, arr.dtype)
+        return jax.ShapeDtypeStruct(arr.shape, jax.dtypes.canonicalize_dtype(arr.dtype))
 
     abstract = jax.tree_util.tree_map(as_abstract, params_like)
     with ocp.StandardCheckpointer() as ckptr:

@@ -130,3 +130,23 @@ def test_seq_parallel_train_matches_dense(seq_mesh):
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32), atol=3e-4, rtol=3e-3
         )
+
+
+def test_ring_attention_sliding_window(seq_mesh):
+    """Window masking across ring shards matches the dense window oracle."""
+    nrng = np.random.default_rng(21)
+    b, s, h, d, W = 1, 64, 4, 16, 11
+    q = jnp.asarray(nrng.normal(size=(b, s, h, d)), jnp.float32)
+    k = jnp.asarray(nrng.normal(size=(b, s, h, d)), jnp.float32)
+    v = jnp.asarray(nrng.normal(size=(b, s, h, d)), jnp.float32)
+    scale = 1 / math.sqrt(d)
+
+    out = make_ring_attention(seq_mesh, scale=scale, causal=True, window=W)(q, k, v)
+
+    # Dense oracle with the banded mask.
+    sref = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+    qpos = jnp.arange(s)
+    mask = (qpos[None, :] <= qpos[:, None]) & (qpos[None, :] > qpos[:, None] - W)
+    sref = jnp.where(mask[None, None], sref, -jnp.inf)
+    exp = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(sref, axis=-1), v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(exp), atol=2e-5, rtol=2e-5)

@@ -51,6 +51,13 @@ class GemmaConfig:
     attn_logit_softcap: float = 0.0
     final_logit_softcap: float = 0.0
     query_pre_attn_scalar: float | None = None  # defaults to head_dim
+    # Gemma-2: alternating local(window)/global attention layers +
+    # sandwich norms (post-attention and post-feedforward norms applied
+    # to each block's OUTPUT before the residual add). Requires an even
+    # num_layers; even layer indices are the sliding-window layers
+    # (HF Gemma2 convention).
+    gemma2: bool = False
+    sliding_window: int = 0
     dtype: Any = jnp.bfloat16
     # Static per-tensor scale for quantized (int8/fp8) KV caches (see
     # conch_tpu.models.llama._kv_cache_quant).
@@ -69,6 +76,8 @@ class GemmaConfig:
             attn_logit_softcap=50.0,
             final_logit_softcap=30.0,
             query_pre_attn_scalar=256.0,
+            gemma2=True,
+            sliding_window=4096,
         )
 
 
@@ -89,8 +98,8 @@ def init_gemma_params(seed: int, config: GemmaConfig, quant_mode: str = "bf16", 
         layers = [make_fn() for _ in range(config.num_layers)]
         return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
 
-    layer_params = stack_layers(
-        lambda: {
+    def make_layer():
+        layer = {
             "wq": make_proj(h, q_dim),
             "wk": make_proj(h, kv_dim),
             "wv": make_proj(h, kv_dim),
@@ -101,7 +110,12 @@ def init_gemma_params(seed: int, config: GemmaConfig, quant_mode: str = "bf16", 
             "input_norm": jnp.zeros((h,), dtype=config.dtype),  # Gemma: (1 + w)
             "post_attn_norm": jnp.zeros((h,), dtype=config.dtype),
         }
-    )
+        if config.gemma2:  # sandwich norms around the MLP block too
+            layer["pre_ff_norm"] = jnp.zeros((h,), dtype=config.dtype)
+            layer["post_ff_norm"] = jnp.zeros((h,), dtype=config.dtype)
+        return layer
+
+    layer_params = stack_layers(make_layer)
 
     embedding = jnp.asarray(rng.normal(size=(config.vocab_size, h)) * std, dtype=config.dtype)
     return {
@@ -118,7 +132,7 @@ def init_gemma_kv_caches(config: GemmaConfig, num_pages: int, page_size: int, ca
     return jnp.zeros(shape, dtype=cache_dtype), jnp.zeros(shape, dtype=cache_dtype)
 
 
-def _gemma_layers(config: GemmaConfig, params, hidden, positions, slot_mapping, attn_fn, k_caches, v_caches, tp_axis=None, kv_quant=("auto", None)):
+def _gemma_layers(config: GemmaConfig, params, hidden, positions, slot_mapping, attn_fn, k_caches, v_caches, tp_axis=None, kv_quant=("auto", None), attn_fn_local=None):
     eps = config.rms_norm_eps
     num_kv_heads = k_caches.shape[2]
     group = config.num_heads // config.num_kv_heads
@@ -127,10 +141,9 @@ def _gemma_layers(config: GemmaConfig, params, hidden, positions, slot_mapping, 
     def reduce_tp(x):
         return jax.lax.psum(x, tp_axis) if tp_axis else x
 
-    def layer_step(hidden, xs):
-        layer, k_cache, v_cache = xs
+    def attend(hidden, layer, k_cache, v_cache, fn):
+        """Attention half up to (pre-residual) projected output."""
         t = hidden.shape[0]
-
         attn_in = gemma_rms_norm(hidden, layer["input_norm"], eps)
         q = layer["wq"].apply(attn_in)
         k = layer["wk"].apply(attn_in)
@@ -144,14 +157,57 @@ def _gemma_layers(config: GemmaConfig, params, hidden, positions, slot_mapping, 
             k, v, k_cache, v_cache, slot_mapping,
             kv_cache_dtype=kv_dtype, k_scale=kv_scale, v_scale=kv_scale,
         )
+        attn_out = fn(q.reshape(t, num_heads, config.head_dim), k_cache, v_cache)
+        return reduce_tp(layer["wo"].apply(attn_out.reshape(t, -1))), k_cache, v_cache
 
-        attn_out = attn_fn(q.reshape(t, num_heads, config.head_dim), k_cache, v_cache)
-        hidden = hidden + reduce_tp(layer["wo"].apply(attn_out.reshape(t, -1)))
+    def mlp(x, layer):
+        gate = layer["w_gate"].apply(x)
+        up = layer["w_up"].apply(x)
+        return reduce_tp(layer["w_down"].apply(gelu_tanh_and_mul_parts(gate, up)))
 
+    if config.gemma2:
+        # Gemma-2: sandwich norms + alternating local/global attention,
+        # scanned over layer PAIRS (even layer = sliding window, odd =
+        # global — the window is a static kernel parameter, so the two
+        # sub-layers are distinct attention calls in one scan body).
+        assert config.num_layers % 2 == 0, "gemma2 alternation needs even num_layers"
+        assert attn_fn_local is not None
+
+        def sub_layer(hidden, layer, k_cache, v_cache, fn):
+            attn_h, k_cache, v_cache = attend(hidden, layer, k_cache, v_cache, fn)
+            hidden = hidden + gemma_rms_norm(attn_h, layer["post_attn_norm"], eps)
+            mlp_in = gemma_rms_norm(hidden, layer["pre_ff_norm"], eps)
+            hidden = hidden + gemma_rms_norm(mlp(mlp_in, layer), layer["post_ff_norm"], eps)
+            return hidden, k_cache, v_cache
+
+        def pair_step(hidden, xs):
+            layers2, k2, v2 = xs  # leading dim 2: (local, global)
+            l0 = jax.tree.map(lambda x: x[0], layers2)
+            l1 = jax.tree.map(lambda x: x[1], layers2)
+            hidden, k0, v0 = sub_layer(hidden, l0, k2[0], v2[0], attn_fn_local)
+            hidden, k1, v1 = sub_layer(hidden, l1, k2[1], v2[1], attn_fn)
+            return hidden, (jnp.stack([k0, k1]), jnp.stack([v0, v1]))
+
+        half = config.num_layers // 2
+        layers_pairs = jax.tree.map(
+            lambda x: x.reshape(half, 2, *x.shape[1:]), params["layers"]
+        )
+        kc_pairs = k_caches.reshape(half, 2, *k_caches.shape[1:])
+        vc_pairs = v_caches.reshape(half, 2, *v_caches.shape[1:])
+        hidden, (kc_out, vc_out) = jax.lax.scan(
+            pair_step, hidden, (layers_pairs, kc_pairs, vc_pairs)
+        )
+        return hidden, (
+            kc_out.reshape(config.num_layers, *k_caches.shape[1:]),
+            vc_out.reshape(config.num_layers, *v_caches.shape[1:]),
+        )
+
+    def layer_step(hidden, xs):
+        layer, k_cache, v_cache = xs
+        attn_h, k_cache, v_cache = attend(hidden, layer, k_cache, v_cache, attn_fn)
+        hidden = hidden + attn_h
         mlp_in = gemma_rms_norm(hidden, layer["post_attn_norm"], eps)
-        gate = layer["w_gate"].apply(mlp_in)
-        up = layer["w_up"].apply(mlp_in)
-        hidden = hidden + reduce_tp(layer["w_down"].apply(gelu_tanh_and_mul_parts(gate, up)))
+        hidden = hidden + mlp(mlp_in, layer)
         return hidden, (k_cache, v_cache)
 
     return jax.lax.scan(layer_step, hidden, (params["layers"], k_caches, v_caches))
@@ -182,17 +238,22 @@ def gemma_prefill(
 
     kv_quant = _kv_cache_quant(config, k_caches.dtype)
 
-    def attn_fn(q, kc, vc):
-        return varlen_attention(
-            q, kc, vc, cu_seqlens_q, max_seqlen_q, seq_lens, max_seqlen_q,
-            block_tables, causal=True, scale=_attn_scale(config),
-            softcap=config.attn_logit_softcap,
-            kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
-        )
+    def make_attn(window):
+        def attn_fn(q, kc, vc):
+            return varlen_attention(
+                q, kc, vc, cu_seqlens_q, max_seqlen_q, seq_lens, max_seqlen_q,
+                block_tables, causal=True, scale=_attn_scale(config),
+                softcap=config.attn_logit_softcap,
+                kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
+                window_size=window,
+            )
+
+        return attn_fn
 
     hidden, (k_caches, v_caches) = _gemma_layers(
-        config, params, hidden, positions, slot_mapping, attn_fn, k_caches, v_caches, tp_axis,
+        config, params, hidden, positions, slot_mapping, make_attn(0), k_caches, v_caches, tp_axis,
         kv_quant=kv_quant,
+        attn_fn_local=make_attn(config.sliding_window) if config.gemma2 else None,
     )
     last_rows = cu_seqlens_q[1:] - 1
     logits = _final_logits(params, config, jnp.take(hidden, last_rows, axis=0))
@@ -213,17 +274,22 @@ def gemma_verify_forward(
 
     kv_quant = _kv_cache_quant(config, k_caches.dtype)
 
-    def attn_fn(q, kc, vc):
-        return varlen_attention(
-            q, kc, vc, cu_seqlens_q, max_seqlen_q, seq_lens, max_seqlen_q,
-            block_tables, causal=True, scale=_attn_scale(config),
-            softcap=config.attn_logit_softcap,
-            kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
-        )
+    def make_attn(window):
+        def attn_fn(q, kc, vc):
+            return varlen_attention(
+                q, kc, vc, cu_seqlens_q, max_seqlen_q, seq_lens, max_seqlen_q,
+                block_tables, causal=True, scale=_attn_scale(config),
+                softcap=config.attn_logit_softcap,
+                kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
+                window_size=window,
+            )
+
+        return attn_fn
 
     hidden, (k_caches, v_caches) = _gemma_layers(
-        config, params, hidden, positions, slot_mapping, attn_fn, k_caches, v_caches, tp_axis,
+        config, params, hidden, positions, slot_mapping, make_attn(0), k_caches, v_caches, tp_axis,
         kv_quant=kv_quant,
+        attn_fn_local=make_attn(config.sliding_window) if config.gemma2 else None,
     )
     logits = _final_logits(params, config, hidden)
     return logits, k_caches, v_caches
@@ -239,16 +305,21 @@ def gemma_decode_step(
 
     kv_quant = _kv_cache_quant(config, k_caches.dtype)
 
-    def attn_fn(q, kc, vc):
-        return paged_attention(
-            q, kc, vc, block_tables, seq_lens, scale=_attn_scale(config),
-            softcap=config.attn_logit_softcap,
-            kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
-        )
+    def make_attn(window):
+        def attn_fn(q, kc, vc):
+            return paged_attention(
+                q, kc, vc, block_tables, seq_lens, scale=_attn_scale(config),
+                softcap=config.attn_logit_softcap,
+                kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
+                window_size=window,
+            )
+
+        return attn_fn
 
     hidden, (k_caches, v_caches) = _gemma_layers(
-        config, params, hidden, positions, slot_mapping, attn_fn, k_caches, v_caches, tp_axis,
+        config, params, hidden, positions, slot_mapping, make_attn(0), k_caches, v_caches, tp_axis,
         kv_quant=kv_quant,
+        attn_fn_local=make_attn(config.sliding_window) if config.gemma2 else None,
     )
     logits = _final_logits(params, config, hidden)
     return logits, k_caches, v_caches

@@ -202,21 +202,30 @@ def gemma_params_from_hf(state: Mapping[str, Any], config, quant_mode: str = "bf
     layers = []
     for i in range(config.num_layers):
         p = f"model.layers.{i}."
-        layers.append(
-            {
-                "wq": proj(p + "self_attn.q_proj.weight"),
-                "wk": proj(p + "self_attn.k_proj.weight"),
-                "wv": proj(p + "self_attn.v_proj.weight"),
-                "wo": proj(p + "self_attn.o_proj.weight"),
-                "w_gate": proj(p + "mlp.gate_proj.weight"),
-                "w_up": proj(p + "mlp.up_proj.weight"),
-                "w_down": proj(p + "mlp.down_proj.weight"),
-                "input_norm": jnp.asarray(_np(state[p + "input_layernorm.weight"]), config.dtype),
-                "post_attn_norm": jnp.asarray(
-                    _np(state[p + "post_attention_layernorm.weight"]), config.dtype
-                ),
-            }
-        )
+        layer = {
+            "wq": proj(p + "self_attn.q_proj.weight"),
+            "wk": proj(p + "self_attn.k_proj.weight"),
+            "wv": proj(p + "self_attn.v_proj.weight"),
+            "wo": proj(p + "self_attn.o_proj.weight"),
+            "w_gate": proj(p + "mlp.gate_proj.weight"),
+            "w_up": proj(p + "mlp.up_proj.weight"),
+            "w_down": proj(p + "mlp.down_proj.weight"),
+            "input_norm": jnp.asarray(_np(state[p + "input_layernorm.weight"]), config.dtype),
+            "post_attn_norm": jnp.asarray(
+                _np(state[p + "post_attention_layernorm.weight"]), config.dtype
+            ),
+        }
+        if p + "pre_feedforward_layernorm.weight" in state:  # Gemma-2 sandwich norms
+            if not getattr(config, "gemma2", False):
+                msg = "checkpoint has Gemma-2 sandwich norms: set GemmaConfig.gemma2=True"
+                raise ValueError(msg)
+            layer["pre_ff_norm"] = jnp.asarray(
+                _np(state[p + "pre_feedforward_layernorm.weight"]), config.dtype
+            )
+            layer["post_ff_norm"] = jnp.asarray(
+                _np(state[p + "post_feedforward_layernorm.weight"]), config.dtype
+            )
+        layers.append(layer)
 
     return {
         "embedding": jnp.asarray(_np(state["model.embed_tokens.weight"]), config.dtype),

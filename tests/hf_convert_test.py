@@ -261,3 +261,51 @@ def test_mistral_sliding_window_matches_transformers():
     )
     tail = slice(10, len(tokens))
     assert np.abs(ours[tail] - ours_nw[tail]).max() > 1e-3
+
+
+def test_gemma2_conversion_matches_transformers():
+    """Gemma-2: sandwich norms, softcaps, and ALTERNATING local/global
+    attention (seq 24 >> window 6 so a wrong alternation flips logits)."""
+    from conch_tpu.models.gemma import GemmaConfig, gemma_verify_forward, init_gemma_kv_caches
+    from conch_tpu.models.hf import gemma_params_from_hf
+
+    hf_cfg = transformers.Gemma2Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=64, rope_theta=10000.0,
+        sliding_window=6, attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0, query_pre_attn_scalar=8,
+        hidden_activation="gelu_pytorch_tanh", attn_implementation="eager",
+    )
+    torch.manual_seed(8)
+    model = transformers.Gemma2ForCausalLM(hf_cfg).eval()
+
+    rng = np.random.default_rng(9)
+    tokens = rng.integers(0, 64, 24).tolist()
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([tokens])).logits[0].float().numpy()
+
+    cfg = GemmaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=4,
+        num_heads=4, num_kv_heads=2, head_dim=8, max_position=64,
+        rope_theta=10000.0, dtype=jnp.float32, gemma2=True, sliding_window=6,
+        attn_logit_softcap=50.0, final_logit_softcap=30.0, query_pre_attn_scalar=8.0,
+    )
+    params = gemma_params_from_hf(model.state_dict(), cfg)
+    assert "pre_ff_norm" in params["layers"]
+
+    t = len(tokens)
+    kc, vc = init_gemma_kv_caches(cfg, 8, 16)
+    logits, _, _ = gemma_verify_forward(
+        params, cfg, jnp.asarray(tokens, jnp.int32), jnp.arange(t, dtype=jnp.int32),
+        jnp.asarray([0, t], jnp.int32), t, jnp.asarray([t], jnp.int32),
+        jnp.arange(8, dtype=jnp.int32)[None, :], jnp.arange(t, dtype=jnp.int32), kc, vc,
+    )
+    ours = np.asarray(logits)[:t]
+    hf_n = hf_logits - hf_logits.mean(-1, keepdims=True)
+    our_n = ours - ours.mean(-1, keepdims=True)
+    cos = (hf_n * our_n).sum(-1) / (
+        np.linalg.norm(hf_n, axis=-1) * np.linalg.norm(our_n, axis=-1)
+    )
+    assert cos.min() > 0.999, cos
+    np.testing.assert_array_equal(our_n.argmax(-1), hf_n.argmax(-1))

@@ -122,7 +122,8 @@ def llama_params_from_hf(
             **({"group_size": group_size} if head_mode == "int8" else {}),
         ),
         "cos_sin_cache": compute_cos_sin_cache(
-            config.rope_theta, config.head_dim, config.max_position
+            config.rope_theta, config.head_dim, config.max_position,
+            rope_scaling=config.rope_scaling_dict() if hasattr(config, "rope_scaling_dict") else None,
         ),
     }
 

@@ -65,6 +65,13 @@ class LlamaConfig:
     # last `sliding_window` positions (0 disables). Applied uniformly to
     # every layer (the Mistral/Mixtral convention).
     sliding_window: int = 0
+    # HF-style rope scaling dict; only the "llama3" scheme is supported
+    # (Llama-3.1+ checkpoints). None disables. Stored as a tuple of items
+    # so the frozen config stays hashable.
+    rope_scaling: tuple | None = None
+
+    def rope_scaling_dict(self) -> dict | None:
+        return dict(self.rope_scaling) if self.rope_scaling else None
 
     @staticmethod
     def qwen2_7b() -> "LlamaConfig":
@@ -96,6 +103,17 @@ class LlamaConfig:
             rms_norm_eps=1e-5,
             max_position=8192,
         )
+
+    @staticmethod
+    def llama31_8b() -> "LlamaConfig":
+        cfg = LlamaConfig.llama3_8b()
+        object.__setattr__(cfg, "max_position", 131072)
+        object.__setattr__(
+            cfg, "rope_scaling",
+            (("rope_type", "llama3"), ("factor", 8.0), ("low_freq_factor", 1.0),
+             ("high_freq_factor", 4.0), ("original_max_position_embeddings", 8192)),
+        )
+        return cfg
 
     @staticmethod
     def llama3_70b() -> "LlamaConfig":
@@ -172,7 +190,10 @@ def init_llama_params(
             quant_mode if quant_mode != "int4" else "bf16",
             **({"group_size": group_size} if quant_mode == "int8" else {}),
         ),
-        "cos_sin_cache": compute_cos_sin_cache(config.rope_theta, config.head_dim, config.max_position),
+        "cos_sin_cache": compute_cos_sin_cache(
+            config.rope_theta, config.head_dim, config.max_position,
+            rope_scaling=config.rope_scaling_dict(),
+        ),
     }
 
 

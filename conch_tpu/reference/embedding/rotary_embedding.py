@@ -14,9 +14,37 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def compute_cos_sin_cache(base: float, rotary_dim: int, max_position_embeddings: int) -> jax.Array:
-    """Build the [cos | sin] cache, shape (max_position, rotary_dim)."""
+def compute_cos_sin_cache(
+    base: float,
+    rotary_dim: int,
+    max_position_embeddings: int,
+    rope_scaling: dict | None = None,
+) -> jax.Array:
+    """Build the [cos | sin] cache, shape (max_position, rotary_dim).
+
+    ``rope_scaling`` supports the HF "llama3" scheme (Llama-3.1+
+    checkpoints): frequencies below the low-frequency threshold stretch
+    by ``factor``, above the high-frequency threshold stay, and the band
+    between interpolates smoothly — matching
+    ``transformers.modeling_rope_utils._compute_llama3_parameters``.
+    """
     inv_freq = 1.0 / (base ** (np.arange(0, rotary_dim, 2, dtype=np.float32) / rotary_dim))
+    if rope_scaling is not None:
+        if rope_scaling.get("rope_type", rope_scaling.get("type")) != "llama3":
+            msg = f"unsupported rope_scaling: {rope_scaling}"
+            raise ValueError(msg)
+        factor = rope_scaling["factor"]
+        low = rope_scaling.get("low_freq_factor", 1.0)
+        high = rope_scaling.get("high_freq_factor", 4.0)
+        old_ctx = rope_scaling.get("original_max_position_embeddings", 8192)
+        wavelen = 2 * np.pi / inv_freq
+        low_wavelen = old_ctx / low
+        high_wavelen = old_ctx / high
+        scaled = np.where(wavelen > low_wavelen, inv_freq / factor, inv_freq)
+        smooth = (old_ctx / wavelen - low) / (high - low)
+        mid = (1 - smooth) / factor * inv_freq + smooth * inv_freq
+        in_band = (wavelen <= low_wavelen) & (wavelen >= high_wavelen)
+        inv_freq = np.where(in_band, mid, scaled).astype(np.float32)
     t = np.arange(max_position_embeddings, dtype=np.float32)
     freqs = np.einsum("i,j->ij", t, inv_freq)
     return jnp.asarray(np.concatenate([np.cos(freqs), np.sin(freqs)], axis=-1))

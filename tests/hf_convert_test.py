@@ -309,3 +309,57 @@ def test_gemma2_conversion_matches_transformers():
     )
     assert cos.min() > 0.999, cos
     np.testing.assert_array_equal(our_n.argmax(-1), hf_n.argmax(-1))
+
+
+def test_llama31_rope_scaling_matches_transformers():
+    """Llama-3.1-style rope scaling: the llama3 frequency-band remap must
+    match transformers exactly (positions past the original context make
+    the scaled/unscaled caches diverge hard)."""
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256, rope_theta=10000.0,
+        tie_word_embeddings=False,
+        rope_scaling={
+            "rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0, "original_max_position_embeddings": 32,
+        },
+    )
+    torch.manual_seed(10)
+    model = transformers.LlamaForCausalLM(hf_cfg).eval()
+
+    rng = np.random.default_rng(11)
+    tokens = rng.integers(0, 64, 48).tolist()  # past the original 32-ctx
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([tokens])).logits[0].float().numpy()
+
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=16, max_position=256,
+        rope_theta=10000.0, dtype=jnp.float32,
+        rope_scaling=(
+            ("rope_type", "llama3"), ("factor", 8.0), ("low_freq_factor", 1.0),
+            ("high_freq_factor", 4.0), ("original_max_position_embeddings", 32),
+        ),
+    )
+    params = llama_params_from_hf(model.state_dict(), cfg)
+    ours = _forward_ours(llama_verify_forward, params, cfg, tokens, 2, 16, init_kv_caches(cfg, 8, 16))
+    hf_n = hf_logits - hf_logits.mean(-1, keepdims=True)
+    our_n = ours[: len(tokens)] - ours[: len(tokens)].mean(-1, keepdims=True)
+    cos = (hf_n * our_n).sum(-1) / (
+        np.linalg.norm(hf_n, axis=-1) * np.linalg.norm(our_n, axis=-1)
+    )
+    assert cos.min() > 0.999, cos
+    np.testing.assert_array_equal(our_n.argmax(-1), hf_n.argmax(-1))
+
+    # Anti-false-positive: an UNscaled run must diverge at long range.
+    cfg_u = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=16, max_position=256,
+        rope_theta=10000.0, dtype=jnp.float32,
+    )
+    ours_u = _forward_ours(
+        llama_verify_forward, llama_params_from_hf(model.state_dict(), cfg_u), cfg_u,
+        tokens, 2, 16, init_kv_caches(cfg_u, 8, 16),
+    )
+    assert np.abs(ours[: len(tokens)] - ours_u[: len(tokens)]).max() > 1e-3

@@ -236,3 +236,59 @@ def gemma_params_from_hf(state: Mapping[str, Any], config, quant_mode: str = "bf
             config.rope_theta, config.head_dim, config.max_position
         ),
     }
+
+
+def phi3_params_from_hf(
+    state: Mapping[str, Any],
+    config,
+    quant_mode: str = "bf16",
+    group_size: int = 128,
+) -> dict:
+    """Convert an HF ``Phi3ForCausalLM`` state dict (Llama architecture
+    with FUSED projections: ``qkv_proj`` splits to wq/wk/wv and
+    ``gate_up_proj`` to w_gate/w_up; rows are ordered [q|k|v] and
+    [gate|up] in HF's fused layout)."""
+    q_dim = config.num_heads * config.head_dim
+    kv_dim = config.num_kv_heads * config.head_dim
+    inter = config.intermediate_size
+
+    def quant(w):
+        kwargs = {"group_size": group_size} if quant_mode in ("int4", "int8") else {}
+        return quantize_linear(w.T.astype(np.float32), quant_mode, **kwargs)
+
+    layers = []
+    for i in range(config.num_layers):
+        p = f"model.layers.{i}."
+        qkv = _np(state[p + "self_attn.qkv_proj.weight"])  # (q+2kv, H)
+        gate_up = _np(state[p + "mlp.gate_up_proj.weight"])  # (2*inter, H)
+        layers.append(
+            {
+                "wq": quant(qkv[:q_dim]),
+                "wk": quant(qkv[q_dim : q_dim + kv_dim]),
+                "wv": quant(qkv[q_dim + kv_dim :]),
+                "wo": quant(_np(state[p + "self_attn.o_proj.weight"])),
+                "w_gate": quant(gate_up[:inter]),
+                "w_up": quant(gate_up[inter:]),
+                "w_down": quant(_np(state[p + "mlp.down_proj.weight"])),
+                "input_norm": jnp.asarray(_np(state[p + "input_layernorm.weight"]), config.dtype),
+                "post_attn_norm": jnp.asarray(
+                    _np(state[p + "post_attention_layernorm.weight"]), config.dtype
+                ),
+            }
+        )
+
+    head_key = "lm_head.weight" if "lm_head.weight" in state else "model.embed_tokens.weight"
+    head_mode = quant_mode if quant_mode != "int4" else "bf16"
+    return {
+        "embedding": jnp.asarray(_np(state["model.embed_tokens.weight"]), config.dtype),
+        "layers": _stack(layers),
+        "final_norm": jnp.asarray(_np(state["model.norm.weight"]), config.dtype),
+        "lm_head": quantize_linear(
+            _np(state[head_key]).T.astype(np.float32),
+            head_mode,
+            **({"group_size": group_size} if head_mode == "int8" else {}),
+        ),
+        "cos_sin_cache": compute_cos_sin_cache(
+            config.rope_theta, config.head_dim, config.max_position
+        ),
+    }

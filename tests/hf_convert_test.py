@@ -363,3 +363,38 @@ def test_llama31_rope_scaling_matches_transformers():
         tokens, 2, 16, init_kv_caches(cfg_u, 8, 16),
     )
     assert np.abs(ours[: len(tokens)] - ours_u[: len(tokens)]).max() > 1e-3
+
+
+def test_phi3_conversion_matches_transformers():
+    """Phi-3 = Llama arch with fused qkv/gate_up projections: the split
+    ordering must be exact or logits scramble."""
+    from conch_tpu.models.hf import phi3_params_from_hf
+
+    hf_cfg = transformers.Phi3Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_theta=10000.0,
+        tie_word_embeddings=False, attn_implementation="eager",
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(12)
+    model = transformers.Phi3ForCausalLM(hf_cfg).eval()
+
+    tokens = [3, 17, 9, 4, 60, 2, 33, 21]
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([tokens])).logits[0].float().numpy()
+
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=8, max_position=64,
+        rope_theta=10000.0, dtype=jnp.float32,
+    )
+    params = phi3_params_from_hf(model.state_dict(), cfg)
+    ours = _forward_ours(llama_verify_forward, params, cfg, tokens, 2, 8, init_kv_caches(cfg, 8, 16))
+    hf_n = hf_logits - hf_logits.mean(-1, keepdims=True)
+    our_n = ours[: len(tokens)] - ours[: len(tokens)].mean(-1, keepdims=True)
+    cos = (hf_n * our_n).sum(-1) / (
+        np.linalg.norm(hf_n, axis=-1) * np.linalg.norm(our_n, axis=-1)
+    )
+    assert cos.min() > 0.999, cos
+    np.testing.assert_array_equal(our_n.argmax(-1), hf_n.argmax(-1))

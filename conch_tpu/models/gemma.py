@@ -63,6 +63,15 @@ class GemmaConfig:
     # conch_tpu.models.llama._kv_cache_quant).
     kv_cache_scale: float = 1.0 / 16
 
+    def __post_init__(self):
+        if self.gemma2:
+            if self.sliding_window <= 0:
+                msg = "gemma2=True requires a positive sliding_window (the local layers)"
+                raise ValueError(msg)
+            if self.num_layers % 2 != 0:
+                msg = "gemma2 alternation needs an even num_layers"
+                raise ValueError(msg)
+
     @staticmethod
     def gemma2_2b() -> "GemmaConfig":
         return GemmaConfig(

@@ -123,7 +123,7 @@ def llama_params_from_hf(
         ),
         "cos_sin_cache": compute_cos_sin_cache(
             config.rope_theta, config.head_dim, config.max_position,
-            rope_scaling=config.rope_scaling_dict() if hasattr(config, "rope_scaling_dict") else None,
+            rope_scaling=config.rope_scaling_dict(),
         ),
     }
 
@@ -186,7 +186,9 @@ def mixtral_params_from_hf(
         "layers": _stack(layers),
         "final_norm": jnp.asarray(_np(state["model.norm.weight"]), c.dtype),
         "lm_head": quantize_linear(_np(state[head_key]).T.astype(np.float32), "bf16"),
-        "cos_sin_cache": compute_cos_sin_cache(c.rope_theta, c.head_dim, c.max_position),
+        "cos_sin_cache": compute_cos_sin_cache(
+            c.rope_theta, c.head_dim, c.max_position, rope_scaling=c.rope_scaling_dict()
+        ),
     }
 
 
@@ -216,7 +218,11 @@ def gemma_params_from_hf(state: Mapping[str, Any], config, quant_mode: str = "bf
                 _np(state[p + "post_attention_layernorm.weight"]), config.dtype
             ),
         }
-        if p + "pre_feedforward_layernorm.weight" in state:  # Gemma-2 sandwich norms
+        has_sandwich = p + "pre_feedforward_layernorm.weight" in state
+        if getattr(config, "gemma2", False) and not has_sandwich:
+            msg = "GemmaConfig.gemma2=True but the checkpoint has no sandwich norms (Gemma-1?)"
+            raise ValueError(msg)
+        if has_sandwich:  # Gemma-2 sandwich norms
             if not getattr(config, "gemma2", False):
                 msg = "checkpoint has Gemma-2 sandwich norms: set GemmaConfig.gemma2=True"
                 raise ValueError(msg)
@@ -245,50 +251,28 @@ def phi3_params_from_hf(
     group_size: int = 128,
 ) -> dict:
     """Convert an HF ``Phi3ForCausalLM`` state dict (Llama architecture
-    with FUSED projections: ``qkv_proj`` splits to wq/wk/wv and
-    ``gate_up_proj`` to w_gate/w_up; rows are ordered [q|k|v] and
-    [gate|up] in HF's fused layout)."""
+    with FUSED projections). The fused ``qkv_proj`` ([q|k|v] rows) and
+    ``gate_up_proj`` ([gate|up] rows) are split into synthesized per-
+    projection keys and the result delegates to
+    :func:`llama_params_from_hf` — one conversion path, including
+    rope_scaling and tied-head handling."""
     q_dim = config.num_heads * config.head_dim
     kv_dim = config.num_kv_heads * config.head_dim
     inter = config.intermediate_size
 
-    def quant(w):
-        kwargs = {"group_size": group_size} if quant_mode in ("int4", "int8") else {}
-        return quantize_linear(w.T.astype(np.float32), quant_mode, **kwargs)
-
-    layers = []
-    for i in range(config.num_layers):
-        p = f"model.layers.{i}."
-        qkv = _np(state[p + "self_attn.qkv_proj.weight"])  # (q+2kv, H)
-        gate_up = _np(state[p + "mlp.gate_up_proj.weight"])  # (2*inter, H)
-        layers.append(
-            {
-                "wq": quant(qkv[:q_dim]),
-                "wk": quant(qkv[q_dim : q_dim + kv_dim]),
-                "wv": quant(qkv[q_dim + kv_dim :]),
-                "wo": quant(_np(state[p + "self_attn.o_proj.weight"])),
-                "w_gate": quant(gate_up[:inter]),
-                "w_up": quant(gate_up[inter:]),
-                "w_down": quant(_np(state[p + "mlp.down_proj.weight"])),
-                "input_norm": jnp.asarray(_np(state[p + "input_layernorm.weight"]), config.dtype),
-                "post_attn_norm": jnp.asarray(
-                    _np(state[p + "post_attention_layernorm.weight"]), config.dtype
-                ),
-            }
-        )
-
-    head_key = "lm_head.weight" if "lm_head.weight" in state else "model.embed_tokens.weight"
-    head_mode = quant_mode if quant_mode != "int4" else "bf16"
-    return {
-        "embedding": jnp.asarray(_np(state["model.embed_tokens.weight"]), config.dtype),
-        "layers": _stack(layers),
-        "final_norm": jnp.asarray(_np(state["model.norm.weight"]), config.dtype),
-        "lm_head": quantize_linear(
-            _np(state[head_key]).T.astype(np.float32),
-            head_mode,
-            **({"group_size": group_size} if head_mode == "int8" else {}),
-        ),
-        "cos_sin_cache": compute_cos_sin_cache(
-            config.rope_theta, config.head_dim, config.max_position
-        ),
-    }
+    split: dict[str, Any] = {}
+    for key, value in state.items():
+        if key.endswith("self_attn.qkv_proj.weight"):
+            qkv = _np(value)
+            base = key[: -len("qkv_proj.weight")]
+            split[base + "q_proj.weight"] = qkv[:q_dim]
+            split[base + "k_proj.weight"] = qkv[q_dim : q_dim + kv_dim]
+            split[base + "v_proj.weight"] = qkv[q_dim + kv_dim :]
+        elif key.endswith("mlp.gate_up_proj.weight"):
+            gu = _np(value)
+            base = key[: -len("gate_up_proj.weight")]
+            split[base + "gate_proj.weight"] = gu[:inter]
+            split[base + "up_proj.weight"] = gu[inter:]
+        else:
+            split[key] = value
+    return llama_params_from_hf(split, config, quant_mode=quant_mode, group_size=group_size)

@@ -106,14 +106,16 @@ class LlamaConfig:
 
     @staticmethod
     def llama31_8b() -> "LlamaConfig":
-        cfg = LlamaConfig.llama3_8b()
-        object.__setattr__(cfg, "max_position", 131072)
-        object.__setattr__(
-            cfg, "rope_scaling",
-            (("rope_type", "llama3"), ("factor", 8.0), ("low_freq_factor", 1.0),
-             ("high_freq_factor", 4.0), ("original_max_position_embeddings", 8192)),
+        import dataclasses
+
+        return dataclasses.replace(
+            LlamaConfig.llama3_8b(),
+            max_position=131072,
+            rope_scaling=(
+                ("rope_type", "llama3"), ("factor", 8.0), ("low_freq_factor", 1.0),
+                ("high_freq_factor", 4.0), ("original_max_position_embeddings", 8192),
+            ),
         )
-        return cfg
 
     @staticmethod
     def llama3_70b() -> "LlamaConfig":

@@ -265,7 +265,9 @@ def init_moe_params(
         "lm_head": quantize_linear(
             rng.normal(size=(h, c.vocab_size)).astype(np.float32) * std, "bf16"
         ),
-        "cos_sin_cache": compute_cos_sin_cache(c.rope_theta, c.head_dim, c.max_position),
+        "cos_sin_cache": compute_cos_sin_cache(
+            c.rope_theta, c.head_dim, c.max_position, rope_scaling=c.rope_scaling_dict()
+        ),
     }
 
 

@@ -275,6 +275,19 @@ class LLMEngine:
         self.waiting.append(Request(rid, list(prompt), sampling or SamplingParams()))
         return rid
 
+    def stats(self) -> dict:
+        """Serving counters snapshot (observability)."""
+        return {
+            "running": len(self.running),
+            "waiting": len(self.waiting),
+            "free_pages": self.allocator.num_free,
+            "total_pages": self.ecfg.num_pages,
+            "cached_prefix_pages": len(self._cached_lru),
+            "prefix_cache_hit_tokens": self.prefix_cache_hits,
+            "spec_tokens_drafted": self.spec_tokens_drafted,
+            "spec_tokens_accepted": self.spec_tokens_accepted,
+        }
+
     def abort_request(self, request_id: int) -> bool:
         """Cancel a live request and release its pages immediately.
 
@@ -323,6 +336,7 @@ class LLMEngine:
             all_plain_greedy = all(
                 r.sampling.temperature <= 0.0
                 and r.sampling.repetition_penalty == 1.0
+                and not r.sampling.logit_bias
                 and not r.sampling.logprobs
                 and len(r.output_tokens) >= r.sampling.min_tokens
                 for r in decodable
@@ -795,6 +809,7 @@ class LLMEngine:
         sparse index lists, one scatter each; no-ops cost nothing)."""
         sup_r, sup_c = [], []
         pen_r, pen_c, pen_v = [], [], []
+        bias_r, bias_c, bias_v = [], [], []
         eos = self.ecfg.eos_token_id
         for row, r in zip(rows, reqs):
             s = r.sampling
@@ -807,6 +822,10 @@ class LLMEngine:
                     pen_r.append(row)
                     pen_c.append(tok)
                     pen_v.append(s.repetition_penalty)
+            for tok, bias in s.logit_bias:
+                bias_r.append(row)
+                bias_c.append(tok)
+                bias_v.append(bias)
         if sup_r:
             logits = logits.at[jnp.asarray(sup_r), jnp.asarray(sup_c)].set(-jnp.inf)
         if pen_r:
@@ -814,6 +833,10 @@ class LLMEngine:
             seen = logits[rr, cc]
             pv = jnp.asarray(pen_v, jnp.float32)
             logits = logits.at[rr, cc].set(jnp.where(seen > 0, seen / pv, seen * pv))
+        if bias_r:
+            logits = logits.at[jnp.asarray(bias_r), jnp.asarray(bias_c)].add(
+                jnp.asarray(bias_v, jnp.float32)
+            )
         return logits
 
     def _maybe_finish(self, req: Request) -> None:

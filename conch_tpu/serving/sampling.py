@@ -22,6 +22,7 @@ class SamplingParams:
     min_tokens: int = 0  # eos/stop tokens are suppressed until this many
     stop_token_ids: tuple[int, ...] = ()  # finish on any of these (like eos)
     repetition_penalty: float = 1.0  # >1 discourages already-seen tokens
+    logit_bias: tuple[tuple[int, float], ...] = ()  # (token, additive bias)
     logprobs: bool = False  # record each sampled token's log-probability
 
 

@@ -566,3 +566,24 @@ def test_engine_modes_agree_fuzz(tiny_model):
         spec = _make_engine(cfg, params, **base, num_speculative_tokens=3).generate(prompts, sp)
         multi = _make_engine(cfg, params, **base, multi_step_decode=int(rng.choice([2, 3, 5]))).generate(prompts, sp)
         assert plain == spec == multi, f"trial {trial}: modes diverged"
+
+
+def test_engine_logit_bias_and_stats(tiny_model):
+    """logit_bias forces/blocks tokens; stats() reports live counters."""
+    cfg, params = tiny_model
+    prompt = [1, 5, 9, 23, 40]
+    plain = _make_engine(cfg, params).generate([prompt], SamplingParams(max_tokens=4))[0]
+    forced = _make_engine(cfg, params).generate(
+        [prompt], SamplingParams(max_tokens=4, logit_bias=((7, 1e9),))
+    )[0]
+    assert forced == [7, 7, 7, 7]
+    blocked = _make_engine(cfg, params).generate(
+        [prompt], SamplingParams(max_tokens=1, logit_bias=((plain[0], -1e9),))
+    )[0]
+    assert blocked[0] != plain[0]
+
+    eng = _make_engine(cfg, params)
+    eng.add_request(prompt, SamplingParams(max_tokens=2))
+    eng.step()
+    st = eng.stats()
+    assert st["running"] == 1 and st["free_pages"] < st["total_pages"]

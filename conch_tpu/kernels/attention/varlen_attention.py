@@ -107,10 +107,23 @@ def _varlen_dma_kernel(
     num_chunks = jax.lax.div(kv_limit + chunk_tokens - 1, chunk_tokens)
     num_full = jax.lax.div(full_limit, chunk_tokens)
     if window > 0:
-        # Sliding window: every chunk needs the lower-bound mask. (A
-        # skip-start for chunks wholly before the window is a future
-        # perf win; masked chunks contribute zero via the online max.)
-        num_full = jnp.zeros_like(num_full)
+        # Sliding window: row r's first visible KV position is
+        # seq_k - seq_q + q_idx(r) - window + 1 — minimal at first_q,
+        # maximal at chunk_last_q. Chunks wholly before EVERY row's window
+        # are skipped outright (no DMA, no compute); chunks at/after every
+        # row's window start keep the causal full/masked split; the band
+        # between pays the lower-bound mask.
+        win_low_min = seq_k - seq_q + first_q - window + 1
+        win_low_max = seq_k - seq_q + chunk_last_q - window + 1
+        start_chunk = jax.lax.div(jnp.maximum(win_low_min, 0), chunk_tokens)
+        full_start = jax.lax.div(
+            jnp.maximum(win_low_max, 0) + chunk_tokens - 1, chunk_tokens
+        )
+        full_start = jnp.clip(full_start, start_chunk, num_full)
+    else:
+        start_chunk = jnp.zeros_like(num_chunks)
+        full_start = jnp.zeros_like(num_chunks)
+    start_chunk = jnp.minimum(start_chunk, num_chunks)
 
     m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
     l_scr[...] = jnp.zeros_like(l_scr)
@@ -148,9 +161,9 @@ def _varlen_dma_kernel(
             )
         return copies
 
-    @pl.when(num_chunks > 0)
+    @pl.when(start_chunk < num_chunks)
     def _():
-        for cp in wave(0, 0):
+        for cp in wave(start_chunk, jax.lax.rem(start_chunk, 2)):
             cp.start()
 
     def process(c, masked: bool):
@@ -204,12 +217,15 @@ def _varlen_dma_kernel(
         process(c, masked=False)
         return 0
 
-    jax.lax.fori_loop(0, num_full, full_body, 0)
-
     def masked_body(c, _):
         process(c, masked=True)
         return 0
 
+    if window > 0:
+        jax.lax.fori_loop(start_chunk, full_start, masked_body, 0)
+        jax.lax.fori_loop(full_start, num_full, full_body, 0)
+    else:
+        jax.lax.fori_loop(0, num_full, full_body, 0)
     jax.lax.fori_loop(num_full, num_chunks, masked_body, 0)
 
     l = l_scr[:, :1]
@@ -278,10 +294,20 @@ def _varlen_dma_allheads_kernel(
     num_chunks = jax.lax.div(kv_limit + chunk_tokens - 1, chunk_tokens)
     num_full = jax.lax.div(full_limit, chunk_tokens)
     if window > 0:
-        # Sliding window: every chunk needs the lower-bound mask. (A
-        # skip-start for chunks wholly before the window is a future
-        # perf win; masked chunks contribute zero via the online max.)
-        num_full = jnp.zeros_like(num_full)
+        # Sliding window chunk-skip: see _varlen_dma_kernel. Chunks wholly
+        # before every row's window are skipped (no DMA); chunks at/after
+        # every row's window start keep the causal full/masked split.
+        win_low_min = seq_k - seq_q + first_q - window + 1
+        win_low_max = seq_k - seq_q + chunk_last_q - window + 1
+        start_chunk = jax.lax.div(jnp.maximum(win_low_min, 0), chunk_tokens)
+        full_start = jax.lax.div(
+            jnp.maximum(win_low_max, 0) + chunk_tokens - 1, chunk_tokens
+        )
+        full_start = jnp.clip(full_start, start_chunk, num_full)
+    else:
+        start_chunk = jnp.zeros_like(num_chunks)
+        full_start = jnp.zeros_like(num_chunks)
+    start_chunk = jnp.minimum(start_chunk, num_chunks)
 
     m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
     l_scr[...] = jnp.zeros_like(l_scr)
@@ -320,9 +346,9 @@ def _varlen_dma_allheads_kernel(
             )
         return copies
 
-    @pl.when(num_chunks > 0)
+    @pl.when(start_chunk < num_chunks)
     def _():
-        for cp in wave(0, 0):
+        for cp in wave(start_chunk, jax.lax.rem(start_chunk, 2)):
             cp.start()
 
     def process(c, masked: bool):
@@ -385,12 +411,15 @@ def _varlen_dma_allheads_kernel(
         process(c, masked=False)
         return 0
 
-    jax.lax.fori_loop(0, num_full, full_body, 0)
-
     def masked_body(c, _):
         process(c, masked=True)
         return 0
 
+    if window > 0:
+        jax.lax.fori_loop(start_chunk, full_start, masked_body, 0)
+        jax.lax.fori_loop(full_start, num_full, full_body, 0)
+    else:
+        jax.lax.fori_loop(0, num_full, full_body, 0)
     jax.lax.fori_loop(num_full, num_chunks, masked_body, 0)
 
     for h in range(num_kv_heads):
@@ -449,8 +478,16 @@ def _varlen_attention_kernel(
     chunk_active = row_start < seq_q * group
     page_active = i * page_size < seq_k
     causal_active = i * page_size <= chunk_last_kv_pos
+    if window > 0:
+        # Pages wholly before every row's window contribute nothing; the
+        # index map clamps their fetch away, this skips their compute.
+        first_q = row_start // group
+        win_low_min = seq_k - seq_q + first_q - window + 1
+        window_active = (i + 1) * page_size > win_low_min
+    else:
+        window_active = True
 
-    @pl.when(chunk_active & page_active & causal_active)
+    @pl.when(chunk_active & page_active & causal_active & window_active)
     def _():
         q = q_ref[0, 0].astype(jnp.float32)  # (cq_rows, D)
         k = k_ref[0, 0].astype(jnp.float32)  # (ps, D)
@@ -736,6 +773,14 @@ def varlen_attention_launcher(
                 last_kv = jnp.minimum(last_kv, slk[b] - slq[b] + chunk_last_q)
             i_max = jnp.maximum(last_kv, 0) // page_size
             i_eff = jnp.minimum(i, i_max)
+            if window_size > 0:
+                # Low-side clamp: steps before the first window page all map
+                # to that page, so the pipeline fetches it once and skips
+                # the dead prefix.
+                first_q = (t * cq_rows) // group
+                win_low_min = slk[b] - slq[b] + first_q - window_size + 1
+                i_min = jnp.minimum(jnp.maximum(win_low_min, 0) // page_size, i_max)
+                i_eff = jnp.maximum(i_eff, i_min)
             return (bt[b, i_eff], h, 0, 0)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -169,6 +169,82 @@ def test_varlen_odd_head_sizes(head_size, causal, rng):
 
 
 @pytest.mark.parametrize("causal", [True, False])
+def test_varlen_window_chunk_skip_allheads(rng, causal):
+    """Sliding window over MANY KV chunks: chunks wholly before the window
+    must be skipped (start_chunk > 0) without changing the result.
+
+    head 128 -> all-heads DMA kernel; chunk_tokens=64 with seq 300 gives
+    ~5 chunks so the skip/full/masked band split is real.
+    """
+    from conch_tpu.kernels.attention.varlen_attention import varlen_attention_launcher
+    from conch_tpu.reference.attention.attention import varlen_attention as golden
+
+    fx = create_paged_fixture(
+        rng, batch=3, num_q_heads=4, num_kv_heads=2, head_size=128,
+        page_size=16, seq_lens=[300, 190, 64], q_lens=[300, 64, 1], dtype=jnp.float32,
+    )
+    scale = 1 / math.sqrt(128)
+    for window in (20, 100, 250):
+        out = varlen_attention_launcher(
+            fx.query, fx.key_cache, fx.value_cache, fx.cu_seqlens_q, fx.max_seqlen_q,
+            fx.seq_lens, fx.block_table, scale=scale, causal=causal,
+            window_size=window, chunk_tokens=64, q_chunk_rows=8,
+        )
+        exp = golden(
+            fx.query, fx.key_cache, fx.value_cache, fx.cu_seqlens_q, fx.seq_lens,
+            fx.block_table, scale, causal, window_size=window,
+        )
+        np.testing.assert_allclose(np.asarray(out, np.float32), exp, atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_varlen_window_chunk_skip_blockspec(rng, causal):
+    """Same skip check on the BlockSpec fallback path (head 64: the index
+    map clamps dead-page fetches on both the window and causal sides)."""
+    from conch_tpu.reference.attention.attention import varlen_attention as golden
+
+    fx = create_paged_fixture(
+        rng, batch=2, num_q_heads=4, num_kv_heads=2, head_size=64,
+        page_size=16, seq_lens=[300, 190], q_lens=[48, 3], dtype=jnp.float32,
+    )
+    scale = 1 / math.sqrt(64)
+    for window in (20, 100):
+        out = varlen_attention(
+            fx.query, fx.key_cache, fx.value_cache, fx.cu_seqlens_q, fx.max_seqlen_q,
+            fx.seq_lens, fx.max_seqlen_q, fx.block_table, causal=causal, scale=scale,
+            window_size=window,
+        )
+        exp = golden(
+            fx.query, fx.key_cache, fx.value_cache, fx.cu_seqlens_q, fx.seq_lens,
+            fx.block_table, scale, causal, window_size=window,
+        )
+        np.testing.assert_allclose(np.asarray(out, np.float32), exp, atol=2e-3, rtol=2e-3)
+
+
+def test_varlen_window_chunk_skip_perhead(rng):
+    """Force the per-kv-head DMA kernel (KH=4 x D=256 x page 1024 f32
+    exceeds the all-heads VMEM budget) and check the window band split."""
+    from conch_tpu.kernels.attention.varlen_attention import varlen_attention_launcher
+    from conch_tpu.reference.attention.attention import varlen_attention as golden
+
+    fx = create_paged_fixture(
+        rng, batch=1, num_q_heads=4, num_kv_heads=4, head_size=256,
+        page_size=1024, seq_lens=[2500], q_lens=[8], dtype=jnp.float32,
+    )
+    scale = 1 / math.sqrt(256)
+    out = varlen_attention_launcher(
+        fx.query, fx.key_cache, fx.value_cache, fx.cu_seqlens_q, fx.max_seqlen_q,
+        fx.seq_lens, fx.block_table, scale=scale, causal=True,
+        window_size=600, chunk_tokens=1024,
+    )
+    exp = golden(
+        fx.query, fx.key_cache, fx.value_cache, fx.cu_seqlens_q, fx.seq_lens,
+        fx.block_table, scale, True, window_size=600,
+    )
+    np.testing.assert_allclose(np.asarray(out, np.float32), exp, atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize("causal", [True, False])
 def test_varlen_sliding_window(rng, causal):
     """Sliding window masks everything before the last W positions."""
     from conch_tpu.reference.attention.attention import varlen_attention as golden

@@ -79,6 +79,7 @@ def _paged_allheads_kernel(
     scale: float,
     softcap: float,
     window: int = 0,
+    ring_pages: int = 0,
     num_kv_heads: int,
     group_pad: int,
 ):
@@ -107,7 +108,12 @@ def _paged_allheads_kernel(
     def wave(c, slot):
         copies = []
         for j in range(chunk_pages):
-            page = block_tables_ref[b, jnp.minimum(c * chunk_pages + j, last_page)]
+            idx = jnp.minimum(c * chunk_pages + j, last_page)
+            if ring_pages > 0:
+                # Rolling KV buffer: true position page -> ring slot (the
+                # window skip bounds the walk to live ring entries).
+                idx = jax.lax.rem(idx, ring_pages)
+            page = block_tables_ref[b, idx]
             copies.append(
                 pltpu.make_async_copy(k_hbm.at[page], k_buf.at[slot, :, j], sems.at[slot, 0, j])
             )
@@ -224,6 +230,7 @@ def _paged_attention_kernel(
     scale: float,
     softcap: float,
     window: int = 0,
+    ring_pages: int = 0,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -253,7 +260,11 @@ def _paged_attention_kernel(
         """
         copies = []
         for j in range(chunk_pages):
-            page = block_tables_ref[b, jnp.minimum(c * chunk_pages + j, last_page)]
+            idx = jnp.minimum(c * chunk_pages + j, last_page)
+            if ring_pages > 0:
+                # Rolling KV buffer: true position page -> ring slot.
+                idx = jax.lax.rem(idx, ring_pages)
+            page = block_tables_ref[b, idx]
             copies.append(
                 pltpu.make_async_copy(k_hbm.at[page, h], k_buf.at[slot, j], sems.at[slot, 0, j])
             )
@@ -338,7 +349,7 @@ def _paged_attention_kernel(
 
 def _decode_via_varlen(
     query, key_cache, value_cache, block_table, seq_lens, *, scale, softcap, k_scale, v_scale,
-    window_size=0,
+    window_size=0, ring_pages=0,
 ):
     """Decode as single-token varlen attention (BlockSpec pipeline).
 
@@ -364,10 +375,13 @@ def _decode_via_varlen(
         k_scale=k_scale,
         v_scale=v_scale,
         window_size=window_size,
+        ring_pages=ring_pages,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "softcap", "chunk_tokens", "window_size"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "softcap", "chunk_tokens", "window_size", "ring_pages")
+)
 def paged_attention_launcher(
     query: jax.Array,
     key_cache: jax.Array,
@@ -381,6 +395,7 @@ def paged_attention_launcher(
     v_scale: jax.Array | None = None,
     chunk_tokens: int = 1024,
     window_size: int = 0,
+    ring_pages: int = 0,
 ) -> jax.Array:
     """Decode-time paged attention.
 
@@ -395,11 +410,19 @@ def paged_attention_launcher(
         k_scale/v_scale: dequantization scales (default 1.0).
         chunk_tokens: target KV tokens per DMA wave (tuning knob; the wave
             holds ceil(chunk_tokens/page_size) page copies in flight).
+        ring_pages: rolling KV buffer — the block table's first
+            ``ring_pages`` entries form a ring holding position ``p`` at
+            slot ``p % (ring_pages*page_size)``; requires
+            ``window_size > 0`` and a ring covering the window (the
+            serving engine guarantees both). 0 disables.
 
     Returns:
         (batch, num_q_heads, head_size) attention output in the query dtype
         (bf16 if the query is fp8).
     """
+    if ring_pages > 0 and window_size <= 0:
+        msg = "ring_pages (rolling KV) requires window_size > 0"
+        raise ValueError(msg)
     batch, num_q_heads, head_size = query.shape
     _, num_kv_heads, page_size, _ = key_cache.shape
     group = num_q_heads // num_kv_heads
@@ -415,7 +438,7 @@ def paged_attention_launcher(
         return _decode_via_varlen(
             query, key_cache, value_cache, block_table, seq_lens,
             scale=scale, softcap=softcap, k_scale=k_scale, v_scale=v_scale,
-            window_size=window_size,
+            window_size=window_size, ring_pages=ring_pages,
         ).astype(out_dtype)
 
     # Query-group packing: (B, QH, D) -> (B, KH, G_pad, D).
@@ -477,6 +500,7 @@ def paged_attention_launcher(
                 scale=scale,
                 softcap=softcap,
                 window=window_size,
+                ring_pages=ring_pages,
                 num_kv_heads=num_kv_heads,
                 group_pad=group_pad,
             ),
@@ -530,6 +554,7 @@ def paged_attention_launcher(
             scale=scale,
             softcap=softcap,
             window=window_size,
+            ring_pages=ring_pages,
         ),
         out_shape=jax.ShapeDtypeStruct((batch, num_kv_heads, group_pad, head_size), out_dtype),
         grid_spec=grid_spec,

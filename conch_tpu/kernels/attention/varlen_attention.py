@@ -81,6 +81,7 @@ def _varlen_dma_kernel(
     group: int,
     cq_rows: int,
     window: int = 0,
+    ring_pages: int = 0,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -152,7 +153,13 @@ def _varlen_dma_kernel(
     def wave(c, slot):
         copies = []
         for j in range(chunk_pages):
-            page = block_tables_ref[b, jnp.minimum(c * chunk_pages + j, last_page)]
+            idx = jnp.minimum(c * chunk_pages + j, last_page)
+            if ring_pages > 0:
+                # Rolling KV buffer: true position page -> ring slot. The
+                # window skip already bounds the walk to positions whose
+                # ring slots still hold them (cap >= window + chunk slack).
+                idx = jax.lax.rem(idx, ring_pages)
+            page = block_tables_ref[b, idx]
             copies.append(
                 pltpu.make_async_copy(k_hbm.at[page, h], k_buf.at[slot, j], sems.at[slot, 0, j])
             )
@@ -262,6 +269,7 @@ def _varlen_dma_allheads_kernel(
     cq_rows: int,
     num_kv_heads: int,
     window: int = 0,
+    ring_pages: int = 0,
 ):
     """All-kv-heads variant: one page DMA feeds every head.
 
@@ -337,7 +345,11 @@ def _varlen_dma_allheads_kernel(
     def wave(c, slot):
         copies = []
         for j in range(chunk_pages):
-            page = block_tables_ref[b, jnp.minimum(c * chunk_pages + j, last_page)]
+            idx = jnp.minimum(c * chunk_pages + j, last_page)
+            if ring_pages > 0:
+                # Rolling KV buffer: true position page -> ring slot.
+                idx = jax.lax.rem(idx, ring_pages)
+            page = block_tables_ref[b, idx]
             copies.append(
                 pltpu.make_async_copy(k_hbm.at[page], k_buf.at[slot, :, j], sems.at[slot, 0, j])
             )
@@ -454,6 +466,7 @@ def _varlen_attention_kernel(
     cq_rows: int,
     num_pages: int,
     window: int = 0,
+    ring_pages: int = 0,
 ):
     b = pl.program_id(0)
     t = pl.program_id(2)
@@ -475,15 +488,25 @@ def _varlen_attention_kernel(
     chunk_last_q = jnp.minimum((row_start + cq_rows - 1) // group, seq_q - 1)
     chunk_last_kv_pos = seq_k - seq_q + chunk_last_q if causal else seq_k - 1
 
+    if window > 0:
+        first_q = row_start // group
+        win_low_min = seq_k - seq_q + first_q - window + 1
+    if ring_pages > 0:
+        # Rolling KV buffer: the grid addresses the window band directly —
+        # step i covers true-position page i_lo + i (the index map fetches
+        # its ring slot), since true pages can outnumber both the table
+        # width and the ring.
+        i_t = jnp.maximum(win_low_min, 0) // page_size + i
+    else:
+        i_t = i
+
     chunk_active = row_start < seq_q * group
-    page_active = i * page_size < seq_k
-    causal_active = i * page_size <= chunk_last_kv_pos
+    page_active = i_t * page_size < seq_k
+    causal_active = i_t * page_size <= chunk_last_kv_pos
     if window > 0:
         # Pages wholly before every row's window contribute nothing; the
         # index map clamps their fetch away, this skips their compute.
-        first_q = row_start // group
-        win_low_min = seq_k - seq_q + first_q - window + 1
-        window_active = (i + 1) * page_size > win_low_min
+        window_active = (i_t + 1) * page_size > win_low_min
     else:
         window_active = True
 
@@ -501,7 +524,7 @@ def _varlen_attention_kernel(
 
         row_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=0)
         q_idx = (row_start + row_ids) // group
-        k_pos = i * page_size + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        k_pos = i_t * page_size + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
 
         mask = k_pos < seq_k
         q_pos = seq_k - seq_q + q_idx
@@ -536,7 +559,10 @@ def _varlen_attention_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_seqlen_q", "scale", "softcap", "causal", "chunk_tokens", "q_chunk_rows", "window_size"),
+    static_argnames=(
+        "max_seqlen_q", "scale", "softcap", "causal", "chunk_tokens",
+        "q_chunk_rows", "window_size", "ring_pages",
+    ),
 )
 def varlen_attention_launcher(
     query: jax.Array,
@@ -556,6 +582,7 @@ def varlen_attention_launcher(
     chunk_tokens: int = 1024,
     q_chunk_rows: int = 512,
     window_size: int = 0,
+    ring_pages: int = 0,
 ) -> jax.Array:
     """Variable-length attention over a paged KV cache.
 
@@ -568,11 +595,20 @@ def varlen_attention_launcher(
         max_seqlen_q: static upper bound on per-sequence query count.
         seq_lens: (batch,) KV sequence lengths.
         block_table: (batch, max_pages_per_seq) physical page ids.
+        ring_pages: rolling KV buffer — the block table's first
+            ``ring_pages`` entries form a ring holding position ``p`` at
+            slot ``(p % (ring_pages*page_size))``. Requires
+            ``window_size > 0`` with a ring large enough to cover the
+            window plus in-flight writes (the serving engine guarantees
+            both). 0 disables.
 
     Returns:
         (total_num_q, num_q_heads, head_size) output in the query dtype
         (bf16 for fp8 queries).
     """
+    if ring_pages > 0 and window_size <= 0:
+        msg = "ring_pages (rolling KV) requires window_size > 0"
+        raise ValueError(msg)
     total_q, num_q_heads, head_size = query.shape
     _, num_kv_heads, page_size, _ = key_cache.shape
     batch = cu_seqlens_q.shape[0] - 1
@@ -683,6 +719,7 @@ def varlen_attention_launcher(
                 softcap=softcap,
                 causal=causal,
                 window=window_size,
+                ring_pages=ring_pages,
                 group=group,
                 cq_rows=cq_rows,
                 num_kv_heads=num_kv_heads,
@@ -738,6 +775,7 @@ def varlen_attention_launcher(
                 softcap=softcap,
                 causal=causal,
                 window=window_size,
+                ring_pages=ring_pages,
                 group=group,
                 cq_rows=cq_rows,
             ),
@@ -772,15 +810,21 @@ def varlen_attention_launcher(
                 chunk_last_q = jnp.minimum((t * cq_rows + cq_rows - 1) // group, slq[b] - 1)
                 last_kv = jnp.minimum(last_kv, slk[b] - slq[b] + chunk_last_q)
             i_max = jnp.maximum(last_kv, 0) // page_size
-            i_eff = jnp.minimum(i, i_max)
             if window_size > 0:
-                # Low-side clamp: steps before the first window page all map
-                # to that page, so the pipeline fetches it once and skips
-                # the dead prefix.
                 first_q = (t * cq_rows) // group
                 win_low_min = slk[b] - slq[b] + first_q - window_size + 1
                 i_min = jnp.minimum(jnp.maximum(win_low_min, 0) // page_size, i_max)
-                i_eff = jnp.maximum(i_eff, i_min)
+            else:
+                i_min = 0
+            if ring_pages > 0:
+                # Rolling buffer: grid step i addresses true page i_min + i
+                # (mirrors the kernel's i_t); fetch its ring slot.
+                i_eff = jnp.clip(i_min + i, i_min, i_max)
+                return (bt[b, jax.lax.rem(i_eff, ring_pages)], h, 0, 0)
+            # Low-side clamp: steps before the first window page all map
+            # to that page, so the pipeline fetches it once and skips
+            # the dead prefix.
+            i_eff = jnp.clip(i, i_min, i_max)
             return (bt[b, i_eff], h, 0, 0)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -808,6 +852,7 @@ def varlen_attention_launcher(
                 softcap=softcap,
                 causal=causal,
                 window=window_size,
+                ring_pages=ring_pages,
                 group=group,
                 cq_rows=cq_rows,
                 num_pages=max_pages,

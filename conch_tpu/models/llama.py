@@ -65,6 +65,12 @@ class LlamaConfig:
     # last `sliding_window` positions (0 disables). Applied uniformly to
     # every layer (the Mistral/Mixtral convention).
     sliding_window: int = 0
+    # Rolling KV buffer for sliding-window models: each sequence's block
+    # table is a ring of this many pages holding position p at slot
+    # p % (kv_ring_pages*page_size), capping KV memory at the window
+    # regardless of sequence length. Set by the serving engine
+    # (rolling_kv=True); requires sliding_window > 0. 0 disables.
+    kv_ring_pages: int = 0
     # HF-style rope scaling dict; only the "llama3" scheme is supported
     # (Llama-3.1+ checkpoints). None disables. Stored as a tuple of items
     # so the frozen config stays hashable.
@@ -341,6 +347,7 @@ def llama_prefill(
             max_seqlen_q, block_tables, causal=True,
             kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
             window_size=config.sliding_window,
+            ring_pages=config.kv_ring_pages,
         )
 
     layer_step = _layer_step_factory(
@@ -389,6 +396,7 @@ def llama_verify_forward(
             max_seqlen_q, block_tables, causal=True,
             kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
             window_size=config.sliding_window,
+            ring_pages=config.kv_ring_pages,
         )
 
     layer_step = _layer_step_factory(
@@ -432,6 +440,7 @@ def llama_decode_step(
             q, k_cache, v_cache, block_tables, seq_lens,
             kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
             window_size=config.sliding_window,
+            ring_pages=config.kv_ring_pages,
         )
 
     layer_step = _layer_step_factory(

@@ -91,6 +91,7 @@ def paged_attention(
     k_scale: jax.Array | None = None,
     v_scale: jax.Array | None = None,
     window_size: int = 0,
+    ring_pages: int = 0,
 ) -> jax.Array:
     """Decode-only paged attention over a paged KV cache.
 
@@ -135,4 +136,5 @@ def paged_attention(
         k_scale=k_scale,
         v_scale=v_scale,
         window_size=window_size,
+        ring_pages=ring_pages,
     )

@@ -77,6 +77,7 @@ def varlen_attention(
     k_scale: jax.Array | None = None,
     v_scale: jax.Array | None = None,
     window_size: int = 0,
+    ring_pages: int = 0,
     strict: bool = False,
 ) -> jax.Array:
     """Variable-length (prefill + decode) attention over a paged KV cache.
@@ -130,4 +131,5 @@ def varlen_attention(
         k_scale=k_scale,
         v_scale=v_scale,
         window_size=window_size,
+        ring_pages=ring_pages,
     )

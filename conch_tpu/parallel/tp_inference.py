@@ -131,7 +131,10 @@ def make_tp_verify(mesh: Mesh, config: Any, params_example: Any, max_seqlen_q: i
     return _make_tp_varlen_step(mesh, config, params_example, max_seqlen_q, verify_fn)
 
 
-def make_multi_step_scan(decode_with_config, k: int, page_size: int, max_batch_size: int, greedy_fn):
+def make_multi_step_scan(
+    decode_with_config, k: int, page_size: int, max_batch_size: int, greedy_fn,
+    ring_tokens: int = 0,
+):
     """Shared K-iteration greedy decode scan (single-device AND TP bodies).
 
     ``decode_with_config(params, tokens, positions, seq_lens, bt, slots,
@@ -141,7 +144,10 @@ def make_multi_step_scan(decode_with_config, k: int, page_size: int, max_batch_s
       iterations past a finish/page-cap must not walk the block table out
       of bounds (an unbounded page DMA on real hardware);
     - writes past the owned pages mask their slot to -1 (skip);
-    - idle rows (``~active``) run with seq_len 0 / slot -1.
+    - idle rows (``~active``) run with seq_len 0 / slot -1;
+    - ``ring_tokens > 0`` (rolling KV): write slots wrap at the ring
+      (position p -> table page (p % ring_tokens)//page_size); the
+      engine passes an unbounded ``limit`` for fully-grown rings.
     """
     rows = jnp.arange(max_batch_size)
 
@@ -149,7 +155,8 @@ def make_multi_step_scan(decode_with_config, k: int, page_size: int, max_batch_s
         def body(carry, _):
             tokens, positions, kc, vc = carry
             seq_lens = jnp.where(active, jnp.minimum(positions + 1, limit), 0)
-            slots = bt[rows, positions // page_size] * page_size + positions % page_size
+            wpos = positions % ring_tokens if ring_tokens > 0 else positions
+            slots = bt[rows, wpos // page_size] * page_size + wpos % page_size
             slots = jnp.where(active & (positions < limit), slots, -1)
             logits, kc, vc = decode_with_config(
                 params, tokens, positions, seq_lens, bt, slots, kc, vc
@@ -167,7 +174,7 @@ def make_multi_step_scan(decode_with_config, k: int, page_size: int, max_batch_s
 
 def make_tp_multi_decode_step(
     mesh: Mesh, config: Any, params_example: Any, k: int, decode_fn=llama_decode_step,
-    page_size: int = 16, max_batch_size: int = 8,
+    page_size: int = 16, max_batch_size: int = 8, ring_tokens: int = 0,
 ):
     """K greedy decode iterations in one dispatch under tensor parallelism.
 
@@ -201,7 +208,7 @@ def make_tp_multi_decode_step(
         )
 
     local_step = make_multi_step_scan(
-        decode_with_config, k, page_size, max_batch_size, greedy
+        decode_with_config, k, page_size, max_batch_size, greedy, ring_tokens=ring_tokens
     )
 
     shard_mapped = jax.shard_map(

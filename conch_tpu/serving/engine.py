@@ -105,6 +105,17 @@ class EngineConfig:
     # selection uses a distributed argmax over the vocab-column shards
     # (two (batch,)-sized all-gathers) instead of gathering full logits.
     multi_step_decode: int = 1
+    # Rolling KV buffer for sliding-window models (Mistral-style): cap
+    # each sequence's KV at a ring of
+    # ceil((sliding_window + max_prefill_tokens)/page_size) + 1 pages;
+    # position p lives at ring slot p % cap_tokens. KV memory becomes
+    # O(window) regardless of sequence length, and outputs are
+    # bit-identical to the unbounded cache (the window never reads an
+    # overwritten slot — the ring covers the window plus the largest
+    # in-flight write burst). Requires the model's sliding_window > 0;
+    # incompatible with prefix caching (ring pages are rewritten in
+    # place, so they cannot be shared between requests).
+    rolling_kv: bool = False
 
 
 def _make_allocator(num_pages: int):
@@ -152,8 +163,44 @@ class LLMEngine:
         mesh=None,
     ):
         self.params = params
-        self.config = model_config
         self.ecfg = engine_config
+        # Rolling KV: _page_cap bounds each sequence's page list;
+        # _cap_tokens (= _page_cap * page_size) is the ring modulus, or
+        # None when rolling is off.
+        self._page_cap = engine_config.max_pages_per_seq
+        self._cap_tokens: int | None = None
+        if engine_config.rolling_kv:
+            import dataclasses
+
+            window = getattr(model_config, "sliding_window", 0)
+            if window <= 0:
+                msg = "rolling_kv requires a model with sliding_window > 0"
+                raise ValueError(msg)
+            if engine_config.enable_prefix_caching:
+                msg = (
+                    "rolling_kv is incompatible with prefix caching (ring pages "
+                    "are rewritten in place); set enable_prefix_caching=False"
+                )
+                raise ValueError(msg)
+            ps = engine_config.page_size
+            # Ring size: the window plus the largest in-flight write burst
+            # (a prefill/verify chunk writes before attention reads), plus
+            # one page of alignment slop (tests/rolling_kv_test.py).
+            slack = max(
+                engine_config.max_prefill_tokens,
+                engine_config.num_speculative_tokens + 1,
+            )
+            cap_pages = -(-(window + slack) // ps) + 1
+            if cap_pages > min(engine_config.max_pages_per_seq, engine_config.num_pages):
+                msg = (
+                    f"rolling_kv needs max_pages_per_seq (and the pool) >= "
+                    f"{cap_pages} pages (window {window} + write burst {slack})"
+                )
+                raise ValueError(msg)
+            self._page_cap = cap_pages
+            self._cap_tokens = cap_pages * ps
+            model_config = dataclasses.replace(model_config, kv_ring_pages=cap_pages)
+        self.config = model_config
         self.mesh = mesh
         self.allocator = _make_allocator(engine_config.num_pages)
         cache_shape = (
@@ -264,7 +311,8 @@ class LLMEngine:
     def add_request(self, prompt: list[int], sampling: SamplingParams | None = None) -> int:
         ps = self.ecfg.page_size
         cap_pages = min(self.ecfg.max_pages_per_seq, self.ecfg.num_pages)
-        if len(prompt) + 1 > cap_pages * ps:
+        # Rolling KV: any prompt length fits — prefill wraps the ring.
+        if self._cap_tokens is None and len(prompt) + 1 > cap_pages * ps:
             msg = (
                 f"prompt of {len(prompt)} tokens can never fit: engine caps a "
                 f"sequence at {cap_pages} pages x {ps} slots"
@@ -409,7 +457,7 @@ class LLMEngine:
         ps = self.ecfg.page_size
         while self.waiting and len(self.running) < self.ecfg.max_batch_size:
             req = self.waiting[0]
-            pages_needed = min(-(-(req.total_len + 1) // ps), self.ecfg.max_pages_per_seq)
+            pages_needed = min(-(-(req.total_len + 1) // ps), self._page_cap)
             if pages_needed > self.ecfg.num_pages:
                 # Grew past the whole pool (preempted, can never recompute):
                 # finish truncated instead of waiting forever.
@@ -471,7 +519,7 @@ class LLMEngine:
                 continue
             needed = -(-(r.total_len + (extra or {}).get(r.request_id, 0)) // ps)
             ok = True
-            while len(r.pages) < min(needed, self.ecfg.max_pages_per_seq):
+            while len(r.pages) < min(needed, self._page_cap):
                 self._reclaim(1)  # evict cached prefix pages before preempting
                 if self.allocator.can_allocate(1):
                     r.pages.append(self.allocator.allocate())
@@ -492,7 +540,7 @@ class LLMEngine:
         # past its owned pages are masked / overshoot tokens discarded)
         # and finishes at_cap — without the clamp it would be filtered
         # forever while staying RUNNING (livelock).
-        cap_tokens = self.ecfg.max_pages_per_seq * ps
+        cap_tokens = self._page_cap * ps
         return [
             r for r in ready
             if r.state == RequestState.RUNNING
@@ -501,6 +549,8 @@ class LLMEngine:
         ]
 
     def _slot(self, req: Request, pos: int) -> int:
+        if self._cap_tokens is not None:
+            pos = pos % self._cap_tokens  # rolling KV: ring slot
         return req.pages[pos // self.ecfg.page_size] * self.ecfg.page_size + pos % self.ecfg.page_size
 
     def _block_table_rows(self, reqs: list[Request]) -> np.ndarray:
@@ -631,6 +681,7 @@ class LLMEngine:
                 decode_fn=self._model_decode_fn,
                 page_size=self.ecfg.page_size,
                 max_batch_size=self.ecfg.max_batch_size,
+                ring_tokens=self._cap_tokens or 0,
             )
             self._multi_step_cache[k] = fn
             return fn
@@ -648,7 +699,8 @@ class LLMEngine:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
         multi = make_multi_step_scan(
-            decode_with_config, k, self.ecfg.page_size, self.ecfg.max_batch_size, greedy
+            decode_with_config, k, self.ecfg.page_size, self.ecfg.max_batch_size, greedy,
+            ring_tokens=self._cap_tokens or 0,
         )
         fn = jax.jit(multi, donate_argnums=(6, 7))
         self._multi_step_cache[k] = fn
@@ -673,7 +725,10 @@ class LLMEngine:
             tokens[i] = r.output_tokens[-1]
             positions[i] = r.total_len - 1
             active[i] = True
-            limit[i] = len(r.pages) * ps
+            if self._cap_tokens is not None and len(r.pages) >= self._page_cap:
+                limit[i] = 2**30  # fully-grown ring: writes wrap, never OOB
+            else:
+                limit[i] = len(r.pages) * ps
         bt[: len(reqs)] = self._block_table_rows(reqs)
 
         toks, self.k_caches, self.v_caches = self._multi_step_fn(k)(
@@ -698,8 +753,12 @@ class LLMEngine:
         if len(hist) <= n:
             return []
         pattern = hist[-n:]
-        # Cap the draft so the sequence cannot exceed its page cap.
-        room = self.ecfg.max_pages_per_seq * self.ecfg.page_size - req.total_len - 1
+        # Cap the draft so the sequence cannot exceed its page cap
+        # (rolling KV: length is not page-bound, the ring wraps).
+        if self._cap_tokens is None:
+            room = self.ecfg.max_pages_per_seq * self.ecfg.page_size - req.total_len - 1
+        else:
+            room = limit
         limit = min(limit, req.sampling.max_tokens - len(req.output_tokens), max(room, 0))
         for start in range(len(hist) - n - 1, -1, -1):
             if hist[start : start + n] == pattern:
@@ -847,6 +906,10 @@ class LLMEngine:
             hit_stop = False  # suppressed at sampling; belt-and-braces here
         out_of_len = len(req.output_tokens) >= req.sampling.max_tokens
         # Hard cap only: pages grow on demand up to max_pages_per_seq.
-        at_cap = req.total_len >= self.ecfg.max_pages_per_seq * self.ecfg.page_size
+        # Rolling KV: length is never page-bound (the ring wraps).
+        at_cap = (
+            self._cap_tokens is None
+            and req.total_len >= self.ecfg.max_pages_per_seq * self.ecfg.page_size
+        )
         if hit_stop or out_of_len or at_cap:
             req.state = RequestState.FINISHED

@@ -59,6 +59,11 @@ class Request:
     # output_tokens (tokens survive preemption; recompute only appends).
     output_logprobs: list[float] = field(default_factory=list)
     num_preemptions: int = 0
+    # Parallel sampling (sampling.n > 1): siblings carry the id of the
+    # request that prefilled the shared prompt; the parent remembers it
+    # already spawned its group (preemption-recompute must not respawn).
+    parent_id: int | None = None
+    siblings_spawned: bool = False
 
     @property
     def total_len(self) -> int:
@@ -132,6 +137,16 @@ def _bucket(n: int, floor: int = 16) -> int:
     while b < n:
         b *= 2
     return b
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _copy_page_jit(k_caches, v_caches, src, dst):
+    """Copy page ``src`` -> ``dst`` across all layers of the stacked
+    (L, P, KH, ps, D) caches (parallel-sampling partial-page fork)."""
+    return (
+        k_caches.at[:, dst].set(k_caches[:, src]),
+        v_caches.at[:, dst].set(v_caches[:, src]),
+    )
 
 
 class LLMEngine:
@@ -234,6 +249,8 @@ class LLMEngine:
         self._prefix_map: dict[tuple[int, ...], int] = {}
         self._page_key: dict[int, tuple[int, ...]] = {}
         self._cached_lru: dict[int, None] = {}
+        # Parallel sampling groups: parent request id -> sibling ids.
+        self._group: dict[int, list[int]] = {}
         self.prefix_cache_hits = 0  # tokens served from cache (stats)
         self.spec_tokens_drafted = 0
         self.spec_tokens_accepted = 0
@@ -318,9 +335,13 @@ class LLMEngine:
                 f"sequence at {cap_pages} pages x {ps} slots"
             )
             raise ValueError(msg)
+        sampling = sampling or SamplingParams()
+        if sampling.n < 1:
+            msg = f"sampling.n must be >= 1, got {sampling.n}"
+            raise ValueError(msg)
         rid = self._next_id
         self._next_id += 1
-        self.waiting.append(Request(rid, list(prompt), sampling or SamplingParams()))
+        self.waiting.append(Request(rid, list(prompt), sampling))
         return rid
 
     def stats(self) -> dict:
@@ -340,9 +361,12 @@ class LLMEngine:
         """Cancel a live request and release its pages immediately.
 
         Prefix-cached pages survive (the cache owns its own reference,
-        exactly as on normal finish). Returns False if the id is unknown
-        or already finished.
+        exactly as on normal finish). Aborting a parallel-sampling parent
+        aborts its whole group. Returns False if the id is unknown or
+        already finished.
         """
+        for sib_id in self._group.get(request_id, []):
+            self.abort_request(sib_id)
         for i, r in enumerate(self.waiting):
             if r.request_id == request_id:
                 self.waiting.pop(i)
@@ -358,13 +382,25 @@ class LLMEngine:
                 return True
         return False
 
-    def generate(self, prompts: list[list[int]], sampling: SamplingParams | None = None) -> list[list[int]]:
-        """Offline batch generation: returns output token lists per prompt."""
+    def generate(self, prompts: list[list[int]], sampling: SamplingParams | None = None) -> list:
+        """Offline batch generation.
+
+        Returns one output token list per prompt, or — with parallel
+        sampling (``sampling.n > 1``) — a list of ``n`` output lists per
+        prompt (the parent's completion first).
+        """
         ids = [self.add_request(p, sampling) for p in prompts]
         results: dict[int, list[int]] = {}
         while self.waiting or self.running:
             for req in self.step():
                 results[req.request_id] = req.output_tokens
+        if sampling is not None and sampling.n > 1:
+            # .get: a parent truncated before prefill never spawned its
+            # group; externally-aborted siblings have no recorded output.
+            return [
+                [results[i], *(results.get(s, []) for s in self._group.get(i, []))]
+                for i in ids
+            ]
         return [results[i] for i in ids]
 
     def step(self) -> list[Request]:
@@ -629,9 +665,70 @@ class LLMEngine:
             for i, tok in zip(done_rows, sampled):
                 r = batch[i][0]
                 self._register_prefix_pages(r)
+                if r.sampling.n > 1 and r.parent_id is None and not r.siblings_spawned:
+                    self._spawn_siblings(r, logits[i])
                 r.output_tokens.append(int(tok))
                 r.state = RequestState.RUNNING
                 self._maybe_finish(r)
+
+    def _copy_page(self, src: int, dst: int) -> None:
+        """Device-copy one KV page across all layers (stacked caches)."""
+        self.k_caches, self.v_caches = _copy_page_jit(self.k_caches, self.v_caches, src, dst)
+
+    def _spawn_siblings(self, parent: Request, logits_row: jax.Array) -> None:
+        """Parallel sampling (``sampling.n > 1``): fork n-1 siblings off
+        the freshly prefilled parent.
+
+        Full prompt pages are shared copy-on-read (refcount fork — decode
+        never writes a full page); the partial tail page is device-copied
+        per sibling, since each sibling writes its own continuation there.
+        Each running sibling draws its own first token from the parent's
+        last-token logits. Siblings that cannot fork (batch full, pool
+        dry, or rolling KV — ring pages are rewritten in place, so they
+        cannot be shared) fall back to the waiting queue and recompute
+        the prompt as an ordinary prefill (an independent first-token
+        draw; still an iid sample).
+        """
+        parent.siblings_spawned = True
+        ps = self.ecfg.page_size
+        compute_len = parent.total_len  # == prompt length at spawn time
+        full = compute_len // ps
+        partial = compute_len % ps
+        group = self._group.setdefault(parent.request_id, [])
+        ready: list[Request] = []
+        for _ in range(parent.sampling.n - 1):
+            rid = self._next_id
+            self._next_id += 1
+            sib = Request(
+                rid, list(parent.prompt), parent.sampling, parent_id=parent.request_id
+            )
+            group.append(rid)
+            can_fork = (
+                len(self.running) < self.ecfg.max_batch_size and self._cap_tokens is None
+            )
+            if can_fork:
+                self._reclaim(1 if partial else 0)
+                can_fork = self.allocator.can_allocate(1 if partial else 0)
+            if can_fork:
+                for page in parent.pages[:full]:
+                    self.allocator.fork(page)
+                sib.pages = list(parent.pages[:full])
+                if partial:
+                    fresh = self.allocator.allocate()
+                    sib.pages.append(fresh)
+                    self._copy_page(parent.pages[full], fresh)
+                sib.num_computed = compute_len
+                sib.state = RequestState.RUNNING
+                self.running.append(sib)
+                ready.append(sib)
+            else:
+                self.waiting.append(sib)
+        if ready:
+            tiled = jnp.broadcast_to(logits_row[None], (len(ready), logits_row.shape[-1]))
+            toks = self._sample(tiled, ready, rows=list(range(len(ready))))
+            for sib, tok in zip(ready, toks):
+                sib.output_tokens.append(int(tok))
+                self._maybe_finish(sib)
 
     def _run_decode(self, reqs: list[Request]) -> None:
         if not reqs:

@@ -18,6 +18,11 @@ class SamplingParams:
     temperature: float = 0.0  # 0 => greedy
     top_k: int = 0  # 0 => disabled
     top_p: float = 1.0
+    # Parallel sampling: generate n independent completions per prompt.
+    # The engine prefills the prompt once, then forks n sequences that
+    # share the prompt's KV pages copy-on-read (only the partial tail
+    # page is copied per fork). generate() returns a list of n outputs.
+    n: int = 1
     max_tokens: int = 64
     min_tokens: int = 0  # eos/stop tokens are suppressed until this many
     stop_token_ids: tuple[int, ...] = ()  # finish on any of these (like eos)

@@ -81,3 +81,20 @@ def reshape_and_cache_launcher(
     key_cache = key_cache.at[page_idx, :, entry_idx].set(key, mode="drop")
     value_cache = value_cache.at[page_idx, :, entry_idx].set(value, mode="drop")
     return key_cache, value_cache
+
+
+@functools.partial(jax.jit, donate_argnums=(1,))
+def reshape_and_cache_mla_launcher(
+    kv: jax.Array,
+    kv_cache: jax.Array,
+    slot_mapping: jax.Array,
+) -> jax.Array:
+    """Insert packed MLA latent rows ``[c_kv | k_pe | pad]`` into the
+    unified (num_pages, page_size, packed_dim) cache (vLLM
+    ``concat_and_cache_mla`` equivalent; same slot/drop semantics as
+    ``reshape_and_cache_launcher``)."""
+    num_pages, page_size, _ = kv_cache.shape
+    slots = slot_mapping.astype(jnp.int32)
+    page_idx = jnp.where(slots >= 0, slots // page_size, num_pages)  # OOB -> dropped
+    entry_idx = jnp.where(slots >= 0, slots % page_size, 0)
+    return kv_cache.at[page_idx, entry_idx].set(kv.astype(kv_cache.dtype), mode="drop")

@@ -1,0 +1,448 @@
+# Copyright 2026 Conch-TPU authors.
+# SPDX-License-Identifier: Apache-2.0
+
+"""DeepSeek-V2 family: Multi-head Latent Attention + DeepSeek MoE.
+
+Serving-path model built on the MLA kernel (`ops.attention.mla_attention`)
+in the *absorbed* form: the KV cache stores one packed row
+``[c_kv | k_pe | pad]`` per token (kv_lora_rank + qk_rope_head_dim
+values — 576 for the real models, vs 2*H*192 for naive MHA, a 32x
+compression at 96 heads), and the kv_b up-projections are folded into
+the query (``q_nope @ W_uk``) and output (``out_lat @ W_uv``) sides.
+
+Faithful to the HF ``DeepseekV2`` eager semantics (the behavior oracle;
+`transformers/models/deepseek_v2/modeling_deepseek_v2.py`):
+
+- interleaved-complex RoPE on the rope slices (NOT the neox half-split
+  used by Llama): pairs (x[2i], x[2i+1]) rotate together;
+- q path either full-rank (``q_proj``, V2-Lite) or low-rank
+  (``q_a_proj`` -> RMSNorm -> ``q_b_proj``, V2);
+- softmax scale 1/sqrt(qk_nope + qk_rope);
+- MoE gate: f32 softmax over ALL experts, then top-k, scaled by
+  ``routed_scaling_factor`` (greedy topk method); layer is MoE iff
+  ``layer_idx >= first_k_dense_replace``; shared experts always run and
+  add to the routed output.
+
+Layers are scanned in two homogeneous segments (dense prefix, MoE rest).
+No reference-repo counterpart: stackav-oss/conch stops at GQA models.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conch_tpu.models.linear import QuantizedLinear, quantize_linear
+from conch_tpu.models.moe import make_dispatch
+from conch_tpu.ops.attention import mla_attention
+from conch_tpu.ops.cache import reshape_and_cache_mla
+from conch_tpu.ops.normalization import rms_norm
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@dataclass(frozen=True)
+class DeepseekV2Config:
+    """DeepSeek-V2 hyperparameters (defaults: a tiny debug model)."""
+
+    vocab_size: int = 512
+    hidden_size: int = 128
+    num_layers: int = 2
+    num_heads: int = 4
+    q_lora_rank: int | None = None  # None => full-rank q_proj (V2-Lite)
+    kv_lora_rank: int = 64
+    qk_nope_head_dim: int = 32
+    qk_rope_head_dim: int = 16
+    v_head_dim: int = 32
+    # MoE (n_routed_experts = 0 => dense MLP in every layer)
+    n_routed_experts: int = 0
+    n_shared_experts: int = 0
+    num_experts_per_tok: int = 2
+    moe_intermediate_size: int = 64
+    intermediate_size: int = 256  # dense layers
+    first_k_dense_replace: int = 1
+    routed_scaling_factor: float = 1.0
+    norm_topk_prob: bool = False
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-6
+    max_position: int = 4096
+    dtype: Any = jnp.bfloat16
+    moe_capacity_factor: float = 2.0  # serving-path expert capacity factor
+
+    # -- engine-facing geometry ------------------------------------------
+    @property
+    def kv_cache_layout(self) -> str:
+        return "mla"
+
+    @property
+    def kv_packed_dim(self) -> int:
+        """Cache row width: [c_kv | k_pe] padded to a lane multiple."""
+        return _round_up(self.kv_lora_rank + self.qk_rope_head_dim, 128)
+
+    @property
+    def qk_head_dim(self) -> int:
+        return self.qk_nope_head_dim + self.qk_rope_head_dim
+
+    @staticmethod
+    def v2_lite() -> "DeepseekV2Config":
+        return DeepseekV2Config(
+            vocab_size=102400, hidden_size=2048, num_layers=27, num_heads=16,
+            q_lora_rank=None, kv_lora_rank=512, qk_nope_head_dim=128,
+            qk_rope_head_dim=64, v_head_dim=128,
+            n_routed_experts=64, n_shared_experts=2, num_experts_per_tok=6,
+            moe_intermediate_size=1408, intermediate_size=10944,
+            first_k_dense_replace=1, routed_scaling_factor=1.0,
+            rope_theta=10000.0, max_position=163840,
+        )
+
+    @staticmethod
+    def v2() -> "DeepseekV2Config":
+        return DeepseekV2Config(
+            vocab_size=102400, hidden_size=5120, num_layers=60, num_heads=128,
+            q_lora_rank=1536, kv_lora_rank=512, qk_nope_head_dim=128,
+            qk_rope_head_dim=64, v_head_dim=128,
+            n_routed_experts=160, n_shared_experts=2, num_experts_per_tok=6,
+            moe_intermediate_size=1536, intermediate_size=12288,
+            first_k_dense_replace=1, routed_scaling_factor=16.0,
+            norm_topk_prob=False, rope_theta=10000.0, max_position=163840,
+        )
+
+    @staticmethod
+    def tiny(**overrides) -> "DeepseekV2Config":
+        return DeepseekV2Config(**overrides)
+
+
+# -- RoPE (interleaved-complex convention) --------------------------------
+
+
+def deepseek_rope_cache(config: DeepseekV2Config) -> jax.Array:
+    """(max_position, rope_dim) [cos | sin] cache, f32."""
+    d = config.qk_rope_head_dim
+    inv_freq = 1.0 / (config.rope_theta ** (np.arange(0, d, 2, dtype=np.float64) / d))
+    angles = np.arange(config.max_position, dtype=np.float64)[:, None] * inv_freq[None, :]
+    return jnp.asarray(
+        np.concatenate([np.cos(angles), np.sin(angles)], axis=-1), jnp.float32
+    )
+
+
+def _apply_rope_interleaved(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate interleaved pairs: (x[2i], x[2i+1]) by angle_i (HF
+    ``apply_rotary_emb`` complex convention). cos/sin broadcast over x's
+    leading dims; last dim of x is rope_dim, cos/sin rope_dim/2."""
+    x0 = x[..., 0::2]
+    x1 = x[..., 1::2]
+    o0 = x0 * cos - x1 * sin
+    o1 = x0 * sin + x1 * cos
+    return jnp.stack([o0, o1], axis=-1).reshape(x.shape)
+
+
+# -- MoE gate --------------------------------------------------------------
+
+
+def deepseek_route(
+    hidden: jax.Array,  # (T, H)
+    router_w: jax.Array,  # (H, E)
+    top_k: int,
+    routed_scaling_factor: float,
+    norm_topk_prob: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """HF DeepseekV2MoEGate (greedy top-k): f32 softmax over all experts,
+    top-k of the *probabilities*, scaled — not Mixtral's renormalized
+    top-k softmax."""
+    logits = hidden.astype(jnp.float32) @ router_w.astype(jnp.float32)
+    scores = jax.nn.softmax(logits, axis=-1)
+    vals, idx = jax.lax.top_k(scores, top_k)
+    if norm_topk_prob:
+        vals = vals / (jnp.sum(vals, axis=-1, keepdims=True) + 1e-20)
+    return vals * routed_scaling_factor, idx
+
+
+def _moe_mlp(layer: dict, x: jax.Array, config: DeepseekV2Config) -> jax.Array:
+    """Routed experts (dense-einsum dispatch, GShard capacity) + shared
+    experts. Routed combine weights already carry the scaling factor."""
+    t = x.shape[0]
+    cap = max(
+        1,
+        min(
+            t,
+            math.ceil(
+                t * config.num_experts_per_tok / config.n_routed_experts
+                * config.moe_capacity_factor
+            ),
+        ),
+    )
+    weights, experts = deepseek_route(
+        x, layer["router_w"], config.num_experts_per_tok,
+        config.routed_scaling_factor, config.norm_topk_prob,
+    )
+    dispatch, combine = make_dispatch(weights, experts, config.n_routed_experts, cap)
+    xe = jnp.einsum("tec,th->ech", dispatch.astype(x.dtype), x)
+    gate = jnp.einsum("ech,ehf->ecf", xe, layer["e_gate"])
+    up = jnp.einsum("ech,ehf->ecf", xe, layer["e_up"])
+    act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(x.dtype)
+    y = jnp.einsum("ecf,efh->ech", act, layer["e_down"])
+    out = jnp.einsum("tec,ech->th", combine.astype(x.dtype), y)
+    if config.n_shared_experts > 0:
+        sg = layer["shared_gate"].apply(x)
+        su = layer["shared_up"].apply(x)
+        shared = layer["shared_down"].apply(
+            (jax.nn.silu(sg.astype(jnp.float32)) * su.astype(jnp.float32)).astype(x.dtype)
+        )
+        out = out + shared
+    return out
+
+
+def _dense_mlp(layer: dict, x: jax.Array) -> jax.Array:
+    gate = layer["w_gate"].apply(x)
+    up = layer["w_up"].apply(x)
+    return layer["w_down"].apply(
+        (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(x.dtype)
+    )
+
+
+# -- params ----------------------------------------------------------------
+
+
+def init_deepseek_params(seed: int, config: DeepseekV2Config) -> dict:
+    """Random-init DeepSeek-V2 params in the absorbed layout.
+
+    Layer stacks: ``layers_dense`` (first_k_dense_replace layers) and
+    ``layers_moe`` (the rest), each stacked for ``lax.scan``.
+    """
+    rng = np.random.default_rng(seed)
+    h = config.hidden_size
+    nh, nope, rope, v = (
+        config.num_heads, config.qk_nope_head_dim, config.qk_rope_head_dim, config.v_head_dim,
+    )
+    lora = config.kv_lora_rank
+    std = 0.02
+
+    def proj(k_dim, n_dim):
+        return quantize_linear(rng.normal(size=(k_dim, n_dim)).astype(np.float32) * std, "bf16")
+
+    def arr(*shape):
+        return jnp.asarray(rng.normal(size=shape) * std, config.dtype)
+
+    def make_layer(moe: bool):
+        layer = {
+            "w_kv_a": proj(h, lora + rope),
+            "kv_a_norm": jnp.ones((lora,), config.dtype),
+            "w_uk": arr(nh, nope, lora),
+            "w_uv": arr(nh, lora, v),
+            "wo": proj(nh * v, h),
+            "input_norm": jnp.ones((h,), config.dtype),
+            "post_attn_norm": jnp.ones((h,), config.dtype),
+        }
+        if config.q_lora_rank:
+            layer["wq_a"] = proj(h, config.q_lora_rank)
+            layer["q_a_norm"] = jnp.ones((config.q_lora_rank,), config.dtype)
+            layer["wq_b"] = proj(config.q_lora_rank, nh * (nope + rope))
+        else:
+            layer["wq"] = proj(h, nh * (nope + rope))
+        if moe:
+            layer["router_w"] = arr(h, config.n_routed_experts)
+            f = config.moe_intermediate_size
+            layer["e_gate"] = arr(config.n_routed_experts, h, f)
+            layer["e_up"] = arr(config.n_routed_experts, h, f)
+            layer["e_down"] = arr(config.n_routed_experts, f, h)
+            if config.n_shared_experts > 0:
+                sf = f * config.n_shared_experts
+                layer["shared_gate"] = proj(h, sf)
+                layer["shared_up"] = proj(h, sf)
+                layer["shared_down"] = proj(sf, h)
+        else:
+            layer["w_gate"] = proj(h, config.intermediate_size)
+            layer["w_up"] = proj(h, config.intermediate_size)
+            layer["w_down"] = proj(config.intermediate_size, h)
+        return layer
+
+    def stack(n, moe):
+        layers = [make_layer(moe) for _ in range(n)]
+        if not layers:
+            return None
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+    n_dense = config.num_layers if config.n_routed_experts == 0 else min(
+        config.first_k_dense_replace, config.num_layers
+    )
+    n_moe = config.num_layers - n_dense
+    return {
+        "embedding": jnp.asarray(rng.normal(size=(config.vocab_size, h)) * std, config.dtype),
+        "layers_dense": stack(n_dense, moe=False),
+        "layers_moe": stack(n_moe, moe=True),
+        "final_norm": jnp.ones((h,), config.dtype),
+        "lm_head": proj(h, config.vocab_size),
+        "rope_cache": deepseek_rope_cache(config),
+    }
+
+
+# -- forward ---------------------------------------------------------------
+
+
+def _mla_layer_step(
+    config: DeepseekV2Config,
+    positions: jax.Array,  # (T,)
+    slot_mapping: jax.Array,  # (T,)
+    cu_seqlens_q: jax.Array,
+    max_seqlen_q: int,
+    seq_lens: jax.Array,
+    block_tables: jax.Array,
+    rope_cache: jax.Array,
+    mlp_fn,
+):
+    """One scanned decoder layer (absorbed MLA attention + residual MLP)."""
+    nh = config.num_heads
+    nope, rope_d = config.qk_nope_head_dim, config.qk_rope_head_dim
+    lora, v_dim = config.kv_lora_rank, config.v_head_dim
+    packed = config.kv_packed_dim
+    scale = 1.0 / math.sqrt(config.qk_head_dim)
+
+    cs = jnp.take(rope_cache, positions, axis=0)  # (T, rope_d) [cos|sin]
+    cos, sin = cs[:, : rope_d // 2], cs[:, rope_d // 2 :]
+
+    def layer_step(hidden, scanned):
+        layer, kv_cache = scanned
+        t = hidden.shape[0]
+        x = rms_norm(hidden, layer["input_norm"], config.rms_norm_eps)
+
+        if config.q_lora_rank:
+            qa = rms_norm(layer["wq_a"].apply(x), layer["q_a_norm"], config.rms_norm_eps)
+            q = layer["wq_b"].apply(qa)
+        else:
+            q = layer["wq"].apply(x)
+        q = q.reshape(t, nh, nope + rope_d)
+        q_nope, q_pe = q[..., :nope], q[..., nope:]
+        q_pe = _apply_rope_interleaved(
+            q_pe.astype(jnp.float32), cos[:, None, :], sin[:, None, :]
+        ).astype(q.dtype)
+
+        kv_a = layer["w_kv_a"].apply(x)  # (T, lora + rope)
+        c_kv = rms_norm(kv_a[:, :lora], layer["kv_a_norm"], config.rms_norm_eps)
+        k_pe = _apply_rope_interleaved(
+            kv_a[:, lora:].astype(jnp.float32), cos, sin
+        ).astype(kv_a.dtype)
+
+        # Absorbed query: q_lat[h] = q_nope[h] @ W_uk[h]  -> latent space.
+        q_lat = jnp.einsum("thn,hnl->thl", q_nope.astype(jnp.float32),
+                           layer["w_uk"].astype(jnp.float32)).astype(q.dtype)
+        q_cat = jnp.concatenate(
+            [q_lat, q_pe, jnp.zeros((t, nh, packed - lora - rope_d), q.dtype)], axis=-1
+        )
+
+        kv_row = jnp.concatenate(
+            [c_kv, k_pe, jnp.zeros((t, packed - lora - rope_d), c_kv.dtype)], axis=-1
+        )
+        kv_cache = reshape_and_cache_mla(kv_row, kv_cache, slot_mapping)
+
+        out_lat = mla_attention(
+            q_cat, kv_cache, cu_seqlens_q, max_seqlen_q, seq_lens, block_tables,
+            scale=scale, latent=lora,
+        )
+        attn = jnp.einsum("thl,hlv->thv", out_lat.astype(jnp.float32),
+                          layer["w_uv"].astype(jnp.float32)).astype(hidden.dtype)
+        hidden = hidden + layer["wo"].apply(attn.reshape(t, nh * v_dim))
+
+        mlp_in = rms_norm(hidden, layer["post_attn_norm"], config.rms_norm_eps)
+        hidden = hidden + mlp_fn(layer, mlp_in)
+        return hidden, kv_cache
+
+    return layer_step
+
+
+def _deepseek_forward(
+    params, config, token_ids, positions, cu_seqlens_q, max_seqlen_q, seq_lens,
+    block_tables, slot_mapping, kv_caches,
+):
+    """Shared trunk: returns (per-token hidden, updated caches)."""
+    hidden = jnp.take(params["embedding"], token_ids, axis=0)
+
+    n_dense = 0
+    if params["layers_dense"] is not None:
+        n_dense = jax.tree.leaves(params["layers_dense"])[0].shape[0]
+
+    def step(mlp_fn):
+        return _mla_layer_step(
+            config, positions, slot_mapping, cu_seqlens_q, max_seqlen_q,
+            seq_lens, block_tables, params["rope_cache"], mlp_fn,
+        )
+
+    new_caches = []
+    if params["layers_dense"] is not None:
+        hidden, dense_caches = jax.lax.scan(
+            step(lambda layer, x: _dense_mlp(layer, x)),
+            hidden, (params["layers_dense"], kv_caches[:n_dense]),
+        )
+        new_caches.append(dense_caches)
+    if params["layers_moe"] is not None:
+        hidden, moe_caches = jax.lax.scan(
+            step(lambda layer, x: _moe_mlp(layer, x, config)),
+            hidden, (params["layers_moe"], kv_caches[n_dense:]),
+        )
+        new_caches.append(moe_caches)
+    return hidden, jnp.concatenate(new_caches, axis=0)
+
+
+def deepseek_prefill(
+    params, config: DeepseekV2Config, token_ids, positions, cu_seqlens_q,
+    max_seqlen_q, seq_lens, block_tables, slot_mapping, k_caches, v_caches,
+    tp_axis=None,
+):
+    """Prefill (chunked ok). ``k_caches`` is the stacked (L, P, ps, packed)
+    MLA latent cache; ``v_caches`` is an unused placeholder (the engine's
+    two-cache signature) and is returned untouched."""
+    hidden, k_caches = _deepseek_forward(
+        params, config, token_ids, positions, cu_seqlens_q, max_seqlen_q,
+        seq_lens, block_tables, slot_mapping, k_caches,
+    )
+    last_rows = cu_seqlens_q[1:] - 1
+    hidden_last = jnp.take(hidden, last_rows, axis=0)
+    hidden_last = rms_norm(hidden_last, params["final_norm"], config.rms_norm_eps)
+    logits = params["lm_head"].apply(hidden_last)
+    return logits.astype(jnp.float32), k_caches, v_caches
+
+
+def deepseek_verify_forward(
+    params, config: DeepseekV2Config, token_ids, positions, cu_seqlens_q,
+    max_seqlen_q, seq_lens, block_tables, slot_mapping, k_caches, v_caches,
+    tp_axis=None,
+):
+    """Speculative verification: logits for EVERY query token."""
+    hidden, k_caches = _deepseek_forward(
+        params, config, token_ids, positions, cu_seqlens_q, max_seqlen_q,
+        seq_lens, block_tables, slot_mapping, k_caches,
+    )
+    hidden = rms_norm(hidden, params["final_norm"], config.rms_norm_eps)
+    logits = params["lm_head"].apply(hidden)
+    return logits.astype(jnp.float32), k_caches, v_caches
+
+
+def deepseek_decode_step(
+    params, config: DeepseekV2Config, token_ids, positions, seq_lens,
+    block_tables, slot_mapping, k_caches, v_caches, tp_axis=None,
+):
+    """One decode step: decode is varlen MLA with one query per sequence."""
+    batch = token_ids.shape[0]
+    cu = jnp.arange(batch + 1, dtype=jnp.int32)
+    hidden, k_caches = _deepseek_forward(
+        params, config, token_ids, positions, cu, 1, seq_lens, block_tables,
+        slot_mapping, k_caches,
+    )
+    hidden = rms_norm(hidden, params["final_norm"], config.rms_norm_eps)
+    logits = params["lm_head"].apply(hidden)
+    return logits.astype(jnp.float32), k_caches, v_caches
+
+
+def init_deepseek_kv_cache(
+    config: DeepseekV2Config, num_pages: int, page_size: int, dtype=None
+) -> jax.Array:
+    return jnp.zeros(
+        (config.num_layers, num_pages, page_size, config.kv_packed_dim),
+        dtype or config.dtype,
+    )

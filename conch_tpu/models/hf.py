@@ -276,3 +276,82 @@ def phi3_params_from_hf(
         else:
             split[key] = value
     return llama_params_from_hf(split, config, quant_mode=quant_mode, group_size=group_size)
+
+
+def deepseek_params_from_hf(state: Mapping[str, Any], config) -> dict:
+    """Convert an HF ``DeepseekV2ForCausalLM`` state dict to conch_tpu
+    params in the ABSORBED layout: ``kv_b_proj`` is split into per-head
+    W_uk (folded into the query) and W_uv (folded into the output) so the
+    runtime never materializes per-head K/V (models/deepseek.py).
+
+    ``config`` is a ``models.deepseek.DeepseekV2Config``.
+    """
+    from conch_tpu.models.deepseek import deepseek_rope_cache
+
+    nh, nope, v = config.num_heads, config.qk_nope_head_dim, config.v_head_dim
+    lora = config.kv_lora_rank
+
+    def proj(name: str):
+        return quantize_linear(_np(state[name]).T.astype(np.float32), "bf16")
+
+    def norm(name: str):
+        return jnp.asarray(_np(state[name]), config.dtype)
+
+    dense_layers, moe_layers = [], []
+    n_dense = config.num_layers if config.n_routed_experts == 0 else min(
+        config.first_k_dense_replace, config.num_layers
+    )
+    for i in range(config.num_layers):
+        p = f"model.layers.{i}."
+        kv_b = _np(state[p + "self_attn.kv_b_proj.weight"]).astype(np.float32)
+        kv_b = kv_b.T.reshape(lora, nh, nope + v)  # (out,in) -> (lora, H, nope+v)
+        layer = {
+            "w_kv_a": proj(p + "self_attn.kv_a_proj_with_mqa.weight"),
+            "kv_a_norm": norm(p + "self_attn.kv_a_layernorm.weight"),
+            "w_uk": jnp.asarray(kv_b[:, :, :nope].transpose(1, 2, 0), config.dtype),
+            "w_uv": jnp.asarray(kv_b[:, :, nope:].transpose(1, 0, 2), config.dtype),
+            "wo": proj(p + "self_attn.o_proj.weight"),
+            "input_norm": norm(p + "input_layernorm.weight"),
+            "post_attn_norm": norm(p + "post_attention_layernorm.weight"),
+        }
+        if config.q_lora_rank:
+            layer["wq_a"] = proj(p + "self_attn.q_a_proj.weight")
+            layer["q_a_norm"] = norm(p + "self_attn.q_a_layernorm.weight")
+            layer["wq_b"] = proj(p + "self_attn.q_b_proj.weight")
+        else:
+            layer["wq"] = proj(p + "self_attn.q_proj.weight")
+        if i < n_dense:
+            layer["w_gate"] = proj(p + "mlp.gate_proj.weight")
+            layer["w_up"] = proj(p + "mlp.up_proj.weight")
+            layer["w_down"] = proj(p + "mlp.down_proj.weight")
+            dense_layers.append(layer)
+        else:
+            # HF gate weight is (E, hidden); router_w is (hidden, E).
+            layer["router_w"] = jnp.asarray(
+                _np(state[p + "mlp.gate.weight"]).T, config.dtype
+            )
+            for field, hf in (("e_gate", "gate_proj"), ("e_up", "up_proj"), ("e_down", "down_proj")):
+                layer[field] = jnp.asarray(
+                    np.stack(
+                        [
+                            _np(state[p + f"mlp.experts.{e}.{hf}.weight"]).T
+                            for e in range(config.n_routed_experts)
+                        ]
+                    ),
+                    config.dtype,
+                )
+            if config.n_shared_experts > 0:
+                layer["shared_gate"] = proj(p + "mlp.shared_experts.gate_proj.weight")
+                layer["shared_up"] = proj(p + "mlp.shared_experts.up_proj.weight")
+                layer["shared_down"] = proj(p + "mlp.shared_experts.down_proj.weight")
+            moe_layers.append(layer)
+
+    head_key = "lm_head.weight" if "lm_head.weight" in state else "model.embed_tokens.weight"
+    return {
+        "embedding": jnp.asarray(_np(state["model.embed_tokens.weight"]), config.dtype),
+        "layers_dense": _stack(dense_layers) if dense_layers else None,
+        "layers_moe": _stack(moe_layers) if moe_layers else None,
+        "final_norm": jnp.asarray(_np(state["model.norm.weight"]), config.dtype),
+        "lm_head": quantize_linear(_np(state[head_key]).T.astype(np.float32), "bf16"),
+        "rope_cache": deepseek_rope_cache(config),
+    }

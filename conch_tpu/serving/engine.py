@@ -149,6 +149,11 @@ def _copy_page_jit(k_caches, v_caches, src, dst):
     )
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _copy_page_k_jit(k_caches, src, dst):
+    return k_caches.at[:, dst].set(k_caches[:, src])
+
+
 class LLMEngine:
     """Continuous-batching engine (model-agnostic scheduler).
 
@@ -218,16 +223,34 @@ class LLMEngine:
         self.config = model_config
         self.mesh = mesh
         self.allocator = _make_allocator(engine_config.num_pages)
-        cache_shape = (
-            model_config.num_layers,
-            engine_config.num_pages,
-            model_config.num_kv_heads,
-            engine_config.page_size,
-            model_config.head_dim,
-        )
         dtype = cache_dtype or model_config.dtype
-        self.k_caches = jnp.zeros(cache_shape, dtype=dtype)
-        self.v_caches = jnp.zeros(cache_shape, dtype=dtype)
+        if getattr(model_config, "kv_cache_layout", "kv") == "mla":
+            # MLA (DeepSeek-V2): ONE packed latent cache row per token;
+            # v_caches is an empty placeholder threaded through the
+            # two-cache step signatures untouched.
+            self.k_caches = jnp.zeros(
+                (
+                    model_config.num_layers,
+                    engine_config.num_pages,
+                    engine_config.page_size,
+                    model_config.kv_packed_dim,
+                ),
+                dtype=dtype,
+            )
+            self.v_caches = jnp.zeros((0,), dtype=dtype)
+            if mesh is not None:
+                msg = "tensor-parallel serving is not yet wired for MLA caches"
+                raise NotImplementedError(msg)
+        else:
+            cache_shape = (
+                model_config.num_layers,
+                engine_config.num_pages,
+                model_config.num_kv_heads,
+                engine_config.page_size,
+                model_config.head_dim,
+            )
+            self.k_caches = jnp.zeros(cache_shape, dtype=dtype)
+            self.v_caches = jnp.zeros(cache_shape, dtype=dtype)
         if mesh is not None:
             if mesh.shape.get("data", 1) != 1:
                 msg = (
@@ -673,7 +696,12 @@ class LLMEngine:
 
     def _copy_page(self, src: int, dst: int) -> None:
         """Device-copy one KV page across all layers (stacked caches)."""
-        self.k_caches, self.v_caches = _copy_page_jit(self.k_caches, self.v_caches, src, dst)
+        if self.v_caches.size:
+            self.k_caches, self.v_caches = _copy_page_jit(
+                self.k_caches, self.v_caches, src, dst
+            )
+        else:  # MLA: single packed cache
+            self.k_caches = _copy_page_k_jit(self.k_caches, src, dst)
 
     def _spawn_siblings(self, parent: Request, logits_row: jax.Array) -> None:
         """Parallel sampling (``sampling.n > 1``): fork n-1 siblings off

@@ -398,3 +398,68 @@ def test_phi3_conversion_matches_transformers():
     )
     assert cos.min() > 0.999, cos
     np.testing.assert_array_equal(our_n.argmax(-1), hf_n.argmax(-1))
+
+
+@pytest.mark.parametrize("q_lora", [None, 24])
+def test_deepseek_conversion_matches_transformers(q_lora):
+    """DeepSeek-V2 MLA + MoE (shared experts, dense first layer) full-logit
+    parity against the HF eager oracle — proves the interleaved rope,
+    absorbed kv_b split, gate softmax-then-topk, and MLA kernel end to end."""
+    from transformers.models.deepseek_v2 import DeepseekV2Config as HFDeepseekV2Config
+    from transformers.models.deepseek_v2 import DeepseekV2ForCausalLM
+
+    from conch_tpu.models.deepseek import (
+        DeepseekV2Config,
+        deepseek_verify_forward,
+        init_deepseek_kv_cache,
+    )
+    from conch_tpu.models.hf import deepseek_params_from_hf
+
+    hf_cfg = HFDeepseekV2Config(
+        vocab_size=128, hidden_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        q_lora_rank=q_lora, kv_lora_rank=32, qk_rope_head_dim=16,
+        qk_nope_head_dim=32, v_head_dim=32,
+        n_routed_experts=4, n_shared_experts=1, num_experts_per_tok=2,
+        moe_intermediate_size=32, intermediate_size=64,
+        first_k_dense_replace=1, routed_scaling_factor=1.5,
+        norm_topk_prob=False, topk_method="greedy",
+        max_position_embeddings=128, rope_theta=10000.0,
+        tie_word_embeddings=False, attention_bias=False,
+    )
+    torch.manual_seed(5)
+    model = DeepseekV2ForCausalLM(hf_cfg).eval()
+
+    tokens = [3, 17, 99, 4, 4, 127, 56, 23, 8, 1, 77, 12]
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([tokens])).logits[0].float().numpy()
+
+    cfg = DeepseekV2Config(
+        vocab_size=128, hidden_size=64, num_layers=3, num_heads=4,
+        q_lora_rank=q_lora, kv_lora_rank=32, qk_rope_head_dim=16,
+        qk_nope_head_dim=32, v_head_dim=32,
+        n_routed_experts=4, n_shared_experts=1, num_experts_per_tok=2,
+        moe_intermediate_size=32, intermediate_size=64,
+        first_k_dense_replace=1, routed_scaling_factor=1.5,
+        max_position=128, rope_theta=10000.0, dtype=jnp.float32,
+        moe_capacity_factor=100.0,  # no drops: exact vs HF (no capacity)
+    )
+    params = deepseek_params_from_hf(model.state_dict(), cfg)
+    t = len(tokens)
+    cache = init_deepseek_kv_cache(cfg, 4, 16, dtype=jnp.float32)
+    bt = jnp.arange(4, dtype=jnp.int32)[None, :]
+    positions = jnp.arange(t, dtype=jnp.int32)
+    cu = jnp.asarray([0, t], jnp.int32)
+    logits, _, _ = deepseek_verify_forward(
+        params, cfg, jnp.asarray(tokens, jnp.int32), positions, cu, t,
+        jnp.asarray([t], jnp.int32), bt, positions, cache, jnp.zeros((0,), jnp.float32),
+    )
+    ours = np.asarray(logits)
+
+    hf_n = hf_logits - hf_logits.mean(-1, keepdims=True)
+    our_n = ours - ours.mean(-1, keepdims=True)
+    cos = (hf_n * our_n).sum(-1) / (
+        np.linalg.norm(hf_n, axis=-1) * np.linalg.norm(our_n, axis=-1)
+    )
+    assert cos.min() > 0.999, cos
+    np.testing.assert_array_equal(our_n.argmax(-1), hf_n.argmax(-1))

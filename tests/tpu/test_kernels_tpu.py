@@ -291,3 +291,91 @@ def test_sliding_window_on_hw(nrng):
         scale, window_size=8,
     )
     np.testing.assert_allclose(np.asarray(out2, np.float32), exp2, atol=3e-2, rtol=3e-2)
+
+
+def test_mla_attention_on_hw(nrng):
+    """MLA with REAL dims (latent 512 + rope 64 -> packed 640 = 5x128):
+    Mosaic must lower the unified-cache dot + latent-slice PV."""
+    from conch_tpu.ops.attention import mla_attention
+    from conch_tpu.ops.cache import reshape_and_cache_mla
+
+    latent, rope, kd, heads, ps = 512, 64, 640, 16, 16
+    seqs, qlens = [48, 17], [4, 1]
+    batch, total = len(seqs), sum(qlens)
+    q = nrng.standard_normal((total, heads, kd)).astype(np.float32)
+    q[..., latent + rope :] = 0.0
+    pages_per = [-(-s // ps) for s in seqs]
+    bt = np.zeros((batch, max(pages_per)), np.int32)
+    rows, slots = [], []
+    nxt = 0
+    kv_dense = nrng.standard_normal((batch, max(seqs), kd)).astype(np.float32)
+    kv_dense[..., latent + rope :] = 0.0
+    for b, s in enumerate(seqs):
+        pages = list(range(nxt, nxt + pages_per[b]))
+        nxt += pages_per[b]
+        bt[b, : len(pages)] = pages
+        for p in range(s):
+            rows.append(kv_dense[b, p])
+            slots.append(pages[p // ps] * ps + p % ps)
+    cache = jnp.zeros((nxt + 1, ps, kd), jnp.float32)
+    cache = reshape_and_cache_mla(
+        jnp.asarray(np.stack(rows)), cache, jnp.asarray(slots, jnp.int32)
+    )
+    cu = np.zeros(batch + 1, np.int32)
+    cu[1:] = np.cumsum(qlens)
+    scale = 1 / math.sqrt(192)
+    out = mla_attention(
+        jnp.asarray(q), cache, jnp.asarray(cu), max(qlens),
+        jnp.asarray(seqs, jnp.int32), jnp.asarray(bt), scale=scale, latent=latent,
+    )
+    # dense oracle
+    outs = []
+    start = 0
+    for b, (sl, ql) in enumerate(zip(seqs, qlens)):
+        qb = q[start : start + ql]
+        kv = kv_dense[b, :sl]
+        s = np.einsum("qhd,kd->hqk", qb, kv) * scale
+        q_pos = sl - ql + np.arange(ql)
+        s = np.where(np.arange(sl)[None, :] <= q_pos[:, None], s, -np.inf)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        outs.append(np.einsum("hqk,kd->qhd", p, kv[:, :latent]))
+        start += ql
+    np.testing.assert_allclose(
+        np.asarray(out), np.concatenate(outs, 0), atol=2e-2, rtol=2e-2
+    )
+
+
+def test_rolling_ring_attention_on_hw(nrng):
+    """Rolling-KV ring addressing lowered on hardware (paged decode)."""
+    from conch_tpu.kernels.attention.paged_attention import paged_attention_launcher
+
+    ps, window, head, kh = 16, 40, 128, 2
+    ring_pages = -(-window // ps) + 1
+    seq = 150
+    cap = ring_pages * ps
+    kv = nrng.standard_normal((seq, kh, head)).astype(np.float32)
+    vv = nrng.standard_normal((seq, kh, head)).astype(np.float32)
+    kc = np.zeros((ring_pages + 1, kh, ps, head), np.float32)
+    vc = np.zeros_like(kc)
+    for p in range(seq):
+        slot = p % cap
+        kc[slot // ps, :, slot % ps] = kv[p]
+        vc[slot // ps, :, slot % ps] = vv[p]
+    q = nrng.standard_normal((1, kh * 2, head)).astype(np.float32)
+    bt = np.arange(ring_pages + 1, dtype=np.int32)[None, :]
+    scale = 1 / math.sqrt(head)
+    out = paged_attention_launcher(
+        jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc), jnp.asarray(bt),
+        jnp.asarray([seq], jnp.int32), scale=scale, window_size=window,
+        ring_pages=ring_pages,
+    )
+    # dense windowed oracle on the last `window` positions
+    lo = seq - window
+    k = np.repeat(kv[lo:], 2, axis=1)
+    v = np.repeat(vv[lo:], 2, axis=1)
+    s = np.einsum("hd,khd->hk", q[0], k) * scale
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    exp = np.einsum("hk,khd->hd", p, v)
+    np.testing.assert_allclose(np.asarray(out[0]), exp, atol=2e-2, rtol=2e-2)

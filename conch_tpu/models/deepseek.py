@@ -164,9 +164,18 @@ def deepseek_route(
     return vals * routed_scaling_factor, idx
 
 
-def _moe_mlp(layer: dict, x: jax.Array, config: DeepseekV2Config) -> jax.Array:
+def _moe_mlp(
+    layer: dict, x: jax.Array, config: DeepseekV2Config, tp_axis: str | None = None
+) -> jax.Array:
     """Routed experts (dense-einsum dispatch, GShard capacity) + shared
-    experts. Routed combine weights already carry the scaling factor."""
+    experts. Routed combine weights already carry the scaling factor.
+
+    Under shard_map (``tp_axis``), expert stacks are the LOCAL expert
+    shard: routing runs replicated over all global experts, each chip
+    slices its expert range of the dispatch/combine tensors, the shared
+    experts are column/row-parallel, and ONE psum reduces the combined
+    routed+shared partial (the layer's MLP collective).
+    """
     t = x.shape[0]
     cap = max(
         1,
@@ -183,6 +192,11 @@ def _moe_mlp(layer: dict, x: jax.Array, config: DeepseekV2Config) -> jax.Array:
         config.routed_scaling_factor, config.norm_topk_prob,
     )
     dispatch, combine = make_dispatch(weights, experts, config.n_routed_experts, cap)
+    if tp_axis is not None:
+        num_local = layer["e_gate"].shape[0]
+        offset = jax.lax.axis_index(tp_axis) * num_local
+        dispatch = jax.lax.dynamic_slice_in_dim(dispatch, offset, num_local, axis=1)
+        combine = jax.lax.dynamic_slice_in_dim(combine, offset, num_local, axis=1)
     xe = jnp.einsum("tec,th->ech", dispatch.astype(x.dtype), x)
     gate = jnp.einsum("ech,ehf->ecf", xe, layer["e_gate"])
     up = jnp.einsum("ech,ehf->ecf", xe, layer["e_up"])
@@ -196,15 +210,18 @@ def _moe_mlp(layer: dict, x: jax.Array, config: DeepseekV2Config) -> jax.Array:
             (jax.nn.silu(sg.astype(jnp.float32)) * su.astype(jnp.float32)).astype(x.dtype)
         )
         out = out + shared
+    if tp_axis is not None:
+        out = jax.lax.psum(out, tp_axis)
     return out
 
 
-def _dense_mlp(layer: dict, x: jax.Array) -> jax.Array:
+def _dense_mlp(layer: dict, x: jax.Array, tp_axis: str | None = None) -> jax.Array:
     gate = layer["w_gate"].apply(x)
     up = layer["w_up"].apply(x)
-    return layer["w_down"].apply(
+    out = layer["w_down"].apply(
         (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(x.dtype)
     )
+    return jax.lax.psum(out, tp_axis) if tp_axis is not None else out
 
 
 # -- params ----------------------------------------------------------------
@@ -296,9 +313,18 @@ def _mla_layer_step(
     block_tables: jax.Array,
     rope_cache: jax.Array,
     mlp_fn,
+    tp_axis: str | None = None,
 ):
-    """One scanned decoder layer (absorbed MLA attention + residual MLP)."""
-    nh = config.num_heads
+    """One scanned decoder layer (absorbed MLA attention + residual MLP).
+
+    Under shard_map (``tp_axis``): q/W_uk/W_uv/wo carry only the LOCAL
+    head shard (the head count is read from ``w_uk`` at runtime); the
+    latent cache is REPLICATED per chip (it is MQA-shared and tiny —
+    packed_dim bytes/token — so replication costs far less than the
+    per-head K/V it replaces), every chip computes the identical kv row
+    from the replicated ``w_kv_a``, and attention needs zero cross-chip
+    communication; one psum follows the row-parallel ``wo``.
+    """
     nope, rope_d = config.qk_nope_head_dim, config.qk_rope_head_dim
     lora, v_dim = config.kv_lora_rank, config.v_head_dim
     packed = config.kv_packed_dim
@@ -309,6 +335,7 @@ def _mla_layer_step(
 
     def layer_step(hidden, scanned):
         layer, kv_cache = scanned
+        nh = layer["w_uk"].shape[0]  # LOCAL head count under shard_map
         t = hidden.shape[0]
         x = rms_norm(hidden, layer["input_norm"], config.rms_norm_eps)
 
@@ -347,7 +374,10 @@ def _mla_layer_step(
         )
         attn = jnp.einsum("thl,hlv->thv", out_lat.astype(jnp.float32),
                           layer["w_uv"].astype(jnp.float32)).astype(hidden.dtype)
-        hidden = hidden + layer["wo"].apply(attn.reshape(t, nh * v_dim))
+        attn_out = layer["wo"].apply(attn.reshape(t, nh * v_dim))
+        if tp_axis is not None:
+            attn_out = jax.lax.psum(attn_out, tp_axis)
+        hidden = hidden + attn_out
 
         mlp_in = rms_norm(hidden, layer["post_attn_norm"], config.rms_norm_eps)
         hidden = hidden + mlp_fn(layer, mlp_in)
@@ -358,7 +388,7 @@ def _mla_layer_step(
 
 def _deepseek_forward(
     params, config, token_ids, positions, cu_seqlens_q, max_seqlen_q, seq_lens,
-    block_tables, slot_mapping, kv_caches,
+    block_tables, slot_mapping, kv_caches, tp_axis=None,
 ):
     """Shared trunk: returns (per-token hidden, updated caches)."""
     hidden = jnp.take(params["embedding"], token_ids, axis=0)
@@ -370,19 +400,19 @@ def _deepseek_forward(
     def step(mlp_fn):
         return _mla_layer_step(
             config, positions, slot_mapping, cu_seqlens_q, max_seqlen_q,
-            seq_lens, block_tables, params["rope_cache"], mlp_fn,
+            seq_lens, block_tables, params["rope_cache"], mlp_fn, tp_axis=tp_axis,
         )
 
     new_caches = []
     if params["layers_dense"] is not None:
         hidden, dense_caches = jax.lax.scan(
-            step(lambda layer, x: _dense_mlp(layer, x)),
+            step(lambda layer, x: _dense_mlp(layer, x, tp_axis)),
             hidden, (params["layers_dense"], kv_caches[:n_dense]),
         )
         new_caches.append(dense_caches)
     if params["layers_moe"] is not None:
         hidden, moe_caches = jax.lax.scan(
-            step(lambda layer, x: _moe_mlp(layer, x, config)),
+            step(lambda layer, x: _moe_mlp(layer, x, config, tp_axis)),
             hidden, (params["layers_moe"], kv_caches[n_dense:]),
         )
         new_caches.append(moe_caches)
@@ -399,7 +429,7 @@ def deepseek_prefill(
     two-cache signature) and is returned untouched."""
     hidden, k_caches = _deepseek_forward(
         params, config, token_ids, positions, cu_seqlens_q, max_seqlen_q,
-        seq_lens, block_tables, slot_mapping, k_caches,
+        seq_lens, block_tables, slot_mapping, k_caches, tp_axis=tp_axis,
     )
     last_rows = cu_seqlens_q[1:] - 1
     hidden_last = jnp.take(hidden, last_rows, axis=0)
@@ -416,7 +446,7 @@ def deepseek_verify_forward(
     """Speculative verification: logits for EVERY query token."""
     hidden, k_caches = _deepseek_forward(
         params, config, token_ids, positions, cu_seqlens_q, max_seqlen_q,
-        seq_lens, block_tables, slot_mapping, k_caches,
+        seq_lens, block_tables, slot_mapping, k_caches, tp_axis=tp_axis,
     )
     hidden = rms_norm(hidden, params["final_norm"], config.rms_norm_eps)
     logits = params["lm_head"].apply(hidden)
@@ -432,7 +462,7 @@ def deepseek_decode_step(
     cu = jnp.arange(batch + 1, dtype=jnp.int32)
     hidden, k_caches = _deepseek_forward(
         params, config, token_ids, positions, cu, 1, seq_lens, block_tables,
-        slot_mapping, k_caches,
+        slot_mapping, k_caches, tp_axis=tp_axis,
     )
     hidden = rms_norm(hidden, params["final_norm"], config.rms_norm_eps)
     logits = params["lm_head"].apply(hidden)

@@ -51,6 +51,22 @@ def _spec_for(path: str, ndim: int) -> P:
     if ndim >= 4 and any(k in path for k in ("w_gate", "w_up", "w_down")):
         return P(*([None] * (ndim - 3) + ["model", None, None]))
 
+    # DeepSeek-V2 (MLA): q_a feeds a full-vector RMSNorm and kv_a is the
+    # MQA-shared latent projection -> replicated; the absorbed per-head
+    # W_uk/W_uv shard the HEAD dimension; routed expert stacks
+    # (L, E, H, F) shard the expert dimension (same geometry as Mixtral);
+    # shared experts are ordinary column/row-parallel MLP projections.
+    if any(k in path for k in ("wq_a", "q_a_norm", "w_kv_a", "kv_a_norm")):
+        return P()
+    if "w_uk" in path or "w_uv" in path:
+        return P(*([None] * (ndim - 3) + ["model", None, None]))
+    if ndim >= 4 and any(k in path for k in ("e_gate", "e_up", "e_down")):
+        return P(*([None] * (ndim - 3) + ["model", None, None]))
+    if "shared_gate" in path or "shared_up" in path:
+        return last_on_model()
+    if "shared_down" in path:
+        return second_last_on_model()
+
     # w8a8 per-output-channel scales are (N,): they follow N — sharded
     # under column-parallel, replicated under row-parallel (where K is
     # the sharded dimension and every chip keeps all N columns).

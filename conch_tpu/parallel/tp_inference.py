@@ -35,7 +35,10 @@ def _has_sharded_head(params_example: Any) -> bool:
     return isinstance(params_example, dict) and "lm_head" in params_example
 
 
-def make_tp_decode_step(mesh: Mesh, config: Any, params_example: Any, decode_fn=llama_decode_step):
+def make_tp_decode_step(
+    mesh: Mesh, config: Any, params_example: Any, decode_fn=llama_decode_step,
+    kv_specs: tuple | None = None,
+):
     """Build a jitted tensor+data-parallel decode step over ``mesh``.
 
     The returned function has the same signature as ``llama_decode_step``
@@ -45,7 +48,12 @@ def make_tp_decode_step(mesh: Mesh, config: Any, params_example: Any, decode_fn=
     ``decode_fn`` swaps the model family (``llama_decode_step`` default,
     ``moe.mixtral_decode_step`` for Mixtral — its MoE layers ride the same
     "model" axis as expert parallelism).
+
+    ``kv_specs`` overrides the (k, v) cache PartitionSpecs — kv-head
+    sharding by default; MLA passes (P(), P()) (replicated latent cache +
+    empty v placeholder).
     """
+    k_spec, v_spec = kv_specs or (kv_cache_pspec(), kv_cache_pspec())
     param_specs = llama_param_pspecs(params_example)
     gather_logits = _has_sharded_head(params_example)
     data_specs = dict(
@@ -76,22 +84,26 @@ def make_tp_decode_step(mesh: Mesh, config: Any, params_example: Any, decode_fn=
             data_specs["seq_lens"],
             data_specs["block_tables"],
             data_specs["slot_mapping"],
-            kv_cache_pspec(),
-            kv_cache_pspec(),
+            k_spec,
+            v_spec,
         ),
-        out_specs=(P("data"), kv_cache_pspec(), kv_cache_pspec()),
+        out_specs=(P("data"), k_spec, v_spec),
         check_vma=False,
     )
     return jax.jit(shard_mapped, donate_argnums=(6, 7))
 
 
-def _make_tp_varlen_step(mesh: Mesh, config: LlamaConfig, params_example: Any, max_seqlen_q: int, forward):
+def _make_tp_varlen_step(
+    mesh: Mesh, config: LlamaConfig, params_example: Any, max_seqlen_q: int, forward,
+    kv_specs: tuple | None = None,
+):
     """Shared builder for the ragged-token TP steps (prefill / verify).
 
     Prefill batches are ragged (cu_seqlens); for simplicity the token
     stream is replicated across the "data" axis and sharded over "model"
     only. (Data-parallel prefill = separate engine shards per host.)
     """
+    k_spec, v_spec = kv_specs or (kv_cache_pspec(), kv_cache_pspec())
     param_specs = llama_param_pspecs(params_example)
     gather_logits = _has_sharded_head(params_example)
 
@@ -107,28 +119,38 @@ def _make_tp_varlen_step(mesh: Mesh, config: LlamaConfig, params_example: Any, m
     shard_mapped = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(param_specs, P(), P(), P(), P(), P(), P(), kv_cache_pspec(), kv_cache_pspec()),
-        out_specs=(P(), kv_cache_pspec(), kv_cache_pspec()),
+        in_specs=(param_specs, P(), P(), P(), P(), P(), P(), k_spec, v_spec),
+        out_specs=(P(), k_spec, v_spec),
         check_vma=False,
     )
     return jax.jit(shard_mapped, donate_argnums=(7, 8))
 
 
-def make_tp_prefill(mesh: Mesh, config: Any, params_example: Any, max_seqlen_q: int, prefill_fn=llama_prefill):
+def make_tp_prefill(
+    mesh: Mesh, config: Any, params_example: Any, max_seqlen_q: int,
+    prefill_fn=llama_prefill, kv_specs: tuple | None = None,
+):
     """Build a jitted tensor-parallel prefill (batch replicated across data).
 
     ``prefill_fn`` swaps the model family (``moe.mixtral_prefill`` for
     Mixtral)."""
-    return _make_tp_varlen_step(mesh, config, params_example, max_seqlen_q, prefill_fn)
+    return _make_tp_varlen_step(
+        mesh, config, params_example, max_seqlen_q, prefill_fn, kv_specs=kv_specs
+    )
 
 
-def make_tp_verify(mesh: Mesh, config: Any, params_example: Any, max_seqlen_q: int, verify_fn=llama_verify_forward):
+def make_tp_verify(
+    mesh: Mesh, config: Any, params_example: Any, max_seqlen_q: int,
+    verify_fn=llama_verify_forward, kv_specs: tuple | None = None,
+):
     """Tensor-parallel speculative-decoding verification forward.
 
     ``verify_fn`` swaps the model family (``gemma.gemma_verify_forward``,
     ``moe.mixtral_verify_forward``, ...).
     """
-    return _make_tp_varlen_step(mesh, config, params_example, max_seqlen_q, verify_fn)
+    return _make_tp_varlen_step(
+        mesh, config, params_example, max_seqlen_q, verify_fn, kv_specs=kv_specs
+    )
 
 
 def make_multi_step_scan(
@@ -175,6 +197,7 @@ def make_multi_step_scan(
 def make_tp_multi_decode_step(
     mesh: Mesh, config: Any, params_example: Any, k: int, decode_fn=llama_decode_step,
     page_size: int = 16, max_batch_size: int = 8, ring_tokens: int = 0,
+    kv_specs: tuple | None = None,
 ):
     """K greedy decode iterations in one dispatch under tensor parallelism.
 
@@ -211,11 +234,12 @@ def make_tp_multi_decode_step(
         decode_with_config, k, page_size, max_batch_size, greedy, ring_tokens=ring_tokens
     )
 
+    k_spec, v_spec = kv_specs or (kv_cache_pspec(), kv_cache_pspec())
     shard_mapped = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(param_specs, P(), P(), P(), P(), P(), kv_cache_pspec(), kv_cache_pspec()),
-        out_specs=(P(), kv_cache_pspec(), kv_cache_pspec()),
+        in_specs=(param_specs, P(), P(), P(), P(), P(), k_spec, v_spec),
+        out_specs=(P(), k_spec, v_spec),
         check_vma=False,
     )
     return jax.jit(shard_mapped, donate_argnums=(6, 7))

@@ -238,9 +238,6 @@ class LLMEngine:
                 dtype=dtype,
             )
             self.v_caches = jnp.zeros((0,), dtype=dtype)
-            if mesh is not None:
-                msg = "tensor-parallel serving is not yet wired for MLA caches"
-                raise NotImplementedError(msg)
         else:
             cache_shape = (
                 model_config.num_layers,
@@ -251,6 +248,7 @@ class LLMEngine:
             )
             self.k_caches = jnp.zeros(cache_shape, dtype=dtype)
             self.v_caches = jnp.zeros(cache_shape, dtype=dtype)
+        self._kv_specs = None  # default kv-head sharding in the TP builders
         if mesh is not None:
             if mesh.shape.get("data", 1) != 1:
                 msg = (
@@ -258,11 +256,23 @@ class LLMEngine:
                     "one engine per device group (see parallel.distributed)"
                 )
                 raise ValueError(msg)
+            from jax.sharding import NamedSharding, PartitionSpec
             from conch_tpu.parallel.sharding import kv_cache_sharding, shard_llama_params
 
+            # The sharding rules are param-path based and cover every
+            # model family (Llama/Qwen2/Mistral/Gemma/Mixtral/DeepSeek).
             self.params = shard_llama_params(params, mesh)
-            self.k_caches = jax.device_put(self.k_caches, kv_cache_sharding(mesh))
-            self.v_caches = jax.device_put(self.v_caches, kv_cache_sharding(mesh))
+            if getattr(self.config, "kv_cache_layout", "kv") == "mla":
+                # MLA: the latent cache is MQA-shared, so every chip
+                # keeps a full (tiny) replica — attention stays
+                # communication-free with heads sharded.
+                self._kv_specs = (PartitionSpec(), PartitionSpec())
+                replicated = NamedSharding(mesh, PartitionSpec())
+                self.k_caches = jax.device_put(self.k_caches, replicated)
+                self.v_caches = jax.device_put(self.v_caches, replicated)
+            else:
+                self.k_caches = jax.device_put(self.k_caches, kv_cache_sharding(mesh))
+                self.v_caches = jax.device_put(self.v_caches, kv_cache_sharding(mesh))
         self.waiting: list[Request] = []
         self.running: list[Request] = []
         self._next_id = 0
@@ -323,7 +333,8 @@ class LLMEngine:
         from conch_tpu.parallel.tp_inference import make_tp_decode_step, make_tp_prefill, make_tp_verify
 
         tp_decode = make_tp_decode_step(
-            mesh, self.config, self.params, decode_fn=decode_fn or llama_decode_step
+            mesh, self.config, self.params, decode_fn=decode_fn or llama_decode_step,
+            kv_specs=self._kv_specs,
         )
 
         def decode_adapter(params, *, token_ids, positions, seq_lens, block_tables, slot_mapping, k_caches, v_caches):
@@ -335,7 +346,10 @@ class LLMEngine:
             def adapter(params, *, token_ids, positions, cu_seqlens_q, max_seqlen_q, seq_lens, block_tables, slot_mapping, k_caches, v_caches):
                 fn = by_bucket.get(max_seqlen_q)
                 if fn is None:
-                    fn = by_bucket[max_seqlen_q] = builder(mesh, self.config, self.params, max_seqlen_q, model_fn)
+                    fn = by_bucket[max_seqlen_q] = builder(
+                        mesh, self.config, self.params, max_seqlen_q, model_fn,
+                        kv_specs=self._kv_specs,
+                    )
                 return fn(params, token_ids, positions, cu_seqlens_q, seq_lens, block_tables, slot_mapping, k_caches, v_caches)
 
             return adapter
@@ -807,6 +821,7 @@ class LLMEngine:
                 page_size=self.ecfg.page_size,
                 max_batch_size=self.ecfg.max_batch_size,
                 ring_tokens=self._cap_tokens or 0,
+                kv_specs=self._kv_specs,
             )
             self._multi_step_cache[k] = fn
             return fn

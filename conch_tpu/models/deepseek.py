@@ -70,6 +70,14 @@ class DeepseekV2Config:
     first_k_dense_replace: int = 1
     routed_scaling_factor: float = 1.0
     norm_topk_prob: bool = False
+    # Gate variants: "greedy" (V2-Lite), "group_limited_greedy" (V2 —
+    # keep topk_group of n_group expert groups by per-group max), or
+    # "noaux_tc" (V3 — sigmoid scores, per-expert correction bias added
+    # for CHOICE only, groups ranked by their top-2 sum).
+    topk_method: str = "greedy"
+    score_function: str = "softmax"  # "softmax" (V2) | "sigmoid" (V3)
+    n_group: int = 1
+    topk_group: int = 1
     rope_theta: float = 10000.0
     rms_norm_eps: float = 1e-6
     max_position: int = 4096
@@ -115,6 +123,21 @@ class DeepseekV2Config:
         )
 
     @staticmethod
+    def v3() -> "DeepseekV2Config":
+        """DeepSeek-V3/R1 geometry (same MLA; sigmoid noaux_tc gate)."""
+        return DeepseekV2Config(
+            vocab_size=129280, hidden_size=7168, num_layers=61, num_heads=128,
+            q_lora_rank=1536, kv_lora_rank=512, qk_nope_head_dim=128,
+            qk_rope_head_dim=64, v_head_dim=128,
+            n_routed_experts=256, n_shared_experts=1, num_experts_per_tok=8,
+            moe_intermediate_size=2048, intermediate_size=18432,
+            first_k_dense_replace=3, routed_scaling_factor=2.5,
+            norm_topk_prob=True, topk_method="noaux_tc",
+            score_function="sigmoid", n_group=8, topk_group=4,
+            rope_theta=10000.0, max_position=163840,
+        )
+
+    @staticmethod
     def tiny(**overrides) -> "DeepseekV2Config":
         return DeepseekV2Config(**overrides)
 
@@ -149,19 +172,46 @@ def _apply_rope_interleaved(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax
 def deepseek_route(
     hidden: jax.Array,  # (T, H)
     router_w: jax.Array,  # (H, E)
-    top_k: int,
-    routed_scaling_factor: float,
-    norm_topk_prob: bool,
+    config: DeepseekV2Config,
+    bias: jax.Array | None = None,  # (E,) noaux_tc correction bias
 ) -> tuple[jax.Array, jax.Array]:
-    """HF DeepseekV2MoEGate (greedy top-k): f32 softmax over all experts,
-    top-k of the *probabilities*, scaled — not Mixtral's renormalized
-    top-k softmax."""
+    """DeepSeek gate, all three HF variants.
+
+    - greedy (V2-Lite): softmax over all experts, top-k of the
+      probabilities — not Mixtral's renormalized top-k softmax;
+    - group_limited_greedy (V2): groups ranked by per-group MAX, only
+      topk_group groups eligible;
+    - noaux_tc (V3): sigmoid scores; ``bias`` is added for the CHOICE
+      ranking only (groups by their top-2 sum), while the returned
+      weights gather the UNbiased scores.
+    """
     logits = hidden.astype(jnp.float32) @ router_w.astype(jnp.float32)
-    scores = jax.nn.softmax(logits, axis=-1)
-    vals, idx = jax.lax.top_k(scores, top_k)
-    if norm_topk_prob:
+    if config.score_function == "sigmoid":
+        scores = jax.nn.sigmoid(logits)
+    else:
+        scores = jax.nn.softmax(logits, axis=-1)
+
+    choice = scores + bias[None, :] if bias is not None else scores
+    if config.topk_method in ("group_limited_greedy", "noaux_tc"):
+        t = choice.shape[0]
+        e_per_g = config.n_routed_experts // config.n_group
+        grouped = choice.reshape(t, config.n_group, e_per_g)
+        if config.topk_method == "noaux_tc":
+            group_scores = jnp.sum(jax.lax.top_k(grouped, 2)[0], axis=-1)
+        else:
+            group_scores = jnp.max(grouped, axis=-1)
+        _, gidx = jax.lax.top_k(group_scores, config.topk_group)
+        gmask = jnp.sum(jax.nn.one_hot(gidx, config.n_group, dtype=jnp.float32), axis=1)
+        choice = jnp.where(
+            jnp.repeat(gmask, e_per_g, axis=-1) > 0, choice, 0.0
+        )
+
+    vals, idx = jax.lax.top_k(choice, config.num_experts_per_tok)
+    if config.topk_method == "noaux_tc":
+        vals = jnp.take_along_axis(scores, idx, axis=-1)  # weights w/o bias
+    if config.norm_topk_prob:
         vals = vals / (jnp.sum(vals, axis=-1, keepdims=True) + 1e-20)
-    return vals * routed_scaling_factor, idx
+    return vals * config.routed_scaling_factor, idx
 
 
 def _moe_mlp(
@@ -188,8 +238,7 @@ def _moe_mlp(
         ),
     )
     weights, experts = deepseek_route(
-        x, layer["router_w"], config.num_experts_per_tok,
-        config.routed_scaling_factor, config.norm_topk_prob,
+        x, layer["router_w"], config, bias=layer.get("router_bias")
     )
     dispatch, combine = make_dispatch(weights, experts, config.n_routed_experts, cap)
     if tp_axis is not None:
@@ -265,6 +314,8 @@ def init_deepseek_params(seed: int, config: DeepseekV2Config) -> dict:
             layer["wq"] = proj(h, nh * (nope + rope))
         if moe:
             layer["router_w"] = arr(h, config.n_routed_experts)
+            if config.topk_method == "noaux_tc":
+                layer["router_bias"] = jnp.zeros((config.n_routed_experts,), jnp.float32)
             f = config.moe_intermediate_size
             layer["e_gate"] = arr(config.n_routed_experts, h, f)
             layer["e_up"] = arr(config.n_routed_experts, h, f)

@@ -330,6 +330,10 @@ def deepseek_params_from_hf(state: Mapping[str, Any], config) -> dict:
             layer["router_w"] = jnp.asarray(
                 _np(state[p + "mlp.gate.weight"]).T, config.dtype
             )
+            if config.topk_method == "noaux_tc":  # V3 correction bias
+                layer["router_bias"] = jnp.asarray(
+                    _np(state[p + "mlp.gate.e_score_correction_bias"]), jnp.float32
+                )
             for field, hf in (("e_gate", "gate_proj"), ("e_up", "up_proj"), ("e_down", "down_proj")):
                 layer[field] = jnp.asarray(
                     np.stack(

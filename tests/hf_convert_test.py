@@ -463,3 +463,72 @@ def test_deepseek_conversion_matches_transformers(q_lora):
     )
     assert cos.min() > 0.999, cos
     np.testing.assert_array_equal(our_n.argmax(-1), hf_n.argmax(-1))
+
+
+def test_deepseek_v3_conversion_matches_transformers():
+    """DeepSeek-V3: same MLA, sigmoid noaux_tc gate (group top-2-sum
+    choice with correction bias, unbiased weights, normalized, scaled)."""
+    from transformers.models.deepseek_v3 import DeepseekV3Config as HFV3Config
+    from transformers.models.deepseek_v3 import DeepseekV3ForCausalLM
+
+    from conch_tpu.models.deepseek import (
+        DeepseekV2Config,
+        deepseek_verify_forward,
+        init_deepseek_kv_cache,
+    )
+    from conch_tpu.models.hf import deepseek_params_from_hf
+
+    hf_cfg = HFV3Config(
+        vocab_size=128, hidden_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        q_lora_rank=24, kv_lora_rank=32, qk_rope_head_dim=16,
+        qk_nope_head_dim=32, v_head_dim=32,
+        n_routed_experts=8, n_shared_experts=1, num_experts_per_tok=3,
+        moe_intermediate_size=32, intermediate_size=64,
+        first_k_dense_replace=1, routed_scaling_factor=2.5,
+        norm_topk_prob=True, n_group=4, topk_group=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        rope_interleave=True, tie_word_embeddings=False, attention_bias=False,
+        rope_scaling=None,
+    )
+    torch.manual_seed(11)
+    model = DeepseekV3ForCausalLM(hf_cfg).eval()
+    # give the correction bias a non-trivial value so the test covers it
+    with torch.no_grad():
+        for layer in model.model.layers[1:]:
+            layer.mlp.gate.e_score_correction_bias.uniform_(-0.2, 0.2)
+
+    tokens = [3, 17, 99, 4, 4, 127, 56, 23, 8, 1, 77, 12]
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([tokens])).logits[0].float().numpy()
+
+    cfg = DeepseekV2Config(
+        vocab_size=128, hidden_size=64, num_layers=3, num_heads=4,
+        q_lora_rank=24, kv_lora_rank=32, qk_rope_head_dim=16,
+        qk_nope_head_dim=32, v_head_dim=32,
+        n_routed_experts=8, n_shared_experts=1, num_experts_per_tok=3,
+        moe_intermediate_size=32, intermediate_size=64,
+        first_k_dense_replace=1, routed_scaling_factor=2.5,
+        norm_topk_prob=True, topk_method="noaux_tc", score_function="sigmoid",
+        n_group=4, topk_group=2, max_position=128, rope_theta=10000.0,
+        dtype=jnp.float32, moe_capacity_factor=100.0,
+    )
+    params = deepseek_params_from_hf(model.state_dict(), cfg)
+    t = len(tokens)
+    cache = init_deepseek_kv_cache(cfg, 4, 16, dtype=jnp.float32)
+    positions = jnp.arange(t, dtype=jnp.int32)
+    logits, _, _ = deepseek_verify_forward(
+        params, cfg, jnp.asarray(tokens, jnp.int32), positions,
+        jnp.asarray([0, t], jnp.int32), t, jnp.asarray([t], jnp.int32),
+        jnp.arange(4, dtype=jnp.int32)[None, :], positions,
+        cache, jnp.zeros((0,), jnp.float32),
+    )
+    ours = np.asarray(logits)
+
+    hf_n = hf_logits - hf_logits.mean(-1, keepdims=True)
+    our_n = ours - ours.mean(-1, keepdims=True)
+    cos = (hf_n * our_n).sum(-1) / (
+        np.linalg.norm(hf_n, axis=-1) * np.linalg.norm(our_n, axis=-1)
+    )
+    assert cos.min() > 0.999, cos
+    np.testing.assert_array_equal(our_n.argmax(-1), hf_n.argmax(-1))

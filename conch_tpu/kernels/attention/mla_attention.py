@@ -72,6 +72,7 @@ def _mla_dma_kernel(
     group: int,
     cq_rows: int,
     latent: int,
+    v_scale: float = 1.0,
 ):
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -179,12 +180,16 @@ def _mla_dma_kernel(
     jax.lax.fori_loop(num_full, num_chunks, masked_body, 0)
 
     l = l_scr[:, :1]
-    o_ref[0] = (acc_scr[...] / jnp.where(l > 0.0, l, 1.0)).astype(o_ref.dtype)
+    normalized = acc_scr[...] / jnp.where(l > 0.0, l, 1.0)
+    o_ref[0] = (normalized * v_scale).astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_seqlen_q", "scale", "causal", "latent", "chunk_tokens", "q_chunk_rows"),
+    static_argnames=(
+        "max_seqlen_q", "scale", "causal", "latent", "chunk_tokens",
+        "q_chunk_rows", "kv_scale",
+    ),
 )
 def mla_attention_launcher(
     query: jax.Array,  # (total_q, num_heads, KD) absorbed [q_lat | q_pe | 0-pad]
@@ -199,9 +204,15 @@ def mla_attention_launcher(
     causal: bool = True,
     chunk_tokens: int = 512,
     q_chunk_rows: int = 512,
+    kv_scale: float = 1.0,
 ) -> jax.Array:
     """Varlen multi-head latent attention (prefill AND decode: decode is
     one query token per sequence).
+
+    ``kv_scale`` dequantizes an int8/fp8 latent cache (stored value =
+    round(x / kv_scale)): it folds into the softmax scale on the score
+    side (K and V share the buffer and the scale) and multiplies the
+    final accumulator once — O(1) scalar work, no per-element dequant.
 
     Returns (total_q, num_heads, latent) — the latent-space attention
     output; the caller applies the absorbed ``W_uv`` per head.
@@ -284,11 +295,12 @@ def mla_attention_launcher(
             _mla_dma_kernel,
             page_size=page_size,
             chunk_pages=chunk_pages,
-            scale=scale,
+            scale=scale * kv_scale,  # k-side dequant folds into the scores
             causal=causal,
             group=group,
             cq_rows=cq_rows,
             latent=latent,
+            v_scale=kv_scale,
         ),
         out_shape=jax.ShapeDtypeStruct((batch, rows_padded, latent), out_dtype),
         grid_spec=grid_spec,

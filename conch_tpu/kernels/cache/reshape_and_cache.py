@@ -83,18 +83,26 @@ def reshape_and_cache_launcher(
     return key_cache, value_cache
 
 
-@functools.partial(jax.jit, donate_argnums=(1,))
+@functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("scale",))
 def reshape_and_cache_mla_launcher(
     kv: jax.Array,
     kv_cache: jax.Array,
     slot_mapping: jax.Array,
+    scale: float | None = None,
 ) -> jax.Array:
     """Insert packed MLA latent rows ``[c_kv | k_pe | pad]`` into the
     unified (num_pages, page_size, packed_dim) cache (vLLM
     ``concat_and_cache_mla`` equivalent; same slot/drop semantics as
-    ``reshape_and_cache_launcher``)."""
+    ``reshape_and_cache_launcher``). ``scale`` quantizes on store for
+    int8/fp8 caches: stored = round(x / scale), saturating."""
     num_pages, page_size, _ = kv_cache.shape
     slots = slot_mapping.astype(jnp.int32)
     page_idx = jnp.where(slots >= 0, slots // page_size, num_pages)  # OOB -> dropped
     entry_idx = jnp.where(slots >= 0, slots % page_size, 0)
+    if scale is not None:
+        scaled = kv.astype(jnp.float32) * (1.0 / scale)
+        if jnp.issubdtype(kv_cache.dtype, jnp.integer):
+            info = jnp.iinfo(kv_cache.dtype)
+            scaled = jnp.clip(jnp.round(scaled), info.min, info.max)
+        kv = scaled
     return kv_cache.at[page_idx, entry_idx].set(kv.astype(kv_cache.dtype), mode="drop")

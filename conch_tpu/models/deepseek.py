@@ -83,6 +83,10 @@ class DeepseekV2Config:
     max_position: int = 4096
     dtype: Any = jnp.bfloat16
     moe_capacity_factor: float = 2.0  # serving-path expert capacity factor
+    # Static per-tensor scale for int8/fp8 latent caches (stored value =
+    # round(x / scale)): the latent rows are RMS-normed, so a modest
+    # range suffices. Used only when the cache buffer is int8/float8.
+    kv_cache_scale: float = 1.0 / 16
 
     # -- engine-facing geometry ------------------------------------------
     @property
@@ -276,11 +280,16 @@ def _dense_mlp(layer: dict, x: jax.Array, tp_axis: str | None = None) -> jax.Arr
 # -- params ----------------------------------------------------------------
 
 
-def init_deepseek_params(seed: int, config: DeepseekV2Config) -> dict:
+def init_deepseek_params(
+    seed: int, config: DeepseekV2Config, quant_mode: str = "bf16", group_size: int = 32
+) -> dict:
     """Random-init DeepSeek-V2 params in the absorbed layout.
 
     Layer stacks: ``layers_dense`` (first_k_dense_replace layers) and
     ``layers_moe`` (the rest), each stacked for ``lax.scan``.
+    ``quant_mode`` quantizes the 2-D projections (wq/kv_a/wo/MLP/shared)
+    through ``QuantizedLinear`` exactly like the Llama family; the
+    absorbed W_uk/W_uv einsums and expert stacks stay dense.
     """
     rng = np.random.default_rng(seed)
     h = config.hidden_size
@@ -291,7 +300,10 @@ def init_deepseek_params(seed: int, config: DeepseekV2Config) -> dict:
     std = 0.02
 
     def proj(k_dim, n_dim):
-        return quantize_linear(rng.normal(size=(k_dim, n_dim)).astype(np.float32) * std, "bf16")
+        kwargs = {"group_size": group_size} if quant_mode in ("int4", "int8") else {}
+        return quantize_linear(
+            rng.normal(size=(k_dim, n_dim)).astype(np.float32) * std, quant_mode, **kwargs
+        )
 
     def arr(*shape):
         return jnp.asarray(rng.normal(size=shape) * std, config.dtype)
@@ -417,11 +429,14 @@ def _mla_layer_step(
         kv_row = jnp.concatenate(
             [c_kv, k_pe, jnp.zeros((t, packed - lora - rope_d), c_kv.dtype)], axis=-1
         )
-        kv_cache = reshape_and_cache_mla(kv_row, kv_cache, slot_mapping)
+        quantized = kv_cache.dtype in (jnp.int8, jnp.float8_e4m3fn)
+        store_scale = config.kv_cache_scale if quantized else None
+        kv_cache = reshape_and_cache_mla(kv_row, kv_cache, slot_mapping, scale=store_scale)
 
         out_lat = mla_attention(
             q_cat, kv_cache, cu_seqlens_q, max_seqlen_q, seq_lens, block_tables,
             scale=scale, latent=lora,
+            kv_scale=config.kv_cache_scale if quantized else 1.0,
         )
         attn = jnp.einsum("thl,hlv->thv", out_lat.astype(jnp.float32),
                           layer["w_uv"].astype(jnp.float32)).astype(hidden.dtype)

@@ -26,6 +26,7 @@ def mla_attention(
     scale: float,
     latent: int,
     causal: bool = True,
+    kv_scale: float = 1.0,
 ) -> jax.Array:
     """Varlen MLA over the unified latent cache (prefill and decode).
 
@@ -40,6 +41,8 @@ def mla_attention(
         block_table: (batch, max_pages) page ids.
         scale: softmax scale — 1/sqrt(qk_nope + qk_rope), NOT the packed dim.
         latent: kv_lora_rank (the value width = the cache row's prefix).
+        kv_scale: dequantization scale for int8/fp8 latent caches (folded
+            into the attention scalars; 1.0 for bf16/f32 caches).
 
     Returns:
         (total_q, num_heads, latent) latent-space attention output.
@@ -64,5 +67,5 @@ def mla_attention(
         raise ValueError(msg)
     return mla_attention_launcher(
         query, kv_cache, cu_seqlens_q, max_seqlen_q, seq_lens, block_table,
-        scale=scale, latent=latent, causal=causal,
+        scale=scale, latent=latent, causal=causal, kv_scale=kv_scale,
     )

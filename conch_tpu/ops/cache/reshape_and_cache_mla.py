@@ -16,6 +16,7 @@ def reshape_and_cache_mla(
     kv: jax.Array,
     kv_cache: jax.Array,
     slot_mapping: jax.Array,
+    scale: float | None = None,
 ) -> jax.Array:
     """Insert packed MLA rows; negative slots are dropped (padding).
 
@@ -23,6 +24,8 @@ def reshape_and_cache_mla(
         kv: (num_tokens, packed) latent rows.
         kv_cache: (num_pages, page_size, packed); DONATED.
         slot_mapping: (num_tokens,) int32.
+        scale: quantize-on-store scale for int8/fp8 caches
+            (stored = round(x/scale), saturating); None stores as-is.
 
     Returns:
         The updated cache.
@@ -33,4 +36,4 @@ def reshape_and_cache_mla(
     if slot_mapping.shape[0] != kv.shape[0]:
         msg = f"slot_mapping covers {slot_mapping.shape[0]} tokens, kv has {kv.shape[0]}"
         raise ValueError(msg)
-    return reshape_and_cache_mla_launcher(kv, kv_cache, slot_mapping)
+    return reshape_and_cache_mla_launcher(kv, kv_cache, slot_mapping, scale=scale)

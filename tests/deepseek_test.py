@@ -109,3 +109,52 @@ def test_deepseek_dense_only(rng):
     preds = _replay_argmax(params, cfg, prompt + out)
     for j, tok in enumerate(out):
         assert preds[len(prompt) - 1 + j] == tok
+
+
+def test_deepseek_int8_latent_cache_consistent(moe_model, rng):
+    """Engine with an int8 latent cache == full-context replay with the
+    SAME quantized cache (quantization is deterministic per token, so
+    incremental and one-shot writes agree exactly)."""
+    cfg, params = moe_model
+    prompt = list(rng.integers(0, cfg.vocab_size, size=33))
+    eng = _engine(cfg, params)
+    eng_q = LLMEngine(
+        params, cfg,
+        EngineConfig(page_size=16, num_pages=64, max_batch_size=4,
+                     max_pages_per_seq=8, max_prefill_tokens=32,
+                     enable_prefix_caching=False),
+        cache_dtype=jnp.int8,
+        prefill_fn=deepseek_prefill, decode_fn=deepseek_decode_step,
+        verify_fn=deepseek_verify_forward,
+    )
+    out = eng_q.generate([prompt], SamplingParams(max_tokens=8))[0]
+    assert eng_q.k_caches.dtype == jnp.int8
+
+    t = len(prompt) + len(out)
+    pages = -(-t // 16) + 1
+    cache = init_deepseek_kv_cache(cfg, pages, 16, dtype=jnp.int8)
+    positions = jnp.arange(t, dtype=jnp.int32)
+    logits, _, _ = deepseek_verify_forward(
+        params, cfg, jnp.asarray(prompt + out, jnp.int32), positions,
+        jnp.asarray([0, t], jnp.int32), t, jnp.asarray([t], jnp.int32),
+        jnp.arange(pages, dtype=jnp.int32)[None, :], positions,
+        cache, jnp.zeros((0,), jnp.float32),
+    )
+    preds = np.asarray(jnp.argmax(logits, -1))
+    for j, tok in enumerate(out):
+        assert preds[len(prompt) - 1 + j] == tok, (j, out)
+
+
+def test_deepseek_quantized_weights(rng):
+    """int8 projections through QuantizedLinear serve self-consistently."""
+    cfg = DeepseekV2Config(
+        vocab_size=128, hidden_size=64, num_layers=2, num_heads=4,
+        kv_lora_rank=32, qk_rope_head_dim=16, qk_nope_head_dim=32, v_head_dim=32,
+        intermediate_size=64, dtype=jnp.float32,
+    )
+    params = init_deepseek_params(2, cfg, quant_mode="int8", group_size=32)
+    prompt = list(rng.integers(0, cfg.vocab_size, size=19))
+    out = _engine(cfg, params).generate([prompt], SamplingParams(max_tokens=6))[0]
+    preds = _replay_argmax(params, cfg, prompt + out)
+    for j, tok in enumerate(out):
+        assert preds[len(prompt) - 1 + j] == tok

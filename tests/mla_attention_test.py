@@ -93,3 +93,39 @@ def test_mla_validation():
         mla_attention(q, cache, cu, 1, sl, bt, scale=1.0, latent=512)
     with pytest.raises(ValueError, match="packed"):
         mla_attention(q, jnp.zeros((4, 16, 128)), cu, 1, sl, bt, scale=1.0, latent=64)
+
+
+def test_mla_int8_latent_cache(rng):
+    """int8 latent cache: quantize-on-store + folded dequant matches the
+    f32 cache within quantization error."""
+    latent, rope, kd = 128, 64, 256
+    heads, ps = 4, 16
+    seq = 90
+    kv = rng.standard_normal((seq, kd)).astype(np.float32) * 0.5
+    kv[:, latent + rope :] = 0.0
+    q = rng.standard_normal((1, heads, kd)).astype(np.float32)
+    q[..., latent + rope :] = 0.0
+    slots = np.arange(seq, dtype=np.int32)
+    bt = np.arange(8, dtype=np.int32)[None, :]
+    cu = np.asarray([0, 1], np.int32)
+    sl = np.asarray([seq], np.int32)
+    scale, kv_scale = 1 / np.sqrt(192), 1.0 / 32
+
+    f32_cache = reshape_and_cache_mla(
+        jnp.asarray(kv), jnp.zeros((8, ps, kd), jnp.float32), jnp.asarray(slots)
+    )
+    expect = mla_attention(
+        jnp.asarray(q), f32_cache, jnp.asarray(cu), 1, jnp.asarray(sl),
+        jnp.asarray(bt), scale=float(scale), latent=latent,
+    )
+
+    i8_cache = reshape_and_cache_mla(
+        jnp.asarray(kv), jnp.zeros((8, ps, kd), jnp.int8), jnp.asarray(slots),
+        scale=kv_scale,
+    )
+    assert i8_cache.dtype == jnp.int8
+    got = mla_attention(
+        jnp.asarray(q), i8_cache, jnp.asarray(cu), 1, jnp.asarray(sl),
+        jnp.asarray(bt), scale=float(scale), latent=latent, kv_scale=kv_scale,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=5e-2, rtol=5e-2)

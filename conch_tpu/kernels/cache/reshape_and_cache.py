@@ -68,6 +68,11 @@ def reshape_and_cache_launcher(
             if jnp.issubdtype(cache_dtype, jnp.integer):
                 info = jnp.iinfo(cache_dtype)
                 scaled = jnp.clip(jnp.round(scaled), info.min, info.max)
+            else:
+                # fp8 e4m3 has no inf: saturate instead of NaN on overflow
+                # (matches the CUDA saturating convert the reference uses).
+                fmax = float(jnp.finfo(cache_dtype).max)
+                scaled = jnp.clip(scaled, -fmax, fmax)
             return scaled.astype(cache_dtype)
 
         key = quantize(key, k_scale, key_cache.dtype)
@@ -104,5 +109,10 @@ def reshape_and_cache_mla_launcher(
         if jnp.issubdtype(kv_cache.dtype, jnp.integer):
             info = jnp.iinfo(kv_cache.dtype)
             scaled = jnp.clip(jnp.round(scaled), info.min, info.max)
+        else:
+            # fp8 e4m3 has no inf: an unclamped overflow casts to NaN and
+            # poisons every later attention read of the page. Saturate.
+            fmax = float(jnp.finfo(kv_cache.dtype).max)
+            scaled = jnp.clip(scaled, -fmax, fmax)
         kv = scaled
     return kv_cache.at[page_idx, entry_idx].set(kv.astype(kv_cache.dtype), mode="drop")

@@ -37,15 +37,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from conch_tpu.kernels.common import round_up
 from conch_tpu.models.linear import QuantizedLinear, quantize_linear
 from conch_tpu.models.moe import make_dispatch
 from conch_tpu.ops.attention import mla_attention
 from conch_tpu.ops.cache import reshape_and_cache_mla
 from conch_tpu.ops.normalization import rms_norm
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
 
 
 @dataclass(frozen=True)
@@ -84,8 +81,11 @@ class DeepseekV2Config:
     dtype: Any = jnp.bfloat16
     moe_capacity_factor: float = 2.0  # serving-path expert capacity factor
     # Static per-tensor scale for int8/fp8 latent caches (stored value =
-    # round(x / scale)): the latent rows are RMS-normed, so a modest
-    # range suffices. Used only when the cache buffer is int8/float8.
+    # round(x / scale), saturating). NOTE: the stored row mixes the
+    # RMS-normed c_kv with the RAW roped k_pe slice — c_kv is bounded but
+    # k_pe follows the checkpoint's kv_a activation range, so int8 caches
+    # (range ±127*scale) should calibrate this scale against observed
+    # |k_pe|; fp8 e4m3 (±448*scale) has far more headroom.
     kv_cache_scale: float = 1.0 / 16
 
     # -- engine-facing geometry ------------------------------------------
@@ -96,7 +96,7 @@ class DeepseekV2Config:
     @property
     def kv_packed_dim(self) -> int:
         """Cache row width: [c_kv | k_pe] padded to a lane multiple."""
-        return _round_up(self.kv_lora_rank + self.qk_rope_head_dim, 128)
+        return round_up(self.kv_lora_rank + self.qk_rope_head_dim, 128)
 
     @property
     def qk_head_dim(self) -> int:

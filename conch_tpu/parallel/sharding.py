@@ -62,18 +62,21 @@ def _spec_for(path: str, ndim: int) -> P:
         return P(*([None] * (ndim - 3) + ["model", None, None]))
     if ndim >= 4 and any(k in path for k in ("e_gate", "e_up", "e_down")):
         return P(*([None] * (ndim - 3) + ["model", None, None]))
+
+    # w8a8 per-output-channel scales are (N,): they follow N — sharded
+    # under column-parallel, replicated under row-parallel (where K is
+    # the sharded dimension and every chip keeps all N columns). Checked
+    # BEFORE the weight-name rules so a row-parallel projection's 1-D
+    # scales never pick up a rank-2 spec.
+    if "out_scales" in path:
+        if any(k in path for k in ("wq", "wk", "wv", "w_gate", "w_up", "lm_head", "shared_gate", "shared_up")):
+            return last_on_model()
+        return P()
+
     if "shared_gate" in path or "shared_up" in path:
         return last_on_model()
     if "shared_down" in path:
         return second_last_on_model()
-
-    # w8a8 per-output-channel scales are (N,): they follow N — sharded
-    # under column-parallel, replicated under row-parallel (where K is
-    # the sharded dimension and every chip keeps all N columns).
-    if "out_scales" in path:
-        if any(k in path for k in ("wq", "wk", "wv", "w_gate", "w_up", "lm_head")):
-            return last_on_model()
-        return P()
 
     # Qwen2 attention biases are (N,) on the column-parallel outputs:
     # each chip adds its local head slice's bias.

@@ -99,6 +99,14 @@ class EngineConfig:
     # 0 disables. Applies only when every running request is greedy.
     num_speculative_tokens: int = 0
     speculative_ngram: int = 2
+    # Mixed batching: schedule running decodes (one token each, taken
+    # FIRST from the token budget) into the same varlen step as prefill
+    # chunks, so decoding requests keep streaming while long prompts
+    # chunk-prefill — no decode stalls, vLLM chunked-prefill style.
+    # Decode-only steps still use the fixed-shape decode step. Greedy
+    # outputs are unchanged (same per-position computation); stochastic
+    # draws come from the same RNG stream in a different order.
+    mixed_batching: bool = True
     # Multi-step greedy decode: run K decode iterations inside ONE jitted
     # lax.scan dispatch (token feedback via argmax), then apply eos/stop/
     # max_tokens checks on the host and discard overshoot — KV written
@@ -195,6 +203,14 @@ class LLMEngine:
             window = getattr(model_config, "sliding_window", 0)
             if window <= 0:
                 msg = "rolling_kv requires a model with sliding_window > 0"
+                raise ValueError(msg)
+            if not hasattr(model_config, "kv_ring_pages"):
+                # e.g. Gemma-2: alternating GLOBAL-attention layers need
+                # the full history, so a ring can never be valid there.
+                msg = (
+                    f"{type(model_config).__name__} does not support rolling KV "
+                    "(no kv_ring_pages field: every layer must be sliding-window)"
+                )
                 raise ValueError(msg)
             if engine_config.enable_prefix_caching:
                 msg = (
@@ -365,13 +381,24 @@ class LLMEngine:
     def add_request(self, prompt: list[int], sampling: SamplingParams | None = None) -> int:
         ps = self.ecfg.page_size
         cap_pages = min(self.ecfg.max_pages_per_seq, self.ecfg.num_pages)
-        # Rolling KV: any prompt length fits — prefill wraps the ring.
-        if self._cap_tokens is None and len(prompt) + 1 > cap_pages * ps:
-            msg = (
-                f"prompt of {len(prompt)} tokens can never fit: engine caps a "
-                f"sequence at {cap_pages} pages x {ps} slots"
-            )
-            raise ValueError(msg)
+        # Rolling KV: any prompt length the ROPE CACHE covers fits —
+        # prefill wraps the ring, but positions past the model's
+        # max_position would silently clamp to the last cached rotation.
+        if self._cap_tokens is None:
+            if len(prompt) + 1 > cap_pages * ps:
+                msg = (
+                    f"prompt of {len(prompt)} tokens can never fit: engine caps a "
+                    f"sequence at {cap_pages} pages x {ps} slots"
+                )
+                raise ValueError(msg)
+        else:
+            max_pos = getattr(self.config, "max_position", None)
+            if max_pos is not None and len(prompt) + 1 > max_pos:
+                msg = (
+                    f"prompt of {len(prompt)} tokens exceeds the model's rope "
+                    f"range (max_position {max_pos})"
+                )
+                raise ValueError(msg)
         sampling = sampling or SamplingParams()
         if sampling.n < 1:
             msg = f"sampling.n must be >= 1, got {sampling.n}"
@@ -448,7 +475,19 @@ class LLMEngine:
 
         prefilling = [r for r in self.running if r.state == RequestState.PREFILLING]
         if prefilling:
-            self._run_prefill(prefilling)
+            batch = prefilling
+            if self.ecfg.mixed_batching:
+                # Decodes join the varlen step (1 token each, budget
+                # priority) so they keep streaming during long prefills.
+                decodes = self._ensure_decode_pages(
+                    [r for r in self.running if r.state == RequestState.RUNNING]
+                )
+                # Page growth may have preempted a prefilling request:
+                # re-check state before batching.
+                batch = decodes + [
+                    r for r in prefilling if r.state == RequestState.PREFILLING
+                ]
+            self._run_prefill(batch)
         else:
             decodable = [r for r in self.running if r.state == RequestState.RUNNING]
             # Speculation and multi-step both advance with RAW greedy
@@ -691,17 +730,23 @@ class LLMEngine:
             v_caches=self.v_caches,
         )
 
-        # Advance chunk progress; sample for requests whose prompt completed.
+        # Advance chunk progress; sample for requests whose tokens are all
+        # computed (a completed prompt, or a mixed-in decode row).
         done_rows = []
+        fresh_prompt_rows = set()
         for i, (r, take) in enumerate(batch):
+            was_prefilling = r.state == RequestState.PREFILLING
             r.num_computed += take
             if r.num_computed >= r.total_len:
                 done_rows.append(i)
+                if was_prefilling:
+                    fresh_prompt_rows.add(i)
         if done_rows:
             sampled = self._sample(logits, [batch[i][0] for i in done_rows], rows=done_rows)
             for i, tok in zip(done_rows, sampled):
                 r = batch[i][0]
-                self._register_prefix_pages(r)
+                if i in fresh_prompt_rows:  # not mixed-in decode rows
+                    self._register_prefix_pages(r)
                 if r.sampling.n > 1 and r.parent_id is None and not r.siblings_spawned:
                     self._spawn_siblings(r, logits[i])
                 r.output_tokens.append(int(tok))
@@ -805,6 +850,7 @@ class LLMEngine:
         sampled = self._sample(logits, reqs, rows=list(range(len(reqs))))
         for r, tok in zip(reqs, sampled):
             r.output_tokens.append(int(tok))
+            r.num_computed = r.total_len - 1  # KV covers all but the new token
             self._maybe_finish(r)
 
     def _multi_step_fn(self, k: int):
@@ -883,6 +929,7 @@ class LLMEngine:
                 self._maybe_finish(r)
                 if r.state == RequestState.FINISHED:
                     break
+            r.num_computed = r.total_len - 1
 
     def _draft(self, req: Request) -> list[int]:
         """Prompt-lookup draft: find the most recent earlier occurrence of
@@ -978,6 +1025,7 @@ class LLMEngine:
                 self._maybe_finish(r)
                 if r.state == RequestState.FINISHED:
                     break
+            r.num_computed = r.total_len - 1
 
     def _sample(self, logits: jax.Array, reqs: list[Request], rows: list[int]) -> np.ndarray:
         self._rng_key, key = jax.random.split(self._rng_key)
@@ -1046,10 +1094,13 @@ class LLMEngine:
             hit_stop = False  # suppressed at sampling; belt-and-braces here
         out_of_len = len(req.output_tokens) >= req.sampling.max_tokens
         # Hard cap only: pages grow on demand up to max_pages_per_seq.
-        # Rolling KV: length is never page-bound (the ring wraps).
-        at_cap = (
-            self._cap_tokens is None
-            and req.total_len >= self.ecfg.max_pages_per_seq * self.ecfg.page_size
-        )
+        # Rolling KV: length is never page-bound (the ring wraps) but IS
+        # rope-bound — positions past max_position would reuse the last
+        # cached rotation, silently corrupting output.
+        if self._cap_tokens is None:
+            at_cap = req.total_len >= self.ecfg.max_pages_per_seq * self.ecfg.page_size
+        else:
+            max_pos = getattr(self.config, "max_position", None)
+            at_cap = max_pos is not None and req.total_len >= max_pos
         if hit_stop or out_of_len or at_cap:
             req.state = RequestState.FINISHED

@@ -1,8 +1,12 @@
 # Copyright 2026 Conch-TPU authors.
 # SPDX-License-Identifier: Apache-2.0
 
+from conch_tpu.serving.beam_search import BeamHypothesis, beam_search
 from conch_tpu.serving.block_allocator import BlockAllocator
 from conch_tpu.serving.engine import EngineConfig, LLMEngine, Request
 from conch_tpu.serving.sampling import SamplingParams
 
-__all__ = ["BlockAllocator", "EngineConfig", "LLMEngine", "Request", "SamplingParams"]
+__all__ = [
+    "BeamHypothesis", "BlockAllocator", "EngineConfig", "LLMEngine",
+    "Request", "SamplingParams", "beam_search",
+]

@@ -1,0 +1,124 @@
+# Copyright 2026 Conch-TPU authors.
+# SPDX-License-Identifier: Apache-2.0
+
+"""Beam search vs a naive dense-transformer oracle.
+
+The oracle recomputes full-context logits (``naive_forward``) for every
+candidate prefix each step and applies the IDENTICAL candidate rule
+(top-2B per beam, global cumulative-logprob rank, EOS retires, first
+child inherits). The engine implementation must match token sequences
+and scores exactly — any KV-sharing/forking bug between beams diverges
+the logits and fails the comparison.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from engine_test import naive_forward
+
+from conch_tpu.models.llama import LlamaConfig, init_llama_params
+from conch_tpu.serving import EngineConfig, LLMEngine, SamplingParams, beam_search
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = LlamaConfig.tiny(vocab_size=64, dtype=jnp.float32)
+    return cfg, init_llama_params(0, cfg)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(5)
+
+
+def _ecfg(**over):
+    defaults = dict(
+        page_size=16, num_pages=96, max_batch_size=4, max_pages_per_seq=8,
+        max_prefill_tokens=32, enable_prefix_caching=False,
+    )
+    defaults.update(over)
+    return EngineConfig(**defaults)
+
+
+def _lp(params, cfg, tokens):
+    logits = naive_forward(params, cfg, np.asarray(tokens))
+    return np.asarray(jax.nn.log_softmax(jnp.asarray(logits, jnp.float32)), np.float64)
+
+
+def _oracle_beam(params, cfg, prompt, width, max_tokens, penalty, eos):
+    def score(cum, length):
+        return cum / max(length, 1) ** penalty
+
+    finished = []
+    lp0 = _lp(params, cfg, prompt)
+    beams = []
+    for tok in np.argsort(-lp0, kind="stable")[: width + 1]:
+        tok = int(tok)
+        cum = float(lp0[tok])
+        if tok == eos:
+            finished.append(([tok], score(cum, 1)))
+            continue
+        if len(beams) < width:
+            beams.append(([tok], cum))
+    for _ in range(max_tokens - 1):
+        if not beams:
+            break
+        cand = []
+        for i, (toks, cum) in enumerate(beams):
+            lp = _lp(params, cfg, prompt + toks)
+            for t in np.argsort(-lp, kind="stable")[: 2 * width]:
+                cand.append((cum + float(lp[int(t)]), i, int(t)))
+        cand.sort(key=lambda c: -c[0])
+        new = []
+        for cum, i, tok in cand:
+            if tok == eos:
+                finished.append((beams[i][0] + [tok], score(cum, len(beams[i][0]) + 1)))
+                continue
+            if len(new) < width:
+                new.append((beams[i][0] + [tok], cum))
+        beams = new
+    finished.extend((toks, score(cum, len(toks))) for toks, cum in beams)
+    return sorted(finished, key=lambda h: -h[1])[:width]
+
+
+@pytest.mark.parametrize("penalty", [1.0, 0.0])
+def test_beam_search_matches_dense_oracle(model, rng, penalty):
+    cfg, params = model
+    prompt = list(rng.integers(0, cfg.vocab_size, size=22))
+    eng = LLMEngine(params, cfg, _ecfg())
+    free0 = eng.allocator.num_free
+    hyps = beam_search(eng, prompt, beam_width=3, max_tokens=5, length_penalty=penalty)
+    assert eng.allocator.num_free == free0, "beam pages leaked"
+
+    expect = _oracle_beam(params, cfg, prompt, 3, 5, penalty, eos=None)
+    assert len(hyps) == 3
+    for h, (toks, sc) in zip(hyps, expect):
+        assert h.tokens == toks
+        np.testing.assert_allclose(h.score, sc, atol=1e-3, rtol=1e-3)
+
+
+def test_beam_search_with_eos(model, rng):
+    """EOS retires hypotheses; the engine and oracle agree on the rule."""
+    cfg, params = model
+    prompt = list(rng.integers(0, cfg.vocab_size, size=15))
+    # pick the most likely token 2 steps in as "eos" so it actually fires
+    lp0 = _lp(params, cfg, prompt)
+    t1 = int(np.argmax(lp0))
+    eos = int(np.argmax(_lp(params, cfg, prompt + [t1])))
+    eng = LLMEngine(params, cfg, _ecfg())
+    hyps = beam_search(eng, prompt, beam_width=3, max_tokens=6, eos_token_id=eos)
+    expect = _oracle_beam(params, cfg, prompt, 3, 6, 1.0, eos=eos)
+    for h, (toks, sc) in zip(hyps, expect):
+        assert h.tokens == toks
+        np.testing.assert_allclose(h.score, sc, atol=1e-3, rtol=1e-3)
+    assert any(h.tokens and h.tokens[-1] == eos for h in hyps)
+
+
+def test_beam_search_rejects_busy_engine(model, rng):
+    cfg, params = model
+    eng = LLMEngine(params, cfg, _ecfg())
+    eng.add_request([1, 2, 3], SamplingParams(max_tokens=4))
+    with pytest.raises(ValueError, match="idle"):
+        beam_search(eng, [4, 5], beam_width=2, max_tokens=3)

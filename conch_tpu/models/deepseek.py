@@ -542,3 +542,138 @@ def init_deepseek_kv_cache(
         (config.num_layers, num_pages, page_size, config.kv_packed_dim),
         dtype or config.dtype,
     )
+
+
+# -- training (dense full-attention forward + GSPMD step) ------------------
+
+
+def deepseek_dense_forward(
+    params: dict, config: DeepseekV2Config, token_ids: jax.Array, remat: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """Full-context dense forward over (batch, seq) token ids.
+
+    Attention runs in the NON-absorbed form (per-head K/V reconstructed
+    from the latent via the same absorbed W_uk/W_uv parameters:
+    ``k_nope = c @ W_uk``, ``v = c @ W_uv``), which is the efficient
+    layout for training — every position's K/V is needed anyway, and the
+    (B,T,H,d) einsums batch onto the MXU. Returns (logits, aux) where
+    ``aux`` is the Switch-style load-balance loss summed over MoE layers.
+
+    ``remat=True`` wraps each layer in ``jax.checkpoint`` (O(1)-layer
+    activation memory).
+    """
+    from conch_tpu.models.moe import load_balance_loss
+
+    b, t = token_ids.shape
+    h = config.hidden_size
+    nh = config.num_heads
+    nope, rope_d = config.qk_nope_head_dim, config.qk_rope_head_dim
+    lora = config.kv_lora_rank
+    scale = 1.0 / math.sqrt(config.qk_head_dim)
+    hidden = jnp.take(params["embedding"], token_ids, axis=0).astype(jnp.float32)
+    positions = jnp.arange(t, dtype=jnp.int32)
+    cs = jnp.take(params["rope_cache"], positions, axis=0)
+    cos, sin = cs[:, : rope_d // 2], cs[:, rope_d // 2 :]
+
+    def norm(x, w):
+        ms = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+        return (x * jax.lax.rsqrt(ms + config.rms_norm_eps)) * w.astype(jnp.float32)
+
+    causal = jnp.tril(jnp.ones((t, t), bool))
+
+    def layer_step(hidden, layer, moe: bool):
+        x = norm(hidden, layer["input_norm"]).astype(config.dtype)
+        flat = x.reshape(b * t, h)
+        if config.q_lora_rank:
+            qa = norm(layer["wq_a"].apply(flat), layer["q_a_norm"]).astype(config.dtype)
+            q = layer["wq_b"].apply(qa)
+        else:
+            q = layer["wq"].apply(flat)
+        q = q.reshape(b, t, nh, nope + rope_d).astype(jnp.float32)
+        q_nope, q_pe = q[..., :nope], q[..., nope:]
+        q_pe = _apply_rope_interleaved(q_pe, cos[None, :, None, :], sin[None, :, None, :])
+
+        kv_a = layer["w_kv_a"].apply(flat).reshape(b, t, lora + rope_d).astype(jnp.float32)
+        c = norm(kv_a[..., :lora], layer["kv_a_norm"])
+        k_pe = _apply_rope_interleaved(kv_a[..., lora:], cos[None], sin[None])
+
+        k_nope = jnp.einsum("btl,hnl->bthn", c, layer["w_uk"].astype(jnp.float32))
+        v = jnp.einsum("btl,hlv->bthv", c, layer["w_uv"].astype(jnp.float32))
+        k = jnp.concatenate([k_nope, jnp.broadcast_to(k_pe[:, :, None, :], (b, t, nh, rope_d))], -1)
+        q_full = jnp.concatenate([q_nope, q_pe], -1)
+
+        s = jnp.einsum("bqhd,bkhd->bhqk", q_full, k) * scale
+        s = jnp.where(causal[None, None], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b * t, -1).astype(config.dtype)
+        hidden = hidden + layer["wo"].apply(attn).reshape(b, t, h).astype(jnp.float32)
+
+        x2 = norm(hidden, layer["post_attn_norm"]).astype(config.dtype).reshape(b * t, h)
+        aux = jnp.zeros((), jnp.float32)
+        if moe:
+            mlp_out = _moe_mlp(layer, x2, config)
+            logits_r = x2.astype(jnp.float32) @ layer["router_w"].astype(jnp.float32)
+            _, experts = deepseek_route(x2, layer["router_w"], config, bias=layer.get("router_bias"))
+            aux = load_balance_loss(logits_r, experts, config.n_routed_experts)
+        else:
+            mlp_out = _dense_mlp(layer, x2)
+        hidden = hidden + mlp_out.reshape(b, t, h).astype(jnp.float32)
+        return hidden, aux
+
+    aux_total = jnp.zeros((), jnp.float32)
+    for stack, moe in (("layers_dense", False), ("layers_moe", True)):
+        if params[stack] is None:
+            continue
+        step = (lambda hh, layer, m=moe: layer_step(hh, layer, m))
+        if remat:
+            step = jax.checkpoint(step)
+        hidden, auxes = jax.lax.scan(
+            lambda hh, layer, s=step: s(hh, layer), hidden, params[stack]
+        )
+        aux_total = aux_total + jnp.sum(auxes)
+
+    hidden = norm(hidden, params["final_norm"]).astype(config.dtype)
+    logits = params["lm_head"].apply(hidden.reshape(b * t, h))
+    return logits.reshape(b, t, -1).astype(jnp.float32), aux_total
+
+
+def make_deepseek_train_step(
+    mesh, config: DeepseekV2Config, params_example, learning_rate: float = 1e-3,
+    aux_coef: float = 0.01, remat: bool = False,
+):
+    """GSPMD DeepSeek training step: batch over "data"; heads (W_uk/W_uv,
+    q/o projections) and routed experts over "model"; loss = next-token
+    CE + aux_coef x load-balance. Returns (train_step, init_opt_state,
+    batch_sharding)."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from conch_tpu.parallel.sharding import llama_param_shardings
+
+    optimizer = optax.adamw(learning_rate)
+    param_shardings = llama_param_shardings(params_example, mesh)
+    batch_sharding = NamedSharding(mesh, P("data", None))
+
+    def loss_fn(params, token_ids):
+        logits, aux = deepseek_dense_forward(params, config, token_ids, remat=remat)
+        targets = token_ids[:, 1:]
+        log_probs = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+        nll = -jnp.take_along_axis(log_probs, targets[..., None], axis=-1)[..., 0]
+        return jnp.mean(nll) + aux_coef * aux
+
+    def init_opt_state(params):
+        return optimizer.init(params)
+
+    def train_step(params, opt_state, token_ids):
+        loss, grads = jax.value_and_grad(loss_fn)(params, token_ids)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    jitted = jax.jit(
+        train_step,
+        in_shardings=(param_shardings, None, batch_sharding),
+        out_shardings=(param_shardings, None, None),
+        donate_argnums=(0, 1),
+    )
+    return jitted, init_opt_state, batch_sharding

@@ -97,6 +97,25 @@ def main() -> None:
     print(f"# prefill: {args.batch}x{args.context} tokens in {prefill_s:.3f}s over {prefill_steps} steps")
     print(f"# decode throughput: {toks_per_step / (med_ms / 1e3):.1f} tok/s at {config.num_layers} layers")
 
+    # TTFT: per-request latency from submission to the first output token
+    # on an otherwise-idle engine (chunked prefill + first sample) — the
+    # north-star serving latency metric (BASELINE.json "p50 TTFT").
+    ttft_engine = LLMEngine(params, config, ecfg)
+    ttfts = []
+    for _ in range(min(args.batch, 8)):
+        prompt = rng.integers(0, config.vocab_size, args.context).tolist()
+        t0 = time.perf_counter()
+        rid = ttft_engine.add_request(prompt, SamplingParams(max_tokens=1))
+        while any(
+            r.request_id == rid for r in (*ttft_engine.running, *ttft_engine.waiting)
+        ):
+            ttft_engine.step()
+        ttfts.append(time.perf_counter() - t0)
+    print(
+        f"# TTFT ({args.context}-token prompt): p50 {np.median(ttfts) * 1e3:.1f} ms, "
+        f"max {max(ttfts) * 1e3:.1f} ms over {len(ttfts)} requests"
+    )
+
 
 if __name__ == "__main__":
     main()

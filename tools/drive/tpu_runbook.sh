@@ -36,3 +36,6 @@ stage bench_table 5400 bash tools/benchmarks/run_all.sh
 
 # 5. long-context sweep to 131072
 stage longctx 3600 bash tools/benchmarks/collect_paged_attention_sweep.sh
+
+# 6. engine serving drive (continuous batching, spec decode, multi-step)
+stage engine 1200 python tools/drive/drive_engine_tpu.py

@@ -677,3 +677,44 @@ def make_deepseek_train_step(
         donate_argnums=(0, 1),
     )
     return jitted, init_opt_state, batch_sharding
+
+
+def requantize_deepseek_params(
+    params: dict, config: DeepseekV2Config, quant_mode: str, group_size: int = 32
+) -> dict:
+    """Post-training quantization: rebuild every 2-D projection of a
+    dense (bf16) DeepSeek param tree in ``quant_mode``, matching the
+    layout ``init_deepseek_params(..., quant_mode)`` produces natively.
+    The absorbed W_uk/W_uv and expert stacks stay dense (they run as
+    batched einsums, not QuantizedLinear matmuls)."""
+    kwargs = {"group_size": group_size} if quant_mode in ("int4", "int8") else {}
+    proj_names = (
+        "wq", "wq_a", "wq_b", "w_kv_a", "wo",
+        "w_gate", "w_up", "w_down",
+        "shared_gate", "shared_up", "shared_down",
+    )
+
+    def requant_stacked(ql: QuantizedLinear) -> QuantizedLinear:
+        assert ql.kind == "dense", f"requantize needs dense params, got {ql.kind}"
+        w = np.asarray(ql.arrays["w"], dtype=np.float32)  # (L, K, N)
+        per_layer = [quantize_linear(w[i], quant_mode, **kwargs) for i in range(w.shape[0])]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+
+    out = dict(params)
+    for stack_name in ("layers_dense", "layers_moe"):
+        if params[stack_name] is None:
+            continue
+        stack = dict(params[stack_name])
+        for name in proj_names:
+            if name in stack:
+                stack[name] = requant_stacked(stack[name])
+        out[stack_name] = stack
+
+    head = params["lm_head"]
+    assert head.kind == "dense"
+    head_mode = quant_mode if quant_mode != "int4" else "bf16"
+    head_kwargs = kwargs if head_mode in ("int4", "int8") else {}
+    out["lm_head"] = quantize_linear(
+        np.asarray(head.arrays["w"], dtype=np.float32), head_mode, **head_kwargs
+    )
+    return out

@@ -158,3 +158,24 @@ def test_deepseek_quantized_weights(rng):
     preds = _replay_argmax(params, cfg, prompt + out)
     for j, tok in enumerate(out):
         assert preds[len(prompt) - 1 + j] == tok
+
+
+def test_requantize_matches_native_init(rng):
+    """requantize(bf16 tree) serves identically to a natively-quantized
+    init from the same seed (same quantization math, same layout)."""
+    from conch_tpu.models.deepseek import requantize_deepseek_params
+
+    cfg = DeepseekV2Config(
+        vocab_size=128, hidden_size=64, num_layers=2, num_heads=4,
+        kv_lora_rank=32, qk_rope_head_dim=16, qk_nope_head_dim=32, v_head_dim=32,
+        n_routed_experts=4, n_shared_experts=1, num_experts_per_tok=2,
+        moe_intermediate_size=32, intermediate_size=64, first_k_dense_replace=1,
+        dtype=jnp.float32, moe_capacity_factor=100.0,
+    )
+    dense = init_deepseek_params(3, cfg, quant_mode="bf16")
+    requant = requantize_deepseek_params(dense, cfg, "int8", group_size=32)
+    prompt = list(rng.integers(0, cfg.vocab_size, size=17))
+    out = _engine(cfg, requant).generate([prompt], SamplingParams(max_tokens=5))[0]
+    preds = _replay_argmax(requant, cfg, prompt + out)
+    for j, tok in enumerate(out):
+        assert preds[len(prompt) - 1 + j] == tok

@@ -56,9 +56,10 @@ def make_markov_corpus(rng: np.random.Generator, vocab: int, rows: int, seq: int
     return out
 
 
-def eval_ppl_and_kl(params, ref_logits, config, tokens: jax.Array) -> tuple[float, float, np.ndarray]:
+def eval_ppl_and_kl(params, ref_logits, config, tokens: jax.Array, forward=None) -> tuple[float, float, np.ndarray]:
     """Teacher-forced ppl and mean KL(ref || this) over held-out tokens."""
-    logits = jax.jit(dense_forward, static_argnums=1)(params, config, tokens)
+    forward = forward or dense_forward
+    logits = jax.jit(forward, static_argnums=1)(params, config, tokens)
     lp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
     targets = tokens[:, 1:]
     nll = -jnp.take_along_axis(lp, targets[..., None], axis=-1)[..., 0]
@@ -78,18 +79,48 @@ def main() -> None:
     parser.add_argument("--seq", type=int, default=128)
     parser.add_argument("--lr", type=float, default=3e-3)
     parser.add_argument("--json", action="store_true", help="one JSON line per precision")
+    parser.add_argument(
+        "--family", default="llama", choices=["llama", "deepseek"],
+        help="model family: llama (GQA) or deepseek (MLA + MoE)",
+    )
     args = parser.parse_args()
 
-    config = LlamaConfig(
-        vocab_size=512, hidden_size=256, intermediate_size=512, num_layers=4,
-        num_heads=4, num_kv_heads=2, head_dim=64, max_position=args.seq,
-    )
     rng = np.random.default_rng(0)
-    uniform_ppl = config.vocab_size
+    if args.family == "deepseek":
+        from conch_tpu.models.deepseek import (
+            DeepseekV2Config,
+            deepseek_dense_forward,
+            init_deepseek_params,
+            make_deepseek_train_step,
+            requantize_deepseek_params,
+        )
 
-    params = init_llama_params(0, config, "bf16")
-    mesh = create_mesh(data=1, model=1, devices=jax.devices()[:1])
-    train_step, init_opt, _, _ = make_train_step(mesh, config, params, learning_rate=args.lr)
+        config = DeepseekV2Config(
+            vocab_size=512, hidden_size=256, num_layers=4, num_heads=4,
+            kv_lora_rank=128, qk_nope_head_dim=64, qk_rope_head_dim=32,
+            v_head_dim=64, n_routed_experts=4, n_shared_experts=1,
+            num_experts_per_tok=2, moe_intermediate_size=256,
+            intermediate_size=512, first_k_dense_replace=1,
+            max_position=args.seq, moe_capacity_factor=100.0,
+        )
+        params = init_deepseek_params(0, config, "bf16")
+        mesh = create_mesh(data=1, model=1, devices=jax.devices()[:1])
+        train_step, init_opt, _ = make_deepseek_train_step(mesh, config, params, learning_rate=args.lr)
+        forward = lambda p, c, toks: deepseek_dense_forward(p, c, toks)[0]
+        requantize = requantize_deepseek_params
+        group_size = 32
+    else:
+        config = LlamaConfig(
+            vocab_size=512, hidden_size=256, intermediate_size=512, num_layers=4,
+            num_heads=4, num_kv_heads=2, head_dim=64, max_position=args.seq,
+        )
+        params = init_llama_params(0, config, "bf16")
+        mesh = create_mesh(data=1, model=1, devices=jax.devices()[:1])
+        train_step, init_opt, *_ = make_train_step(mesh, config, params, learning_rate=args.lr)
+        forward = dense_forward
+        requantize = requantize_llama_params
+        group_size = 64
+    uniform_ppl = config.vocab_size
     opt_state = init_opt(params)
 
     t0 = time.time()
@@ -109,9 +140,12 @@ def main() -> None:
 
     results = {}
     ref_logits = None
-    for mode in ("bf16", "int8", "w8a8", "int4", "nf4"):
-        qp = params if mode == "bf16" else requantize_llama_params(params, config, mode, group_size=64)
-        ppl, kl, logits = eval_ppl_and_kl(qp, ref_logits, config, heldout)
+    modes = ("bf16", "int8", "w8a8", "int4", "nf4")
+    if args.family == "deepseek":
+        modes = ("bf16", "int8", "int4", "nf4")  # w8a8 rules not wired for MLA
+    for mode in modes:
+        qp = params if mode == "bf16" else requantize(params, config, mode, group_size=group_size)
+        ppl, kl, logits = eval_ppl_and_kl(qp, ref_logits, config, heldout, forward=forward)
         if mode == "bf16":
             ref_logits = jnp.asarray(logits)
         results[mode] = (ppl, kl)
@@ -125,7 +159,7 @@ def main() -> None:
 
     bf16_ppl = results["bf16"][0]
     assert bf16_ppl < uniform_ppl / 4, "training failed to learn structure"
-    worst = max(abs(results[m][0] - bf16_ppl) for m in ("int8", "w8a8", "int4", "nf4"))
+    worst = max(abs(results[m][0] - bf16_ppl) for m in modes if m != "bf16")
     print(f"# bf16 ppl {bf16_ppl:.3f} (uniform {uniform_ppl}); worst quant ppl delta {worst:.4f}")
 
 

@@ -87,6 +87,26 @@ class DeepseekV2Config:
     # (range ±127*scale) should calibrate this scale against observed
     # |k_pe|; fp8 e4m3 (±448*scale) has far more headroom.
     kv_cache_scale: float = 1.0 / 16
+    # YaRN rope scaling (real V2/V3 checkpoints): HF-style dict stored as
+    # an items-tuple so the frozen config stays hashable. The yarn
+    # attention factor scales the cos/sin cache (both families); V3's
+    # modeling code ADDITIONALLY multiplies the softmax scale by
+    # mscale(factor, mscale_all_dim)^2 — V2's does not (HF eager
+    # semantics, our oracle) — so that part is opt-in below.
+    rope_scaling: tuple | None = None
+    yarn_mscale_attention: bool = False  # V3: mscale^2 on the softmax scale
+
+    def rope_scaling_dict(self) -> dict | None:
+        return dict(self.rope_scaling) if self.rope_scaling else None
+
+    def attention_scale(self) -> float:
+        """Softmax scale incl. the V3 yarn mscale^2 adjustment."""
+        s = 1.0 / math.sqrt(self.qk_head_dim)
+        rs = self.rope_scaling_dict()
+        if self.yarn_mscale_attention and rs and rs.get("mscale_all_dim"):
+            m = _yarn_mscale(rs["factor"], rs["mscale_all_dim"])
+            s *= m * m
+        return s
 
     # -- engine-facing geometry ------------------------------------------
     @property
@@ -112,6 +132,11 @@ class DeepseekV2Config:
             moe_intermediate_size=1408, intermediate_size=10944,
             first_k_dense_replace=1, routed_scaling_factor=1.0,
             rope_theta=10000.0, max_position=163840,
+            rope_scaling=(
+                ("rope_type", "yarn"), ("factor", 40.0), ("beta_fast", 32),
+                ("beta_slow", 1), ("mscale", 0.707), ("mscale_all_dim", 0.707),
+                ("original_max_position_embeddings", 4096),
+            ),
         )
 
     @staticmethod
@@ -124,6 +149,11 @@ class DeepseekV2Config:
             moe_intermediate_size=1536, intermediate_size=12288,
             first_k_dense_replace=1, routed_scaling_factor=16.0,
             norm_topk_prob=False, rope_theta=10000.0, max_position=163840,
+            rope_scaling=(
+                ("rope_type", "yarn"), ("factor", 40.0), ("beta_fast", 32),
+                ("beta_slow", 1), ("mscale", 0.707), ("mscale_all_dim", 0.707),
+                ("original_max_position_embeddings", 4096),
+            ),
         )
 
     @staticmethod
@@ -139,6 +169,12 @@ class DeepseekV2Config:
             norm_topk_prob=True, topk_method="noaux_tc",
             score_function="sigmoid", n_group=8, topk_group=4,
             rope_theta=10000.0, max_position=163840,
+            rope_scaling=(
+                ("rope_type", "yarn"), ("factor", 40.0), ("beta_fast", 32),
+                ("beta_slow", 1), ("mscale", 1.0), ("mscale_all_dim", 1.0),
+                ("original_max_position_embeddings", 4096),
+            ),
+            yarn_mscale_attention=True,
         )
 
     @staticmethod
@@ -149,13 +185,54 @@ class DeepseekV2Config:
 # -- RoPE (interleaved-complex convention) --------------------------------
 
 
+def _yarn_mscale(scale: float, mscale: float = 1.0) -> float:
+    if scale <= 1:
+        return 1.0
+    return 0.1 * mscale * math.log(scale) + 1.0
+
+
 def deepseek_rope_cache(config: DeepseekV2Config) -> jax.Array:
-    """(max_position, rope_dim) [cos | sin] cache, f32."""
+    """(max_position, rope_dim) [cos | sin] cache, f32.
+
+    With ``rope_scaling`` (YaRN): low-frequency dims interpolate
+    (freq / factor), high-frequency dims extrapolate unchanged, blended
+    by the NTK-by-parts linear ramp; the yarn attention factor scales
+    cos/sin (HF multiplies it into ``freqs_cis``). Mirrors
+    ``transformers.modeling_rope_utils._compute_yarn_parameters``.
+    """
     d = config.qk_rope_head_dim
-    inv_freq = 1.0 / (config.rope_theta ** (np.arange(0, d, 2, dtype=np.float64) / d))
+    theta = config.rope_theta
+    pos_freqs = theta ** (np.arange(0, d, 2, dtype=np.float64) / d)
+    inv_freq = 1.0 / pos_freqs
+    attention_factor = 1.0
+    rs = config.rope_scaling_dict()
+    if rs and rs.get("rope_type", rs.get("type")) == "yarn":
+        factor = rs["factor"]
+        orig = rs.get("original_max_position_embeddings") or config.max_position
+        beta_fast = rs.get("beta_fast") or 32
+        beta_slow = rs.get("beta_slow") or 1
+
+        def corr_dim(num_rotations: float) -> float:
+            return (d * math.log(orig / (num_rotations * 2 * math.pi))) / (2 * math.log(theta))
+
+        low = max(math.floor(corr_dim(beta_fast)), 0)
+        high = min(math.ceil(corr_dim(beta_slow)), d - 1)
+        ramp = np.clip(
+            (np.arange(d // 2, dtype=np.float64) - low) / max(high - low, 1e-3), 0, 1
+        )
+        extrapolation = 1.0 - ramp
+        inv_freq = (1.0 / (factor * pos_freqs)) * ramp + inv_freq * extrapolation
+        attention_factor = rs.get("attention_factor")
+        if attention_factor is None:
+            mscale, msdim = rs.get("mscale"), rs.get("mscale_all_dim")
+            if mscale and msdim:
+                attention_factor = _yarn_mscale(factor, mscale) / _yarn_mscale(factor, msdim)
+            else:
+                attention_factor = _yarn_mscale(factor)
     angles = np.arange(config.max_position, dtype=np.float64)[:, None] * inv_freq[None, :]
     return jnp.asarray(
-        np.concatenate([np.cos(angles), np.sin(angles)], axis=-1), jnp.float32
+        np.concatenate([np.cos(angles), np.sin(angles)], axis=-1) * attention_factor,
+        jnp.float32,
     )
 
 
@@ -391,7 +468,7 @@ def _mla_layer_step(
     nope, rope_d = config.qk_nope_head_dim, config.qk_rope_head_dim
     lora, v_dim = config.kv_lora_rank, config.v_head_dim
     packed = config.kv_packed_dim
-    scale = 1.0 / math.sqrt(config.qk_head_dim)
+    scale = config.attention_scale()
 
     cs = jnp.take(rope_cache, positions, axis=0)  # (T, rope_d) [cos|sin]
     cos, sin = cs[:, : rope_d // 2], cs[:, rope_d // 2 :]
@@ -569,7 +646,7 @@ def deepseek_dense_forward(
     nh = config.num_heads
     nope, rope_d = config.qk_nope_head_dim, config.qk_rope_head_dim
     lora = config.kv_lora_rank
-    scale = 1.0 / math.sqrt(config.qk_head_dim)
+    scale = config.attention_scale()
     hidden = jnp.take(params["embedding"], token_ids, axis=0).astype(jnp.float32)
     positions = jnp.arange(t, dtype=jnp.int32)
     cs = jnp.take(params["rope_cache"], positions, axis=0)

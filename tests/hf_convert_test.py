@@ -532,3 +532,97 @@ def test_deepseek_v3_conversion_matches_transformers():
     )
     assert cos.min() > 0.999, cos
     np.testing.assert_array_equal(our_n.argmax(-1), hf_n.argmax(-1))
+
+
+def test_deepseek_yarn_matches_transformers():
+    """Real-checkpoint rope: YaRN NTK-by-parts freqs + attention factor
+    (V2) and additionally mscale^2 on the softmax scale (V3)."""
+    from transformers.models.deepseek_v2 import DeepseekV2Config as HFV2
+    from transformers.models.deepseek_v2 import DeepseekV2ForCausalLM
+    from transformers.models.deepseek_v3 import DeepseekV3Config as HFV3
+    from transformers.models.deepseek_v3 import DeepseekV3ForCausalLM
+
+    from conch_tpu.models.deepseek import (
+        DeepseekV2Config,
+        deepseek_verify_forward,
+        init_deepseek_kv_cache,
+    )
+    from conch_tpu.models.hf import deepseek_params_from_hf
+
+    yarn = {
+        "rope_type": "yarn", "factor": 8.0, "beta_fast": 32, "beta_slow": 1,
+        "mscale": 0.707, "mscale_all_dim": 0.6,
+        "original_max_position_embeddings": 32,
+    }
+    tokens = [3, 17, 99, 4, 4, 127, 56, 23, 8, 1, 77, 12]
+    common_hf = dict(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4,
+        q_lora_rank=24, kv_lora_rank=32, qk_rope_head_dim=16,
+        qk_nope_head_dim=32, v_head_dim=32, head_dim=16,
+        n_routed_experts=4, n_shared_experts=1, num_experts_per_tok=2,
+        moe_intermediate_size=32, intermediate_size=64,
+        first_k_dense_replace=1, max_position_embeddings=256,
+        rope_theta=10000.0, tie_word_embeddings=False, attention_bias=False,
+    )
+    common_ours = dict(
+        vocab_size=128, hidden_size=64, num_layers=2, num_heads=4,
+        q_lora_rank=24, kv_lora_rank=32, qk_rope_head_dim=16,
+        qk_nope_head_dim=32, v_head_dim=32,
+        n_routed_experts=4, n_shared_experts=1, num_experts_per_tok=2,
+        moe_intermediate_size=32, intermediate_size=64,
+        first_k_dense_replace=1, max_position=256, rope_theta=10000.0,
+        dtype=jnp.float32, moe_capacity_factor=100.0,
+        rope_scaling=tuple(yarn.items()),
+    )
+
+    def run_ours(cfg, state):
+        params = deepseek_params_from_hf(state, cfg)
+        t = len(tokens)
+        cache = init_deepseek_kv_cache(cfg, 4, 16, dtype=jnp.float32)
+        positions = jnp.arange(t, dtype=jnp.int32)
+        logits, _, _ = deepseek_verify_forward(
+            params, cfg, jnp.asarray(tokens, jnp.int32), positions,
+            jnp.asarray([0, t], jnp.int32), t, jnp.asarray([t], jnp.int32),
+            jnp.arange(4, dtype=jnp.int32)[None, :], positions,
+            cache, jnp.zeros((0,), jnp.float32),
+        )
+        return np.asarray(logits)
+
+    def compare(hf_logits, ours):
+        hf_n = hf_logits - hf_logits.mean(-1, keepdims=True)
+        our_n = ours - ours.mean(-1, keepdims=True)
+        cos = (hf_n * our_n).sum(-1) / (
+            np.linalg.norm(hf_n, axis=-1) * np.linalg.norm(our_n, axis=-1)
+        )
+        assert cos.min() > 0.999, cos
+        np.testing.assert_array_equal(our_n.argmax(-1), hf_n.argmax(-1))
+
+    # V2 + yarn
+    torch.manual_seed(21)
+    m2 = DeepseekV2ForCausalLM(
+        HFV2(**common_hf, routed_scaling_factor=1.0, norm_topk_prob=False,
+             topk_method="greedy", rope_scaling=dict(yarn))
+    ).eval()
+    with torch.no_grad():
+        hf2 = m2(torch.tensor([tokens])).logits[0].float().numpy()
+    cfg2 = DeepseekV2Config(**common_ours)
+    compare(hf2, run_ours(cfg2, m2.state_dict()))
+
+    # V3 + yarn (+ mscale^2 softmax-scale adjustment)
+    torch.manual_seed(22)
+    m3 = DeepseekV3ForCausalLM(
+        HFV3(**common_hf, routed_scaling_factor=1.5, norm_topk_prob=True,
+             n_group=2, topk_group=1, rope_interleave=True,
+             rope_scaling=dict(yarn))
+    ).eval()
+    with torch.no_grad():
+        hf3 = m3(torch.tensor([tokens])).logits[0].float().numpy()
+    cfg3 = DeepseekV2Config(
+        **common_ours | dict(
+            routed_scaling_factor=1.5, norm_topk_prob=True,
+            topk_method="noaux_tc", score_function="sigmoid",
+            n_group=2, topk_group=1, yarn_mscale_attention=True,
+        )
+    )
+    compare(hf3, run_ours(cfg3, m3.state_dict()))

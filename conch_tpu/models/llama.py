@@ -257,7 +257,7 @@ def _kv_cache_quant(config: LlamaConfig, cache_dtype) -> tuple[str, jax.Array | 
     return "auto", None
 
 
-def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, slot_mapping, tp_axis: str | None = None, num_heads: int | None = None, num_kv_heads: int | None = None, kv_quant: tuple[str, jax.Array | None] = ("auto", None), mlp_fn=None):
+def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, slot_mapping, tp_axis: str | None = None, num_heads: int | None = None, num_kv_heads: int | None = None, kv_quant: tuple[str, jax.Array | None] = ("auto", None), mlp_fn=None, lora_sel: jax.Array | None = None):
     """Build the scanned per-layer function shared by prefill and decode.
 
     With ``tp_axis`` set (inside a shard_map), the per-chip head counts are
@@ -267,6 +267,13 @@ def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, 
     ``mlp_fn(layer, mlp_in) -> delta`` overrides the dense SwiGLU MLP
     (e.g. the MoE feed-forward in ``models/moe.py``); an override owns its
     own cross-device reduction.
+
+    ``lora_sel`` (tokens, adapters) is the scaled one-hot multi-LoRA
+    selector (``models/lora.py``); the per-layer adapter stacks ride the
+    scanned layer dict under the reserved key ``"__lora__"``. Low-rank
+    deltas are added *before* the row-parallel psum, so under TP the
+    K-sharded ``A`` factors of wo/w_down reduce through the same
+    collective as the base matmul.
     """
     eps = config.rms_norm_eps
     num_heads = num_heads or config.num_heads
@@ -280,11 +287,21 @@ def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, 
     def layer_step(hidden, xs):
         layer, k_cache, v_cache = xs
         t = hidden.shape[0]
+        lora_layer = layer.get("__lora__")
+
+        def proj(name, x):
+            y = layer[name].apply(x)
+            if lora_layer is not None and name in lora_layer:
+                from conch_tpu.models.lora import lora_delta
+
+                ab = lora_layer[name]
+                y = (y.astype(jnp.float32) + lora_delta(x, ab["a"], ab["b"], lora_sel)).astype(y.dtype)
+            return y
 
         attn_in = rms_norm(hidden, layer["input_norm"], eps)
-        q = layer["wq"].apply(attn_in)
-        k = layer["wk"].apply(attn_in)
-        v = layer["wv"].apply(attn_in)
+        q = proj("wq", attn_in)
+        k = proj("wk", attn_in)
+        v = proj("wv", attn_in)
         if "bq" in layer:  # Qwen2-style attention bias
             q = q + layer["bq"].astype(q.dtype)
             k = k + layer["bk"].astype(k.dtype)
@@ -300,19 +317,34 @@ def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, 
         )
 
         attn_out = attn_fn(q.reshape(t, *n_tokens_heads), k_cache, v_cache)
-        hidden = hidden + reduce_tp(layer["wo"].apply(attn_out.reshape(t, -1)))
+        hidden = hidden + reduce_tp(proj("wo", attn_out.reshape(t, -1)))
 
         mlp_in = rms_norm(hidden, layer["post_attn_norm"], eps)
         if mlp_fn is not None:
             hidden = hidden + mlp_fn(layer, mlp_in)
         else:
-            gate = layer["w_gate"].apply(mlp_in)
-            up = layer["w_up"].apply(mlp_in)
-            hidden = hidden + reduce_tp(layer["w_down"].apply(silu_and_mul_parts(gate, up)))
+            gate = proj("w_gate", mlp_in)
+            up = proj("w_up", mlp_in)
+            hidden = hidden + reduce_tp(proj("w_down", silu_and_mul_parts(gate, up)))
 
         return hidden, (k_cache, v_cache)
 
     return layer_step
+
+
+def _splice_lora(layers: dict, lora: dict | None, lora_ids: jax.Array | None):
+    """Attach the stacked adapter arrays to the scanned layer dict and
+    build the per-token selector. No-LoRA calls pass through unchanged."""
+    if lora is None:
+        return layers, None
+    if lora_ids is None:
+        msg = "lora adapters were given but lora_ids is None"
+        raise ValueError(msg)
+    from conch_tpu.models.lora import lora_selector
+
+    spliced = dict(layers)
+    spliced["__lora__"] = lora["layers"]
+    return spliced, lora_selector(lora_ids, lora["scales"])
 
 
 def llama_prefill(
@@ -328,18 +360,22 @@ def llama_prefill(
     k_caches: jax.Array,  # (L, P, KH, ps, D)
     v_caches: jax.Array,
     tp_axis: str | None = None,
+    lora: dict | None = None,
+    lora_ids: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Prefill (or chunked-prefill) forward pass.
 
     Returns (last-token logits per sequence (batch, vocab), k_caches, v_caches).
     Inside a shard_map, ``tp_axis`` names the tensor-parallel mesh axis and
-    all shapes are per-chip shards.
+    all shapes are per-chip shards. ``lora``/``lora_ids`` enable per-token
+    multi-LoRA dispatch (``models/lora.py``).
     """
     hidden = jnp.take(params["embedding"], token_ids, axis=0)
     num_kv_heads = k_caches.shape[2]
     group = config.num_heads // config.num_kv_heads
 
     kv_quant = _kv_cache_quant(config, k_caches.dtype)
+    layers, lora_sel = _splice_lora(params["layers"], lora, lora_ids)
 
     def attn_fn(q, k_cache, v_cache):
         return varlen_attention(
@@ -353,9 +389,9 @@ def llama_prefill(
     layer_step = _layer_step_factory(
         config, attn_fn, params["cos_sin_cache"], positions, slot_mapping,
         tp_axis=tp_axis, num_heads=num_kv_heads * group, num_kv_heads=num_kv_heads,
-        kv_quant=kv_quant,
+        kv_quant=kv_quant, lora_sel=lora_sel,
     )
-    hidden, (k_caches, v_caches) = jax.lax.scan(layer_step, hidden, (params["layers"], k_caches, v_caches))
+    hidden, (k_caches, v_caches) = jax.lax.scan(layer_step, hidden, (layers, k_caches, v_caches))
 
     # Only the last token of each sequence produces next-token logits.
     last_rows = cu_seqlens_q[1:] - 1
@@ -378,6 +414,8 @@ def llama_verify_forward(
     k_caches: jax.Array,
     v_caches: jax.Array,
     tp_axis: str | None = None,
+    lora: dict | None = None,
+    lora_ids: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Speculative-decoding verification forward: identical to
     ``llama_prefill`` but returns logits for EVERY query token, so the
@@ -389,6 +427,7 @@ def llama_verify_forward(
     num_kv_heads = k_caches.shape[2]
     group = config.num_heads // config.num_kv_heads
     kv_quant = _kv_cache_quant(config, k_caches.dtype)
+    layers, lora_sel = _splice_lora(params["layers"], lora, lora_ids)
 
     def attn_fn(q, k_cache, v_cache):
         return varlen_attention(
@@ -402,9 +441,9 @@ def llama_verify_forward(
     layer_step = _layer_step_factory(
         config, attn_fn, params["cos_sin_cache"], positions, slot_mapping,
         tp_axis=tp_axis, num_heads=num_kv_heads * group, num_kv_heads=num_kv_heads,
-        kv_quant=kv_quant,
+        kv_quant=kv_quant, lora_sel=lora_sel,
     )
-    hidden, (k_caches, v_caches) = jax.lax.scan(layer_step, hidden, (params["layers"], k_caches, v_caches))
+    hidden, (k_caches, v_caches) = jax.lax.scan(layer_step, hidden, (layers, k_caches, v_caches))
 
     hidden = rms_norm(hidden, params["final_norm"], config.rms_norm_eps)
     logits = params["lm_head"].apply(hidden)
@@ -422,6 +461,8 @@ def llama_decode_step(
     k_caches: jax.Array,
     v_caches: jax.Array,
     tp_axis: str | None = None,
+    lora: dict | None = None,
+    lora_ids: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One decode step for a batch of sequences.
 
@@ -434,6 +475,7 @@ def llama_decode_step(
     group = config.num_heads // config.num_kv_heads
 
     kv_quant = _kv_cache_quant(config, k_caches.dtype)
+    layers, lora_sel = _splice_lora(params["layers"], lora, lora_ids)
 
     def attn_fn(q, k_cache, v_cache):
         return paged_attention(
@@ -446,9 +488,9 @@ def llama_decode_step(
     layer_step = _layer_step_factory(
         config, attn_fn, params["cos_sin_cache"], positions, slot_mapping,
         tp_axis=tp_axis, num_heads=num_kv_heads * group, num_kv_heads=num_kv_heads,
-        kv_quant=kv_quant,
+        kv_quant=kv_quant, lora_sel=lora_sel,
     )
-    hidden, (k_caches, v_caches) = jax.lax.scan(layer_step, hidden, (params["layers"], k_caches, v_caches))
+    hidden, (k_caches, v_caches) = jax.lax.scan(layer_step, hidden, (layers, k_caches, v_caches))
 
     hidden = rms_norm(hidden, params["final_norm"], config.rms_norm_eps)
     logits = params["lm_head"].apply(hidden)

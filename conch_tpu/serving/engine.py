@@ -64,6 +64,10 @@ class Request:
     # already spawned its group (preemption-recompute must not respawn).
     parent_id: int | None = None
     siblings_spawned: bool = False
+    # Multi-LoRA serving: index into the engine's stacked adapter set
+    # (models/lora.py), -1 = base model. Every device step carries a
+    # per-token lora_ids array built from this.
+    lora_id: int = -1
 
     @property
     def total_len(self) -> int:
@@ -189,9 +193,16 @@ class LLMEngine:
         decode_fn=None,
         verify_fn=None,
         mesh=None,
+        lora=None,
     ):
         self.params = params
         self.ecfg = engine_config
+        # Multi-LoRA: stacked adapter set from models.lora.stack_lora_adapters.
+        # Per-request adapter choice rides add_request(lora_id=...); -1 = base.
+        self.lora = lora
+        if lora is not None and mesh is not None:
+            msg = "multi-LoRA under tensor parallelism is not wired up yet"
+            raise NotImplementedError(msg)
         # Rolling KV: _page_cap bounds each sequence's page list;
         # _cap_tokens (= _page_cap * page_size) is the ring modulus, or
         # None when rolling is off.
@@ -378,7 +389,12 @@ class LLMEngine:
 
     # -- public API --------------------------------------------------------
 
-    def add_request(self, prompt: list[int], sampling: SamplingParams | None = None) -> int:
+    def add_request(
+        self,
+        prompt: list[int],
+        sampling: SamplingParams | None = None,
+        lora_id: int | None = None,
+    ) -> int:
         ps = self.ecfg.page_size
         cap_pages = min(self.ecfg.max_pages_per_seq, self.ecfg.num_pages)
         # Rolling KV: any prompt length the ROPE CACHE covers fits —
@@ -403,9 +419,16 @@ class LLMEngine:
         if sampling.n < 1:
             msg = f"sampling.n must be >= 1, got {sampling.n}"
             raise ValueError(msg)
+        if lora_id is None:
+            lora_id = -1
+        else:
+            num_adapters = 0 if self.lora is None else int(self.lora["scales"].shape[0])
+            if not 0 <= lora_id < num_adapters:
+                msg = f"lora_id {lora_id} out of range: engine holds {num_adapters} adapters"
+                raise ValueError(msg)
         rid = self._next_id
         self._next_id += 1
-        self.waiting.append(Request(rid, list(prompt), sampling))
+        self.waiting.append(Request(rid, list(prompt), sampling, lora_id=lora_id))
         return rid
 
     def stats(self) -> dict:
@@ -503,7 +526,9 @@ class LLMEngine:
             )
             use_spec = self.ecfg.num_speculative_tokens > 0 and all_plain_greedy
             k = self.ecfg.multi_step_decode
-            use_multi = not use_spec and k > 1 and all_plain_greedy
+            # Multi-LoRA: the multi-step scan doesn't thread lora_ids yet —
+            # fall back to single-step decode (spec decode does support it).
+            use_multi = not use_spec and k > 1 and all_plain_greedy and self.lora is None
             if use_spec:
                 self._run_spec_decode(decodable)
             elif use_multi:
@@ -530,7 +555,10 @@ class LLMEngine:
         shared: list[int] = []
         max_k = min((req.total_len - 1) // ps, self.ecfg.max_pages_per_seq)
         for k in range(1, max_k + 1):
-            page = self._prefix_map.get(tuple(req.token_at(p) for p in range(k * ps)))
+            # Keys carry the adapter id: LoRA on wk/wv changes the KV a
+            # page holds, so pages are shareable only within one adapter.
+            key = (req.lora_id, *(req.token_at(p) for p in range(k * ps)))
+            page = self._prefix_map.get(key)
             if page is None:
                 break
             shared.append(page)
@@ -544,7 +572,7 @@ class LLMEngine:
         ps = self.ecfg.page_size
         for k in range(1, len(req.prompt) // ps + 1):
             page = req.pages[k - 1]
-            key = tuple(req.prompt[: k * ps])
+            key = (req.lora_id, *req.prompt[: k * ps])
             if key in self._prefix_map:
                 continue
             self._prefix_map[key] = page
@@ -673,6 +701,15 @@ class LLMEngine:
 
     # -- device steps ------------------------------------------------------
 
+    def _lora_kwargs(self, per_row: list[int], n_pad: int) -> dict:
+        """Extra step kwargs for multi-LoRA: the stacked adapters + the
+        per-token adapter-id array (padding rows are -1 = zero selector)."""
+        if self.lora is None:
+            return {}
+        ids = np.full(n_pad, -1, dtype=np.int32)
+        ids[: len(per_row)] = per_row
+        return {"lora": self.lora, "lora_ids": jnp.asarray(ids)}
+
     def _run_prefill(self, reqs: list[Request]) -> None:
         budget = self.ecfg.max_prefill_tokens
         batch: list[tuple[Request, int]] = []  # (request, chunk_len)
@@ -688,7 +725,7 @@ class LLMEngine:
         if not batch:
             return
 
-        tokens, positions, slots, q_lens, seq_lens = [], [], [], [], []
+        tokens, positions, slots, q_lens, seq_lens, loras = [], [], [], [], [], []
         for r, take in batch:
             start = r.num_computed
             tokens.extend(r.token_at(p) for p in range(start, start + take))
@@ -696,6 +733,7 @@ class LLMEngine:
             slots.extend(self._slot(r, p) for p in range(start, start + take))
             q_lens.append(take)
             seq_lens.append(start + take)
+            loras.extend([r.lora_id] * take)
 
         total = len(tokens)
         total_pad = _bucket(total)
@@ -728,6 +766,7 @@ class LLMEngine:
             slot_mapping=jnp.asarray(slots_arr),
             k_caches=self.k_caches,
             v_caches=self.v_caches,
+            **self._lora_kwargs(loras, total_pad),
         )
 
         # Advance chunk progress; sample for requests whose tokens are all
@@ -787,7 +826,8 @@ class LLMEngine:
             rid = self._next_id
             self._next_id += 1
             sib = Request(
-                rid, list(parent.prompt), parent.sampling, parent_id=parent.request_id
+                rid, list(parent.prompt), parent.sampling, parent_id=parent.request_id,
+                lora_id=parent.lora_id,
             )
             group.append(rid)
             can_fork = (
@@ -845,6 +885,7 @@ class LLMEngine:
             slot_mapping=jnp.asarray(slots),
             k_caches=self.k_caches,
             v_caches=self.v_caches,
+            **self._lora_kwargs([r.lora_id for r in reqs], bpad),
         )
 
         sampled = self._sample(logits, reqs, rows=list(range(len(reqs))))
@@ -965,7 +1006,7 @@ class LLMEngine:
         if not reqs:
             return
 
-        tokens, positions, slots, q_lens, seq_lens = [], [], [], [], []
+        tokens, positions, slots, q_lens, seq_lens, loras = [], [], [], [], [], []
         for r in reqs:
             d = drafts[r.request_id]
             qs = [r.output_tokens[-1], *d]
@@ -975,6 +1016,7 @@ class LLMEngine:
             slots.extend(self._slot(r, p) for p in range(start, start + len(qs)))
             q_lens.append(len(qs))
             seq_lens.append(start + len(qs))
+            loras.extend([r.lora_id] * len(qs))
 
         total = len(tokens)
         total_pad = _bucket(total)
@@ -1007,6 +1049,7 @@ class LLMEngine:
             slot_mapping=jnp.asarray(slots_arr),
             k_caches=self.k_caches,
             v_caches=self.v_caches,
+            **self._lora_kwargs(loras, total_pad),
         )
         preds = np.asarray(jnp.argmax(logits[:total], axis=-1))
 

@@ -118,6 +118,46 @@ def shard_llama_params(params: Any, mesh: Mesh) -> Any:
     return jax.device_put(params, llama_param_shardings(params, mesh))
 
 
+def _lora_spec_for(path: str, ndim: int) -> P:
+    """PartitionSpec for a stacked multi-LoRA leaf (models/lora.py).
+
+    Geometry: ``a`` is (L, A, K, r), ``b`` is (L, A, r, N), scales (A,).
+    Column-parallel targets (wq/wk/wv/w_gate/w_up) shard ``b``'s output
+    dim; row-parallel targets (wo/w_down) shard ``a``'s input dim — the
+    low-rank delta then flows through the SAME psum as the base matmul
+    (it is added before the reduction in the layer step). The rank dim
+    never shards.
+    """
+    if ndim <= 1:  # scales
+        return P()
+    row_parallel = "wo" in path or "w_down" in path
+    if path.endswith("['a']"):
+        if row_parallel:
+            return P(*([None] * (ndim - 2) + ["model", None]))  # K
+        return P()
+    if path.endswith("['b']"):
+        if row_parallel:
+            return P()
+        return P(*([None] * (ndim - 1) + ["model"]))  # N
+    return P()
+
+
+def lora_pspecs(lora: Any) -> Any:
+    """PartitionSpec pytree for a stacked adapter set (shard_map in_specs)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _lora_spec_for(jax.tree_util.keystr(path), leaf.ndim), lora
+    )
+
+
+def shard_lora(lora: Any, mesh: Mesh) -> Any:
+    """Place a stacked adapter set on the mesh by the TP LoRA rules."""
+    shardings = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _lora_spec_for(jax.tree_util.keystr(path), leaf.ndim)),
+        lora,
+    )
+    return jax.device_put(lora, shardings)
+
+
 def kv_cache_pspec() -> P:
     """(L, P, KH, ps, D) caches shard the kv-head dimension."""
     return P(None, None, "model", None, None)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from conch_tpu.models.llama import LlamaConfig, llama_decode_step, llama_prefill, llama_verify_forward
-from conch_tpu.parallel.sharding import kv_cache_pspec, llama_param_pspecs
+from conch_tpu.parallel.sharding import kv_cache_pspec, llama_param_pspecs, lora_pspecs
 
 
 def _has_sharded_head(params_example: Any) -> bool:
@@ -37,7 +37,7 @@ def _has_sharded_head(params_example: Any) -> bool:
 
 def make_tp_decode_step(
     mesh: Mesh, config: Any, params_example: Any, decode_fn=llama_decode_step,
-    kv_specs: tuple | None = None,
+    kv_specs: tuple | None = None, lora_example: Any = None,
 ):
     """Build a jitted tensor+data-parallel decode step over ``mesh``.
 
@@ -52,6 +52,11 @@ def make_tp_decode_step(
     ``kv_specs`` overrides the (k, v) cache PartitionSpecs — kv-head
     sharding by default; MLA passes (P(), P()) (replicated latent cache +
     empty v placeholder).
+
+    ``lora_example`` (a stacked adapter set) switches on multi-LoRA: the
+    returned step takes two extra trailing args ``(lora, lora_ids)``;
+    adapter stacks shard by the Megatron-consistent LoRA rules
+    (``sharding.lora_pspecs``), ids replicate.
     """
     k_spec, v_spec = kv_specs or (kv_cache_pspec(), kv_cache_pspec())
     param_specs = llama_param_pspecs(params_example)
@@ -64,16 +69,20 @@ def make_tp_decode_step(
         slot_mapping=P("data"),
     )
 
-    def local_step(params, token_ids, positions, seq_lens, block_tables, slot_mapping, k_caches, v_caches):
+    def local_step(params, token_ids, positions, seq_lens, block_tables, slot_mapping, k_caches, v_caches, *lora_args):
+        lora_kw = (
+            {"lora": lora_args[0], "lora_ids": lora_args[1]} if lora_args else {}
+        )
         logits, k_caches, v_caches = decode_fn(
             params, config, token_ids, positions, seq_lens, block_tables,
-            slot_mapping, k_caches, v_caches, tp_axis="model",
+            slot_mapping, k_caches, v_caches, tp_axis="model", **lora_kw,
         )
         if gather_logits:
             # Vocab is column-sharded: gather the full logits row.
             logits = jax.lax.all_gather(logits, "model", axis=1, tiled=True)
         return logits, k_caches, v_caches
 
+    extra_specs = () if lora_example is None else (lora_pspecs(lora_example), P("data"))
     shard_mapped = jax.shard_map(
         local_step,
         mesh=mesh,
@@ -86,6 +95,7 @@ def make_tp_decode_step(
             data_specs["slot_mapping"],
             k_spec,
             v_spec,
+            *extra_specs,
         ),
         out_specs=(P("data"), k_spec, v_spec),
         check_vma=False,
@@ -95,31 +105,37 @@ def make_tp_decode_step(
 
 def _make_tp_varlen_step(
     mesh: Mesh, config: LlamaConfig, params_example: Any, max_seqlen_q: int, forward,
-    kv_specs: tuple | None = None,
+    kv_specs: tuple | None = None, lora_example: Any = None,
 ):
     """Shared builder for the ragged-token TP steps (prefill / verify).
 
     Prefill batches are ragged (cu_seqlens); for simplicity the token
     stream is replicated across the "data" axis and sharded over "model"
     only. (Data-parallel prefill = separate engine shards per host.)
+    With ``lora_example``, the step takes trailing ``(lora, lora_ids)``.
     """
     k_spec, v_spec = kv_specs or (kv_cache_pspec(), kv_cache_pspec())
     param_specs = llama_param_pspecs(params_example)
     gather_logits = _has_sharded_head(params_example)
 
-    def local_step(params, token_ids, positions, cu_seqlens_q, seq_lens, block_tables, slot_mapping, k_caches, v_caches):
+    def local_step(params, token_ids, positions, cu_seqlens_q, seq_lens, block_tables, slot_mapping, k_caches, v_caches, *lora_args):
+        lora_kw = (
+            {"lora": lora_args[0], "lora_ids": lora_args[1]} if lora_args else {}
+        )
         logits, k_caches, v_caches = forward(
             params, config, token_ids, positions, cu_seqlens_q, max_seqlen_q,
             seq_lens, block_tables, slot_mapping, k_caches, v_caches, tp_axis="model",
+            **lora_kw,
         )
         if gather_logits:
             logits = jax.lax.all_gather(logits, "model", axis=1, tiled=True)
         return logits, k_caches, v_caches
 
+    extra_specs = () if lora_example is None else (lora_pspecs(lora_example), P())
     shard_mapped = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(param_specs, P(), P(), P(), P(), P(), P(), k_spec, v_spec),
+        in_specs=(param_specs, P(), P(), P(), P(), P(), P(), k_spec, v_spec, *extra_specs),
         out_specs=(P(), k_spec, v_spec),
         check_vma=False,
     )
@@ -128,20 +144,21 @@ def _make_tp_varlen_step(
 
 def make_tp_prefill(
     mesh: Mesh, config: Any, params_example: Any, max_seqlen_q: int,
-    prefill_fn=llama_prefill, kv_specs: tuple | None = None,
+    prefill_fn=llama_prefill, kv_specs: tuple | None = None, lora_example: Any = None,
 ):
     """Build a jitted tensor-parallel prefill (batch replicated across data).
 
     ``prefill_fn`` swaps the model family (``moe.mixtral_prefill`` for
     Mixtral)."""
     return _make_tp_varlen_step(
-        mesh, config, params_example, max_seqlen_q, prefill_fn, kv_specs=kv_specs
+        mesh, config, params_example, max_seqlen_q, prefill_fn, kv_specs=kv_specs,
+        lora_example=lora_example,
     )
 
 
 def make_tp_verify(
     mesh: Mesh, config: Any, params_example: Any, max_seqlen_q: int,
-    verify_fn=llama_verify_forward, kv_specs: tuple | None = None,
+    verify_fn=llama_verify_forward, kv_specs: tuple | None = None, lora_example: Any = None,
 ):
     """Tensor-parallel speculative-decoding verification forward.
 
@@ -149,7 +166,8 @@ def make_tp_verify(
     ``moe.mixtral_verify_forward``, ...).
     """
     return _make_tp_varlen_step(
-        mesh, config, params_example, max_seqlen_q, verify_fn, kv_specs=kv_specs
+        mesh, config, params_example, max_seqlen_q, verify_fn, kv_specs=kv_specs,
+        lora_example=lora_example,
     )
 
 

@@ -199,10 +199,13 @@ class LLMEngine:
         self.ecfg = engine_config
         # Multi-LoRA: stacked adapter set from models.lora.stack_lora_adapters.
         # Per-request adapter choice rides add_request(lora_id=...); -1 = base.
+        # Under TP the adapter stacks shard by the Megatron-consistent LoRA
+        # rules (b on N for column-parallel targets, a on K for row-parallel).
         self.lora = lora
         if lora is not None and mesh is not None:
-            msg = "multi-LoRA under tensor parallelism is not wired up yet"
-            raise NotImplementedError(msg)
+            from conch_tpu.parallel.sharding import shard_lora
+
+            self.lora = shard_lora(lora, mesh)
         # Rolling KV: _page_cap bounds each sequence's page list;
         # _cap_tokens (= _page_cap * page_size) is the ring modulus, or
         # None when rolling is off.
@@ -361,23 +364,25 @@ class LLMEngine:
 
         tp_decode = make_tp_decode_step(
             mesh, self.config, self.params, decode_fn=decode_fn or llama_decode_step,
-            kv_specs=self._kv_specs,
+            kv_specs=self._kv_specs, lora_example=self.lora,
         )
 
-        def decode_adapter(params, *, token_ids, positions, seq_lens, block_tables, slot_mapping, k_caches, v_caches):
-            return tp_decode(params, token_ids, positions, seq_lens, block_tables, slot_mapping, k_caches, v_caches)
+        def decode_adapter(params, *, token_ids, positions, seq_lens, block_tables, slot_mapping, k_caches, v_caches, lora=None, lora_ids=None):
+            extra = () if lora is None else (lora, lora_ids)
+            return tp_decode(params, token_ids, positions, seq_lens, block_tables, slot_mapping, k_caches, v_caches, *extra)
 
         def make_ragged_adapter(builder, model_fn):
             by_bucket: dict[int, Any] = {}
 
-            def adapter(params, *, token_ids, positions, cu_seqlens_q, max_seqlen_q, seq_lens, block_tables, slot_mapping, k_caches, v_caches):
+            def adapter(params, *, token_ids, positions, cu_seqlens_q, max_seqlen_q, seq_lens, block_tables, slot_mapping, k_caches, v_caches, lora=None, lora_ids=None):
                 fn = by_bucket.get(max_seqlen_q)
                 if fn is None:
                     fn = by_bucket[max_seqlen_q] = builder(
                         mesh, self.config, self.params, max_seqlen_q, model_fn,
-                        kv_specs=self._kv_specs,
+                        kv_specs=self._kv_specs, lora_example=self.lora,
                     )
-                return fn(params, token_ids, positions, cu_seqlens_q, seq_lens, block_tables, slot_mapping, k_caches, v_caches)
+                extra = () if lora is None else (lora, lora_ids)
+                return fn(params, token_ids, positions, cu_seqlens_q, seq_lens, block_tables, slot_mapping, k_caches, v_caches, *extra)
 
             return adapter
 
@@ -469,14 +474,24 @@ class LLMEngine:
                 return True
         return False
 
-    def generate(self, prompts: list[list[int]], sampling: SamplingParams | None = None) -> list:
+    def generate(
+        self,
+        prompts: list[list[int]],
+        sampling: SamplingParams | None = None,
+        lora_ids: list[int | None] | None = None,
+    ) -> list:
         """Offline batch generation.
 
         Returns one output token list per prompt, or — with parallel
         sampling (``sampling.n > 1``) — a list of ``n`` output lists per
-        prompt (the parent's completion first).
+        prompt (the parent's completion first). ``lora_ids`` optionally
+        picks an adapter per prompt (None = base model).
         """
-        ids = [self.add_request(p, sampling) for p in prompts]
+        lora_ids = lora_ids or [None] * len(prompts)
+        ids = [
+            self.add_request(p, sampling, lora_id=lid)
+            for p, lid in zip(prompts, lora_ids)
+        ]
         results: dict[int, list[int]] = {}
         while self.waiting or self.running:
             for req in self.step():

@@ -15,6 +15,7 @@ Three layers of proof:
    speculative decoding.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -222,6 +223,53 @@ def test_prefix_cache_is_adapter_scoped(setup):
             break
     assert eng.prefix_cache_hits > 0
     assert outs[r2] == solo1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 virtual devices")
+def test_engine_tp4_lora_matches_single_device(setup):
+    """Multi-LoRA under tensor parallelism: adapter stacks shard with the
+    Megatron rules (b on N column-parallel, a on K row-parallel; the
+    row-parallel delta rides the same psum as the base matmul)."""
+    import jax as _jax
+
+    from conch_tpu.parallel.distributed import tp_mesh
+
+    cfg, params, _, stacked = setup
+    rng = np.random.default_rng(17)
+    prompts = [rng.integers(0, cfg.vocab_size, size=n).tolist() for n in (13, 21, 18)]
+    lids = [0, 1, None]
+    sp = SamplingParams(temperature=0.0, max_tokens=6)
+    ecfg = EngineConfig(
+        page_size=16, num_pages=64, max_batch_size=4, max_pages_per_seq=8,
+        max_prefill_tokens=64,
+    )
+    single = LLMEngine(params, cfg, ecfg, lora=stacked).generate(prompts, sp, lora_ids=lids)
+    tp = LLMEngine(
+        params, cfg, ecfg, lora=stacked, mesh=tp_mesh(_jax.devices()[:2])
+    ).generate(prompts, sp, lora_ids=lids)
+    assert tp == single
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 virtual devices")
+def test_engine_tp_lora_spec_decode(setup):
+    import jax as _jax
+
+    from conch_tpu.parallel.distributed import tp_mesh
+
+    cfg, params, _, stacked = setup
+    base = np.random.default_rng(19).integers(0, cfg.vocab_size, size=6).tolist()
+    prompts = [(base * 4)[:22]]
+    sp = SamplingParams(temperature=0.0, max_tokens=8)
+    ecfg = EngineConfig(
+        page_size=16, num_pages=64, max_batch_size=4, max_pages_per_seq=8,
+        max_prefill_tokens=64, enable_prefix_caching=False,
+        num_speculative_tokens=3,
+    )
+    single = LLMEngine(params, cfg, ecfg, lora=stacked).generate(prompts, sp, lora_ids=[0])
+    tp = LLMEngine(
+        params, cfg, ecfg, lora=stacked, mesh=tp_mesh(_jax.devices()[:2])
+    ).generate(prompts, sp, lora_ids=[0])
+    assert tp == single
 
 
 def test_lora_id_validation(setup):

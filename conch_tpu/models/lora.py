@@ -154,6 +154,17 @@ def lora_delta(x: jax.Array, a: jax.Array, b: jax.Array, sel_scaled: jax.Array) 
     return jnp.einsum("tar,arn->tn", h, b.astype(x.dtype), preferred_element_type=jnp.float32)
 
 
+def lora_delta_single(x: jax.Array, a: jax.Array, b: jax.Array, scale: float) -> jax.Array:
+    """Single-adapter LoRA delta (training path: one adapter, all tokens).
+
+    x: (T, K); a: (K, r); b: (r, N). Low-rank contractions in the input
+    dtype on the MXU, scaled in float32.
+    """
+    h = jnp.einsum("tk,kr->tr", x, a.astype(x.dtype))
+    d = jnp.einsum("tr,rn->tn", h, b.astype(x.dtype), preferred_element_type=jnp.float32)
+    return d * scale
+
+
 def merge_lora_into_params(params: dict, adapter: dict, config=None) -> dict:
     """Fold ONE adapter into dense (bf16/f32) Llama params: w += s*(A@B).
 

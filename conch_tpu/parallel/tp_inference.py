@@ -178,7 +178,10 @@ def make_multi_step_scan(
     """Shared K-iteration greedy decode scan (single-device AND TP bodies).
 
     ``decode_with_config(params, tokens, positions, seq_lens, bt, slots,
-    kc, vc) -> (logits, kc, vc)``; ``greedy_fn(logits) -> (batch,) int32``.
+    kc, vc, *lora_args) -> (logits, kc, vc)``; ``greedy_fn(logits) ->
+    (batch,) int32``. The returned ``multi`` accepts optional trailing
+    ``(lora, lora_ids)`` args, constant across the K iterations (a
+    decode row keeps its adapter for the whole scan).
     Semantics shared by both callers:
     - seq_lens CLAMP at each sequence's owned pages (``limit``): overshoot
       iterations past a finish/page-cap must not walk the block table out
@@ -191,7 +194,7 @@ def make_multi_step_scan(
     """
     rows = jnp.arange(max_batch_size)
 
-    def multi(params, tokens0, positions0, active, limit, bt, k_caches, v_caches):
+    def multi(params, tokens0, positions0, active, limit, bt, k_caches, v_caches, *lora_args):
         def body(carry, _):
             tokens, positions, kc, vc = carry
             seq_lens = jnp.where(active, jnp.minimum(positions + 1, limit), 0)
@@ -199,7 +202,7 @@ def make_multi_step_scan(
             slots = bt[rows, wpos // page_size] * page_size + wpos % page_size
             slots = jnp.where(active & (positions < limit), slots, -1)
             logits, kc, vc = decode_with_config(
-                params, tokens, positions, seq_lens, bt, slots, kc, vc
+                params, tokens, positions, seq_lens, bt, slots, kc, vc, *lora_args
             )
             nxt = greedy_fn(logits)
             return (nxt, positions + 1, kc, vc), nxt
@@ -215,7 +218,7 @@ def make_multi_step_scan(
 def make_tp_multi_decode_step(
     mesh: Mesh, config: Any, params_example: Any, k: int, decode_fn=llama_decode_step,
     page_size: int = 16, max_batch_size: int = 8, ring_tokens: int = 0,
-    kv_specs: tuple | None = None,
+    kv_specs: tuple | None = None, lora_example: Any = None,
 ):
     """K greedy decode iterations in one dispatch under tensor parallelism.
 
@@ -242,10 +245,13 @@ def make_tp_multi_decode_step(
         best = jnp.argmax(all_max, axis=0)
         return jnp.take_along_axis(all_arg, best[None], axis=0)[0]
 
-    def decode_with_config(params, tokens, positions, seq_lens, bt, slots, kc, vc):
+    def decode_with_config(params, tokens, positions, seq_lens, bt, slots, kc, vc, *lora_args):
+        lora_kw = (
+            {"lora": lora_args[0], "lora_ids": lora_args[1]} if lora_args else {}
+        )
         return decode_fn(
             params, config, tokens, positions, seq_lens, bt, slots, kc, vc,
-            tp_axis="model",
+            tp_axis="model", **lora_kw,
         )
 
     local_step = make_multi_step_scan(
@@ -253,10 +259,11 @@ def make_tp_multi_decode_step(
     )
 
     k_spec, v_spec = kv_specs or (kv_cache_pspec(), kv_cache_pspec())
+    extra_specs = () if lora_example is None else (lora_pspecs(lora_example), P())
     shard_mapped = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(param_specs, P(), P(), P(), P(), P(), k_spec, v_spec),
+        in_specs=(param_specs, P(), P(), P(), P(), P(), k_spec, v_spec, *extra_specs),
         out_specs=(P(), k_spec, v_spec),
         check_vma=False,
     )

@@ -27,11 +27,15 @@ from conch_tpu.parallel.sharding import llama_param_shardings
 from conch_tpu.reference.embedding.rotary_embedding import rotary_embedding as rope_apply
 
 
-def dense_layer_step(config: LlamaConfig):
+def dense_layer_step(config: LlamaConfig, lora_scale: float | None = None):
     """One dense-attention transformer layer on (batch, seq, hidden) f32.
 
     Shared by the GSPMD train step below and the pipeline-parallel stages
     (``parallel/pipeline.py``): ``step(params, hidden, layer) -> hidden``.
+
+    ``lora_scale`` switches on single-adapter LoRA (fine-tuning): the
+    per-layer A/B factors ride the scanned layer dict under ``"__lora__"``
+    and each targeted projection adds ``scale * (x @ A) @ B``.
     """
 
     def norm(x, w):
@@ -39,13 +43,27 @@ def dense_layer_step(config: LlamaConfig):
         return (x * jax.lax.rsqrt(ms + config.rms_norm_eps)) * w.astype(jnp.float32)
 
     def layer_step(params, hidden, layer):
+        lora_layer = layer.get("__lora__")
+
+        def proj(name, x):
+            y = layer[name].apply(x)
+            if lora_layer is not None and name in lora_layer:
+                from conch_tpu.models.lora import lora_delta_single
+
+                ab = lora_layer[name]
+                y = (
+                    y.astype(jnp.float32)
+                    + lora_delta_single(x, ab["a"], ab["b"], lora_scale)
+                ).astype(y.dtype)
+            return y
+
         b, t, h = hidden.shape
         positions = jnp.arange(t, dtype=jnp.int32)
         x = norm(hidden, layer["input_norm"]).astype(config.dtype)
         flat = x.reshape(b * t, h)
-        q = layer["wq"].apply(flat)
-        k = layer["wk"].apply(flat)
-        v = layer["wv"].apply(flat)
+        q = proj("wq", flat)
+        k = proj("wk", flat)
+        v = proj("wv", flat)
 
         # Rope per sequence (same positions for every batch row).
         qr, kr = rope_apply(
@@ -67,25 +85,31 @@ def dense_layer_step(config: LlamaConfig):
         s = jnp.where(causal[None, None], s, -1e30)
         p = jax.nn.softmax(s, axis=-1)
         attn = jnp.einsum("bhqk,bkhd->bqhd", p, vh).reshape(b * t, -1).astype(config.dtype)
-        hidden = hidden + layer["wo"].apply(attn).reshape(b, t, h).astype(jnp.float32)
+        hidden = hidden + proj("wo", attn).reshape(b, t, h).astype(jnp.float32)
 
         x = norm(hidden, layer["post_attn_norm"]).astype(config.dtype).reshape(b * t, h)
-        gate = layer["w_gate"].apply(x).astype(jnp.float32)
-        up = layer["w_up"].apply(x).astype(jnp.float32)
+        gate = proj("w_gate", x).astype(jnp.float32)
+        up = proj("w_up", x).astype(jnp.float32)
         act = (gate * jax.nn.sigmoid(gate)).astype(config.dtype) * up.astype(config.dtype)
-        hidden = hidden + layer["w_down"].apply(act).reshape(b, t, h).astype(jnp.float32)
+        hidden = hidden + proj("w_down", act).reshape(b, t, h).astype(jnp.float32)
         return hidden
 
     return layer_step
 
 
-def dense_forward(params: Any, config: LlamaConfig, token_ids: jax.Array, remat: bool = False) -> jax.Array:
+def dense_forward(
+    params: Any, config: LlamaConfig, token_ids: jax.Array, remat: bool = False,
+    lora_layers: Any = None, lora_scale: float = 1.0,
+) -> jax.Array:
     """Full-context forward over (batch, seq) token ids; returns logits.
 
     ``remat=True`` wraps each layer in ``jax.checkpoint``: the backward
     pass recomputes layer activations instead of storing them — O(1)
     layers of activation memory, the standard FLOPs-for-HBM trade that
     makes long-context/deep training fit.
+
+    ``lora_layers`` (per-layer stacked {target: {"a", "b"}}) applies one
+    LoRA adapter to every token — the fine-tuning forward.
     """
     b, t = token_ids.shape
     h = config.hidden_size
@@ -95,18 +119,27 @@ def dense_forward(params: Any, config: LlamaConfig, token_ids: jax.Array, remat:
         ms = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
         return (x * jax.lax.rsqrt(ms + config.rms_norm_eps)) * w.astype(jnp.float32)
 
-    layer_step = dense_layer_step(config)
+    layer_step = dense_layer_step(config, lora_scale=lora_scale if lora_layers is not None else None)
     if remat:
         layer_step = jax.checkpoint(layer_step)
-    hidden, _ = jax.lax.scan(lambda hh, layer: (layer_step(params, hh, layer), None), hidden, params["layers"])
+    layers = params["layers"]
+    if lora_layers is not None:
+        layers = {**layers, "__lora__": lora_layers}
+    hidden, _ = jax.lax.scan(lambda hh, layer: (layer_step(params, hh, layer), None), hidden, layers)
     hidden = norm(hidden, params["final_norm"]).astype(config.dtype)
     logits = params["lm_head"].apply(hidden.reshape(b * t, h))
     return logits.reshape(b, t, -1).astype(jnp.float32)
 
 
-def causal_lm_loss(params: Any, config: LlamaConfig, token_ids: jax.Array, remat: bool = False) -> jax.Array:
+def causal_lm_loss(
+    params: Any, config: LlamaConfig, token_ids: jax.Array, remat: bool = False,
+    lora_layers: Any = None, lora_scale: float = 1.0,
+) -> jax.Array:
     """Next-token cross entropy over (batch, seq) token ids."""
-    logits = dense_forward(params, config, token_ids, remat=remat)
+    logits = dense_forward(
+        params, config, token_ids, remat=remat,
+        lora_layers=lora_layers, lora_scale=lora_scale,
+    )
     targets = token_ids[:, 1:]
     log_probs = jax.nn.log_softmax(logits[:, :-1], axis=-1)
     nll = -jnp.take_along_axis(log_probs, targets[..., None], axis=-1)[..., 0]
@@ -146,3 +179,58 @@ def make_train_step(mesh: Mesh, config: LlamaConfig, params_example: Any, learni
         donate_argnums=(0, 1),
     )
     return jitted, init_opt_state, param_shardings, batch_sharding
+
+
+def make_lora_train_step(
+    mesh: Mesh, config: LlamaConfig, params_example: Any, adapter_example: dict,
+    learning_rate: float = 1e-3, remat: bool = False,
+):
+    """Parameter-efficient fine-tuning: train ONE LoRA adapter, base frozen.
+
+    Gradients flow only into the adapter's A/B factors (the base params
+    are a closed-over constant of the loss), so optimizer state is
+    O(rank) — the whole point of LoRA fine-tuning. Shardings: the base
+    params take the Megatron TP layout, the adapter factors the matching
+    LoRA rules (``sharding.lora_pspecs`` geometry: a on K for
+    row-parallel targets, b on N for column-parallel), batch DP over
+    "data".
+
+    Returns ``(train_step, init_opt_state, shardings)`` where
+    ``train_step(params, lora_layers, opt_state, token_ids) ->
+    (lora_layers, opt_state, loss)`` and ``shardings = (param, lora,
+    batch)`` NamedSharding trees. ``adapter_example`` is one adapter from
+    ``models.lora.init_lora_adapter`` (its ``scale`` is baked in).
+    """
+    from conch_tpu.parallel.sharding import _lora_spec_for
+
+    optimizer = optax.adamw(learning_rate)
+    scale = adapter_example["scale"]
+    param_shardings = llama_param_shardings(params_example, mesh)
+    lora_shardings = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _lora_spec_for(jax.tree_util.keystr(path), leaf.ndim)),
+        adapter_example["layers"],
+    )
+    batch_sharding = NamedSharding(mesh, P("data", None))
+
+    def init_opt_state(lora_layers):
+        return optimizer.init(lora_layers)
+
+    def train_step(params, lora_layers, opt_state, token_ids):
+        def loss_fn(ll):
+            return causal_lm_loss(
+                params, config, token_ids, remat=remat,
+                lora_layers=ll, lora_scale=scale,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(lora_layers)
+        updates, opt_state = optimizer.update(grads, opt_state, lora_layers)
+        lora_layers = optax.apply_updates(lora_layers, updates)
+        return lora_layers, opt_state, loss
+
+    jitted = jax.jit(
+        train_step,
+        in_shardings=(param_shardings, lora_shardings, None, batch_sharding),
+        out_shardings=(lora_shardings, None, None),
+        donate_argnums=(1, 2),
+    )
+    return jitted, init_opt_state, (param_shardings, lora_shardings, batch_sharding)

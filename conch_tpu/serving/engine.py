@@ -541,9 +541,7 @@ class LLMEngine:
             )
             use_spec = self.ecfg.num_speculative_tokens > 0 and all_plain_greedy
             k = self.ecfg.multi_step_decode
-            # Multi-LoRA: the multi-step scan doesn't thread lora_ids yet —
-            # fall back to single-step decode (spec decode does support it).
-            use_multi = not use_spec and k > 1 and all_plain_greedy and self.lora is None
+            use_multi = not use_spec and k > 1 and all_plain_greedy
             if use_spec:
                 self._run_spec_decode(decodable)
             elif use_multi:
@@ -924,6 +922,7 @@ class LLMEngine:
                 max_batch_size=self.ecfg.max_batch_size,
                 ring_tokens=self._cap_tokens or 0,
                 kv_specs=self._kv_specs,
+                lora_example=self.lora,
             )
             self._multi_step_cache[k] = fn
             return fn
@@ -931,10 +930,11 @@ class LLMEngine:
 
         raw = self._raw_decode_fn
 
-        def decode_with_config(params, tokens, positions, seq_lens, bt, slots, kc, vc):
+        def decode_with_config(params, tokens, positions, seq_lens, bt, slots, kc, vc, *lora_args):
+            kw = {"lora": lora_args[0], "lora_ids": lora_args[1]} if lora_args else {}
             return raw(
                 params, token_ids=tokens, positions=positions, seq_lens=seq_lens,
-                block_tables=bt, slot_mapping=slots, k_caches=kc, v_caches=vc,
+                block_tables=bt, slot_mapping=slots, k_caches=kc, v_caches=vc, **kw,
             )
 
         def greedy(logits):
@@ -973,10 +973,16 @@ class LLMEngine:
                 limit[i] = len(r.pages) * ps
         bt[: len(reqs)] = self._block_table_rows(reqs)
 
+        if self.lora is None:
+            extra = ()
+        else:
+            ids = np.full(bpad, -1, dtype=np.int32)
+            ids[: len(reqs)] = [r.lora_id for r in reqs]
+            extra = (self.lora, jnp.asarray(ids))
         toks, self.k_caches, self.v_caches = self._multi_step_fn(k)(
             self.params, jnp.asarray(tokens), jnp.asarray(positions),
             jnp.asarray(active), jnp.asarray(limit), jnp.asarray(bt),
-            self.k_caches, self.v_caches,
+            self.k_caches, self.v_caches, *extra,
         )
         toks = np.asarray(toks)  # (k, bpad)
         for i, r in enumerate(reqs):

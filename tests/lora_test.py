@@ -272,6 +272,37 @@ def test_engine_tp_lora_spec_decode(setup):
     assert tp == single
 
 
+def test_engine_lora_multi_step_exact(setup):
+    """K-tokens-per-dispatch greedy scan threads per-row adapter ids."""
+    cfg, params, _, stacked = setup
+    rng = np.random.default_rng(23)
+    prompts = [rng.integers(0, cfg.vocab_size, size=n).tolist() for n in (14, 19)]
+    jobs = list(zip(prompts, [0, 1]))
+    plain = _serve(cfg, params, stacked, jobs)
+    multi = _serve(cfg, params, stacked, jobs, multi_step_decode=4)
+    assert plain == multi
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 virtual devices")
+def test_engine_tp_lora_multi_step(setup):
+    import jax as _jax
+
+    from conch_tpu.parallel.distributed import tp_mesh
+
+    cfg, params, _, stacked = setup
+    prompts = [np.random.default_rng(29).integers(0, cfg.vocab_size, size=16).tolist()]
+    sp = SamplingParams(temperature=0.0, max_tokens=8)
+    ecfg = EngineConfig(
+        page_size=16, num_pages=64, max_batch_size=4, max_pages_per_seq=8,
+        max_prefill_tokens=64, multi_step_decode=4,
+    )
+    single = LLMEngine(params, cfg, ecfg, lora=stacked).generate(prompts, sp, lora_ids=[1])
+    tp = LLMEngine(
+        params, cfg, ecfg, lora=stacked, mesh=tp_mesh(_jax.devices()[:2])
+    ).generate(prompts, sp, lora_ids=[1])
+    assert tp == single
+
+
 def test_lora_id_validation(setup):
     cfg, params, _, stacked = setup
     ecfg = EngineConfig(page_size=16, num_pages=32, max_batch_size=2, max_pages_per_seq=4)

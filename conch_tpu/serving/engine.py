@@ -68,6 +68,10 @@ class Request:
     # (models/lora.py), -1 = base model. Every device step carries a
     # per-token lora_ids array built from this.
     lora_id: int = -1
+    # Guided decoding FSM-state cache: (num output tokens consumed, state).
+    # Derived from output_tokens, so preemption recompute and parallel-
+    # sampling forks stay correct with no extra bookkeeping.
+    guided_cache: tuple[int, int] = (0, 0)
 
     @property
     def total_len(self) -> int:
@@ -424,6 +428,17 @@ class LLMEngine:
         if sampling.n < 1:
             msg = f"sampling.n must be >= 1, got {sampling.n}"
             raise ValueError(msg)
+        if sampling.guided is not None:
+            if self.ecfg.eos_token_id is None:
+                msg = "guided decoding requires eos_token_id (the FSM finishes by emitting EOS)"
+                raise ValueError(msg)
+            fsm_vocab = sampling.guided.transitions.shape[1]
+            if fsm_vocab != self.config.vocab_size:
+                msg = (
+                    f"guided FSM was built over a vocab of {fsm_vocab} tokens, "
+                    f"model vocab is {self.config.vocab_size}"
+                )
+                raise ValueError(msg)
         if lora_id is None:
             lora_id = -1
         else:
@@ -536,6 +551,7 @@ class LLMEngine:
                 and r.sampling.repetition_penalty == 1.0
                 and not r.sampling.logit_bias
                 and not r.sampling.logprobs
+                and r.sampling.guided is None
                 and len(r.output_tokens) >= r.sampling.min_tokens
                 for r in decodable
             )
@@ -1148,6 +1164,64 @@ class LLMEngine:
             logits = logits.at[jnp.asarray(bias_r), jnp.asarray(bias_c)].add(
                 jnp.asarray(bias_v, jnp.float32)
             )
+        logits = self._apply_guided_masks(logits, reqs, rows)
+        return logits
+
+    def _guided_state(self, req: Request) -> int:
+        """Current FSM state, derived from output_tokens with an O(1)
+        incremental cache (recompute-safe: falls back to a full walk)."""
+        fsm = req.sampling.guided
+        n_cached, state = req.guided_cache
+        if n_cached > len(req.output_tokens):
+            n_cached, state = 0, fsm.start_state
+        state = fsm.walk(req.output_tokens[n_cached:], state)
+        req.guided_cache = (len(req.output_tokens), state)
+        return state
+
+    def _apply_guided_masks(
+        self, logits: jax.Array, reqs: list[Request], rows: list[int]
+    ) -> jax.Array:
+        """Guided decoding: mask tokens the request's FSM disallows.
+
+        EOS is legal only in accepting states; once a state has no legal
+        continuation tokens (terminal accept, or a dead state from an
+        earlier engine bug), EOS is FORCED so the request finishes rather
+        than sampling from an all--inf row.
+        """
+        pairs = [(row, r) for row, r in zip(rows, reqs) if r.sampling.guided is not None]
+        if not pairs:
+            return logits
+        eos = self.ecfg.eos_token_id
+        vocab = logits.shape[-1]
+        mask_rows = np.zeros((len(pairs), vocab), dtype=bool)
+        idx_rows = np.empty(len(pairs), dtype=np.int32)
+        forced: list[int] = []  # rows where EOS is the only legal outcome
+        for i, (row, r) in enumerate(pairs):
+            fsm = r.sampling.guided
+            state = self._guided_state(r)
+            idx_rows[i] = row
+            if state >= 0:
+                allowed = fsm.allowed[state].copy()
+                can_extend = bool(allowed.any())
+                if fsm.accepting[state]:
+                    allowed[eos] = True
+                if not can_extend:
+                    allowed[:] = False
+                    allowed[eos] = True
+                    forced.append(row)
+            else:  # dead (shouldn't happen: transitions are masked)
+                allowed = np.zeros(vocab, dtype=bool)
+                allowed[eos] = True
+                forced.append(row)
+            mask_rows[i] = allowed
+        rr = jnp.asarray(idx_rows)
+        keep = jnp.asarray(mask_rows)
+        sub = jnp.where(keep, logits[rr], -jnp.inf)
+        logits = logits.at[rr].set(sub)
+        if forced:
+            # Finite value beats every -inf row-mate even if min_tokens
+            # suppressed EOS earlier in this function.
+            logits = logits.at[jnp.asarray(forced), eos].set(0.0)
         return logits
 
     def _maybe_finish(self, req: Request) -> None:
@@ -1156,6 +1230,14 @@ class LLMEngine:
         hit_stop = last is not None and (last == eos or last in req.sampling.stop_token_ids)
         if hit_stop and len(req.output_tokens) < req.sampling.min_tokens:
             hit_stop = False  # suppressed at sampling; belt-and-braces here
+            if req.sampling.guided is not None and last == eos:
+                # A guided request finishes when its FSM cannot extend the
+                # match — min_tokens cannot force tokens the constraint
+                # forbids. (State walked without the final EOS token.)
+                fsm = req.sampling.guided
+                state = fsm.walk(req.output_tokens[:-1])
+                if state < 0 or not bool(fsm.allowed[state].any()):
+                    hit_stop = True
         out_of_len = len(req.output_tokens) >= req.sampling.max_tokens
         # Hard cap only: pages grow on demand up to max_pages_per_seq.
         # Rolling KV: length is never page-bound (the ring wraps) but IS

@@ -29,6 +29,11 @@ class SamplingParams:
     repetition_penalty: float = 1.0  # >1 discourages already-seen tokens
     logit_bias: tuple[tuple[int, float], ...] = ()  # (token, additive bias)
     logprobs: bool = False  # record each sampled token's log-probability
+    # Guided (structured) decoding: a serving.guided.TokenFSM. Each step,
+    # tokens the FSM disallows from the request's current state are masked
+    # to -inf; EOS is legal only in accepting states (and forced once the
+    # match cannot be extended). None => unconstrained.
+    guided: object | None = None
 
 
 @jax.jit

@@ -58,7 +58,7 @@ def build_params(config, quant: str):
             return QuantizedLinear(
                 "int4",
                 {"packed": jnp.asarray(packed), "scales": jnp.asarray(scales, dtype=jnp.bfloat16)},
-                {"bits": 4, "bias": 8, "group_size": group},
+                {"bits": 4, "bias": 8, "group_size": group, "layout": "planar"},
             )
         w = rng.standard_normal((k, n), dtype=np.float32) * 0.02
         return QuantizedLinear.dense(jnp.asarray(w, dtype=jnp.bfloat16))

@@ -10,7 +10,7 @@ import numpy as np
 from benchmarks.common import make_parser, rng, run_and_report
 from conch_tpu.ops.quantization.gemm import mixed_precision_gemm
 from conch_tpu.types import scalar_types
-from conch_tpu.utils.quant_utils import pack_rows, quantize_weights
+from conch_tpu.utils.quant_utils import pack_rows, pack_rows_planar, quantize_weights
 
 
 def main() -> None:
@@ -35,11 +35,17 @@ def main() -> None:
     dense = jax.jit(lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32).astype(a.dtype))
 
     out_bytes = args.m * args.n * 2
+    packed_planar = jnp.asarray(pack_rows_planar(w_q, args.bits, args.group_size))
     run_and_report(args, [
         (f"mixed_gemm_w{args.bits}a16_m{args.m}",
          lambda carry, x, packed, scales: mixed_precision_gemm(
              x + carry, packed, scales, None, args.bits, qt.bias, args.group_size),
          packed.nbytes + scales.nbytes + x.nbytes + out_bytes, (x, packed, scales)),
+        (f"mixed_gemm_w{args.bits}a16_m{args.m}_planar",
+         lambda carry, x, pp, scales: mixed_precision_gemm(
+             x + carry, pp, scales, None, args.bits, qt.bias, args.group_size,
+             layout="planar"),
+         packed_planar.nbytes + scales.nbytes + x.nbytes + out_bytes, (x, packed_planar, scales)),
         ("dense_bf16_matmul",
          lambda carry, x, wd: dense(x + carry, wd),
          w_dense.nbytes + x.nbytes + out_bytes, (x, w_dense)),

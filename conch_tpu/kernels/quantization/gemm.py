@@ -194,6 +194,7 @@ def _mixed_gemm_kernel(
     jax.jit,
     static_argnames=(
         "weight_size_bits", "weight_bias", "group_size", "zero_is_scalar", "out_dtype", "codebook",
+        "layout",
     ),
 )
 def mixed_precision_gemm_launcher(
@@ -208,6 +209,7 @@ def mixed_precision_gemm_launcher(
     zero_is_scalar: bool = False,
     out_dtype=None,
     codebook: tuple[float, ...] | None = None,
+    layout: str = "gptq",
 ) -> jax.Array:
     """``C = x @ dequant(w_q_packed)`` with groupwise scales/zero-points.
 
@@ -223,6 +225,11 @@ def mixed_precision_gemm_launcher(
         codebook: optional 16-entry value table; when given, codes index the
             table (NF4/FP4 fused dequant) instead of being linear ints, and
             ``weight_bias`` is ignored.
+        layout: ``"gptq"`` (reference row-interleaved packing) or
+            ``"planar"`` (:func:`conch_tpu.utils.quant_utils.pack_rows_planar`
+            within-group planar packing -> per-group-dot kernel, the fast
+            serving path). ``"planar"`` requires ``K % group_size == 0``,
+            ``group_size % pack_factor == 0`` and no codebook.
 
     Returns:
         (M, N) output in ``out_dtype`` (defaults to ``x.dtype``).
@@ -236,15 +243,33 @@ def mixed_precision_gemm_launcher(
 
     has_zp = w_zp is not None
 
+    if layout == "planar" and (
+        codebook is not None or k_dim % group_size != 0 or group_size % epp != 0
+    ):
+        msg = (
+            "planar layout requires a non-codebook format with K % group_size == 0 "
+            f"and group_size % pack_factor == 0 (K={k_dim}, group={group_size}, "
+            f"pack={epp}, codebook={codebook is not None})"
+        )
+        raise ValueError(msg)
+
     # Tile sizes: bn lanes, bk along K aligned to both the pack factor and
     # the quantization group, bm >= one sublane tile.
     bn = min(round_up(n_dim, 128), 256)
-    bk = 256
-    while k_dim % bk != 0 or (bk % group_size != 0 and group_size % bk != 0) or bk % epp != 0:
-        bk //= 2
-        if bk < 32:
-            bk = group_size  # fall back to one group per tile; pad K below
-            break
+    if layout == "planar":
+        # Whole groups per tile (the kernel dequantizes group-at-a-time).
+        bk = group_size
+        gpt_max = k_dim // group_size
+        while bk * 2 <= 256 and gpt_max % 2 == 0:
+            bk *= 2
+            gpt_max //= 2
+    else:
+        bk = 256
+        while k_dim % bk != 0 or (bk % group_size != 0 and group_size % bk != 0) or bk % epp != 0:
+            bk //= 2
+            if bk < 32:
+                bk = group_size  # fall back to one group per tile; pad K below
+                break
     bm = min(round_up(m_dim, 16), 256)
 
     # Pad every operand to tile multiples (zero-padded K contributes nothing
@@ -298,8 +323,21 @@ def mixed_precision_gemm_launcher(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.append(jnp.zeros((1,), dtype=jnp.float32))
 
-    out = pl.pallas_call(
-        functools.partial(
+    if layout == "planar":
+        kernel = functools.partial(
+            _mixed_gemm_planar_kernel,
+            nbits=weight_size_bits,
+            epp=epp,
+            weight_bias=weight_bias,
+            group_size=group_size,
+            bk=bk,
+            bn=bn,
+            has_zp=has_zp,
+            zero_is_scalar=zero_is_scalar,
+            num_k=kp // bk,
+        )
+    else:
+        kernel = functools.partial(
             _mixed_gemm_kernel,
             nbits=weight_size_bits,
             epp=epp,
@@ -311,7 +349,9 @@ def mixed_precision_gemm_launcher(
             zero_is_scalar=zero_is_scalar,
             num_k=kp // bk,
             codebook=codebook,
-        ),
+        )
+    out = pl.pallas_call(
+        kernel,
         out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
         grid=grid,
         in_specs=in_specs,
@@ -329,6 +369,69 @@ def mixed_precision_gemm_launcher(
     )(*operands)
 
     return out[:m_dim, :n_dim]
+
+
+def _mixed_gemm_planar_kernel(
+    x_ref,
+    b_ref,
+    s_ref,
+    zp_ref,
+    o_ref,
+    acc_ref,
+    *,
+    nbits: int,
+    epp: int,
+    weight_bias: int,
+    group_size: int,
+    bk: int,
+    bn: int,
+    has_zp: bool,
+    zero_is_scalar: bool,
+    num_k: int,
+):
+    """Decode-speed mixed GEMM over planar-within-group packing.
+
+    Two VPU-cost wins over the GPTQ-layout kernel (the weight-streaming
+    decode path is VPU-bound, not HBM-bound, at full chip bandwidth):
+
+    - *Planar unpack*: bit-field ``i`` of the group's packed words is a
+      contiguous (group_size/epp, bn) slab of logical rows, so unpacking
+      is shift/mask + a tile-aligned sublane concatenation — none of the
+      cross-sublane interleave the GPTQ row layout forces.
+    - *Post-dot dequant*: raw codes (exact in bf16) go straight to the
+      MXU; per-group scale and zero-point move out of the per-element
+      path using ``sum_k x*(c - z)*s = s * (x@c - z * sum_k x)``. The
+      per-element work drops to shift+mask+convert (~3 VPU ops) and the
+      correction is one (bm, bn) FMA per group.
+    """
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    mask = (1 << nbits) - 1
+    gpt = bk // group_size
+    rpg = group_size // epp
+    x = x_ref[...]
+    packed = b_ref[...]
+    for g in range(gpt):
+        pw = packed[g * rpg : (g + 1) * rpg]
+        fields = [jax.lax.shift_right_logical(pw, nbits * i) & mask for i in range(epp)]
+        codes = jnp.concatenate(fields, axis=0)  # (group_size, bn), rows i*rpg + r
+        xg = x[:, g * group_size : (g + 1) * group_size]
+        part = jnp.dot(xg, codes.astype(x.dtype), preferred_element_type=jnp.float32)
+        xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)  # (bm, 1)
+        sg = s_ref[g].astype(jnp.float32)  # (1, bn)
+        if has_zp:
+            zp = zp_ref[0] if zero_is_scalar else zp_ref[g].astype(jnp.float32)
+        else:
+            zp = jnp.float32(weight_bias)
+        acc_ref[...] += (part - zp * xsum) * sg
+
+    @pl.when(k == num_k - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
 def _scaled_gemm_kernel(a_ref, b_ref, sa_ref, sb_ref, o_ref, acc_ref, *, num_k: int, int_path: bool):

@@ -35,7 +35,16 @@ from conch_tpu.kernels.quantization.bitsandbytes.blockwise import NF4_CODE
 from conch_tpu.ops.quantization.bitsandbytes.functional import quantize_4bit
 from conch_tpu.ops.quantization.gemm import mixed_precision_gemm, scaled_gemm
 from conch_tpu.types.scalar_type import scalar_types
-from conch_tpu.utils.quant_utils import pack_rows, quantize_weights
+from conch_tpu.utils.quant_utils import pack_rows, pack_rows_planar, quantize_weights
+
+
+def _pack_grouped(w_q: np.ndarray, num_bits: int, group_size: int) -> tuple[np.ndarray, str]:
+    """Planar-within-group packing when the shape allows it (the TPU-fast
+    per-group-dot GEMM path), else reference GPTQ row packing."""
+    epp = 32 // num_bits
+    if w_q.shape[0] % group_size == 0 and group_size % epp == 0:
+        return pack_rows_planar(w_q, num_bits, group_size), "planar"
+    return pack_rows(w_q, num_bits), "gptq"
 
 
 @jax.tree_util.register_pytree_with_keys_class
@@ -76,20 +85,22 @@ class QuantizedLinear:
         """GPTQ-style uint4b8 groupwise quantization of a (K, N) weight."""
         group_size = min(group_size, w.shape[0])  # small K: one group spans all of K
         _, w_q, w_s, _ = quantize_weights(np.asarray(w, dtype=np.float32), scalar_types.uint4b8, group_size)
+        packed, layout = _pack_grouped(w_q, 4, group_size)
         return QuantizedLinear(
             "int4",
-            {"packed": jnp.asarray(pack_rows(w_q, 4)), "scales": jnp.asarray(w_s, dtype=dtype)},
-            {"bits": 4, "bias": 8, "group_size": group_size},
+            {"packed": jnp.asarray(packed), "scales": jnp.asarray(w_s, dtype=dtype)},
+            {"bits": 4, "bias": 8, "group_size": group_size, "layout": layout},
         )
 
     @staticmethod
     def int8_grouped_from_dense(w: np.ndarray, group_size: int = 128, dtype=jnp.bfloat16) -> "QuantizedLinear":
         group_size = min(group_size, w.shape[0])
         _, w_q, w_s, _ = quantize_weights(np.asarray(w, dtype=np.float32), scalar_types.uint8b128, group_size)
+        packed, layout = _pack_grouped(w_q, 8, group_size)
         return QuantizedLinear(
             "int8_grouped",
-            {"packed": jnp.asarray(pack_rows(w_q, 8)), "scales": jnp.asarray(w_s, dtype=dtype)},
-            {"bits": 8, "bias": 128, "group_size": group_size},
+            {"packed": jnp.asarray(packed), "scales": jnp.asarray(w_s, dtype=dtype)},
+            {"bits": 8, "bias": 128, "group_size": group_size, "layout": layout},
         )
 
     @staticmethod
@@ -159,6 +170,7 @@ class QuantizedLinear:
                 self.meta["bits"],
                 self.meta["bias"],
                 self.meta["group_size"],
+                layout=self.meta.get("layout", "gptq"),
             )
         if self.kind == "nf4":
             return mixed_precision_gemm(

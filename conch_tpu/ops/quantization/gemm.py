@@ -122,6 +122,7 @@ def mixed_precision_gemm(
     scaled_activations: bool = False,
     strict: bool = False,
     codebook: tuple[float, ...] | None = None,
+    layout: str = "gptq",
 ) -> jax.Array:
     """Mixed-precision GEMM: ``x @ dequant(w_q_packed)``.
 
@@ -135,6 +136,9 @@ def mixed_precision_gemm(
         group_size: quantization group size along K.
         codebook: optional 16-entry table for codebook formats (NF4/FP4);
             fused in-kernel dequant, ``weight_bias`` ignored.
+        layout: packed-word layout — "gptq" (reference row-interleaved) or
+            "planar" (TPU-fast within-group planar packing, see
+            ``conch_tpu.utils.quant_utils.pack_rows_planar``).
     """
     metadata = create_mixed_precision_metadata(
         x,
@@ -161,6 +165,7 @@ def mixed_precision_gemm(
         zero_is_scalar=metadata.zero_is_scalar,
         out_dtype=metadata.output_dtype,
         codebook=codebook,
+        layout=layout,
     )
 
 

@@ -108,3 +108,37 @@ def unpack_rows(packed: np.ndarray, num_bits: int, size_k: int) -> np.ndarray:
     for i in range(pack_factor):
         out[i::pack_factor, :] = (p >> (num_bits * i)) & mask
     return out
+
+
+def pack_rows_planar(q_w: np.ndarray, num_bits: int, group_size: int) -> np.ndarray:
+    """Pack (K, N) codes planar-within-group: fast unpack on the TPU VPU.
+
+    Within each quantization group of ``group_size`` rows, word ``r``'s
+    bit-field ``i`` holds logical row ``i*rpg + r`` (``rpg = group_size /
+    pack_factor``). Unpacking a group is then a *sublane concatenation* of
+    the shifted bit-field slabs — no cross-sublane interleave — which
+    Mosaic lowers to tile-aligned register copies instead of the shuffle
+    cascade the GPTQ row-interleaved layout (:func:`pack_rows`) needs.
+    """
+    pack_factor = get_pack_factor(num_bits)
+    size_k, size_n = q_w.shape
+    assert size_k % group_size == 0, (size_k, group_size)
+    assert group_size % pack_factor == 0, (group_size, pack_factor)
+    rpg = group_size // pack_factor
+    q = np.asarray(q_w, dtype=np.uint32).reshape(size_k // group_size, pack_factor, rpg, size_n)
+    packed = np.zeros((size_k // group_size, rpg, size_n), dtype=np.uint32)
+    for i in range(pack_factor):
+        packed |= q[:, i] << (num_bits * i)
+    return packed.reshape(size_k // pack_factor, size_n).astype(np.int32)
+
+
+def unpack_rows_planar(packed: np.ndarray, num_bits: int, size_k: int, group_size: int) -> np.ndarray:
+    """Inverse of :func:`pack_rows_planar`; returns (K, N) unsigned codes."""
+    pack_factor = get_pack_factor(num_bits)
+    mask = (1 << num_bits) - 1
+    rpg = group_size // pack_factor
+    p = np.asarray(packed, dtype=np.uint32).reshape(size_k // group_size, rpg, -1)
+    out = np.zeros((size_k // group_size, pack_factor, rpg, p.shape[-1]), dtype=np.uint32)
+    for i in range(pack_factor):
+        out[:, i] = (p >> (num_bits * i)) & mask
+    return out.reshape(size_k, p.shape[-1])

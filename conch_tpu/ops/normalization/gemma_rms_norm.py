@@ -8,6 +8,7 @@ from __future__ import annotations
 import jax
 
 from conch_tpu.kernels.normalization.gemma_rms_norm import gemma_rms_norm_launcher
+from conch_tpu.ops.common import fuse_small_op
 
 
 def gemma_rms_norm(
@@ -26,6 +27,11 @@ def gemma_rms_norm(
     if residual is not None:
         x = x + residual
         residual = x
-    out = gemma_rms_norm_launcher(x.reshape(-1, hidden_size), weight, variance_epsilon)
-    out = out.reshape(x.shape)
+    if fuse_small_op(x.size // hidden_size):
+        from conch_tpu.reference.normalization.gemma_rms_norm import gemma_rms_norm as _ref
+
+        out = _ref(x, weight, variance_epsilon)
+    else:
+        out = gemma_rms_norm_launcher(x.reshape(-1, hidden_size), weight, variance_epsilon)
+        out = out.reshape(x.shape)
     return out if residual is None else (out, residual)

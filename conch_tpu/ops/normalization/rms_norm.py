@@ -11,6 +11,7 @@ from conch_tpu.kernels.normalization.rms_norm import (
     fused_add_rms_norm_launcher,
     rms_norm_launcher,
 )
+from conch_tpu.ops.common import fuse_small_op
 
 
 def rms_norm(x: jax.Array, weight: jax.Array, epsilon: float) -> jax.Array:
@@ -25,6 +26,11 @@ def rms_norm(x: jax.Array, weight: jax.Array, epsilon: float) -> jax.Array:
         Normalized tensor with the same shape and dtype as ``x``.
     """
     hidden_size = x.shape[-1]
+    rows = x.size // hidden_size
+    if fuse_small_op(rows):
+        from conch_tpu.reference.normalization.rms_norm import rms_norm as _ref
+
+        return _ref(x, weight, epsilon)
     out = rms_norm_launcher(x.reshape(-1, hidden_size), weight, epsilon)
     return out.reshape(x.shape)
 
@@ -47,6 +53,11 @@ def fused_add_rms_norm(
         epsilon: Epsilon value.
     """
     hidden_size = x.shape[-1]
+    rows = x.size // hidden_size
+    if fuse_small_op(rows):
+        from conch_tpu.reference.normalization.rms_norm import fused_add_rms_norm as _ref
+
+        return _ref(x, residual, weight, epsilon)
     out, res = fused_add_rms_norm_launcher(
         x.reshape(-1, hidden_size), residual.reshape(-1, hidden_size), weight, epsilon
     )

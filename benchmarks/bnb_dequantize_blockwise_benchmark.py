@@ -5,7 +5,7 @@
 
 import jax.numpy as jnp
 
-from benchmarks.common import make_parser, rng, run_and_report, runtime_zero_i32
+from benchmarks.common import make_parser, rng, run_and_report
 from conch_tpu.ops.quantization.bitsandbytes import dequantize_blockwise, quantize_blockwise
 
 
@@ -16,17 +16,17 @@ def main() -> None:
     parser.add_argument("--quant-type", default="nf4", choices=["nf4", "fp4"])
     args = parser.parse_args()
 
-    x = jnp.asarray(rng(args).normal(size=(args.numel,)), dtype=jnp.bfloat16)
-    packed, state = quantize_blockwise(x, blocksize=args.blocksize, quant_type=args.quant_type)
-    # Read codes + absmax, write bf16 output.
-    nbytes = packed.nbytes + (args.numel // args.blocksize) * 4 + args.numel * 2
+    x = jnp.asarray(rng(args).normal(size=(2, args.numel)), dtype=jnp.bfloat16)
+    packed0, state = quantize_blockwise(x[0], blocksize=args.blocksize, quant_type=args.quant_type)
+    packed1, _ = quantize_blockwise(x[1], blocksize=args.blocksize, quant_type=args.quant_type)
+    packeds = jnp.stack([packed0, packed1])
+    # Read codes + absmax, write bf16 output. Rotated input (see
+    # benchmark_loop): no residency, no carry-add temp traffic.
+    nbytes = packeds.nbytes // 2 + (args.numel // args.blocksize) * 4 + args.numel * 2
     run_and_report(args, [(
         f"bnb_dequantize_{args.quant_type}_b{args.blocksize}",
-        # Codes are uint8: keep the iteration carry-dependent through a
-        # runtime-zero index perturbation instead of a float add.
-        lambda carry, packed: dequantize_blockwise(
-            packed + runtime_zero_i32(carry).astype(packed.dtype), quant_state=state),
-        nbytes, (packed,),
+        lambda carry, packed: dequantize_blockwise(packed, quant_state=state),
+        nbytes, (), None, (packeds,),
     )])
 
 

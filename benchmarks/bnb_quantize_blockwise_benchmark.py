@@ -17,14 +17,15 @@ def main() -> None:
     parser.add_argument("--quant-type", default="nf4", choices=["nf4", "fp4"])
     args = parser.parse_args()
 
-    x = jnp.asarray(rng(args).normal(size=(args.numel,)), dtype=jnp.bfloat16)
-    # Read x, write 4-bit codes + per-block absmax.
-    nbytes = x.nbytes + args.numel // 2 + (args.numel // args.blocksize) * 4
+    xs = jnp.asarray(rng(args).normal(size=(2, args.numel)), dtype=jnp.bfloat16)
+    # Read x, write 4-bit codes + per-block absmax. Rotated input (see
+    # benchmark_loop): no residency, no `x + carry` temp traffic.
+    nbytes = xs.nbytes // 2 + args.numel // 2 + (args.numel // args.blocksize) * 4
     run_and_report(args, [(
         f"bnb_quantize_{args.quant_type}_b{args.blocksize}",
         lambda carry, x: quantize_blockwise(
-            x + carry, blocksize=args.blocksize, quant_type=args.quant_type)[0],
-        nbytes, (x,),
+            x, blocksize=args.blocksize, quant_type=args.quant_type)[0],
+        nbytes, (), None, (xs,),
     )])
 
 

@@ -42,13 +42,18 @@ def run_and_report(args, cases: list[tuple]) -> list[BenchmarkResult]:
     Case forms:
     - ``(tag, fn)``: wall-clock timing of ``fn()`` per call (host-visible
       ops, engine steps).
-    - ``(tag, step_fn, bytes_moved[, operands[, state]])``: trustworthy
-      loop-in-one-dispatch timing; ``step_fn`` takes the f32 scalar carry
-      (fold it into an input) then ``operands``, and the row reports
-      achieved GB/s from ``bytes_moved``. Pass big arrays via operands,
-      not closure (closure constants bloat the compile payload). With
-      ``state``, ``step_fn(carry, state, *operands) -> new_state`` and the
-      state pytree is threaded through the loop (in-place buffer updates).
+    - ``(tag, step_fn, bytes_moved[, operands[, state[, rotated]]])``:
+      trustworthy loop-in-one-dispatch timing; ``step_fn`` takes the f32
+      scalar carry (fold it into an input) then ``operands`` then one
+      slice of each ``rotated`` operand, and the row reports achieved
+      GB/s from ``bytes_moved``. Pass big arrays via operands, not
+      closure (closure constants bloat the compile payload). With
+      ``state``, ``step_fn(carry, state, *operands) -> new_state`` and
+      the state pytree is threaded through the loop (in-place buffer
+      updates). ``rotated`` operands carry a leading buffer dim cycled
+      per iteration so weights can't stay VMEM-resident across the loop
+      (see ``benchmark_loop``); use it for every loop-invariant operand
+      bigger than a few hundred KB.
     """
     results = []
     for case in cases:
@@ -56,9 +61,11 @@ def run_and_report(args, cases: list[tuple]) -> list[BenchmarkResult]:
             tag, step_fn, bytes_moved = case[:3]
             operands = case[3] if len(case) > 3 else ()
             state = case[4] if len(case) > 4 else None
+            rotated = case[5] if len(case) > 5 else ()
             results.append(
                 benchmark_loop(
                     step_fn, tag, operands=operands, state=state,
+                    rotated_operands=rotated,
                     iters_per_dispatch=args.loop,
                     reps=max(3, args.iterations // args.loop), bytes_moved=bytes_moved,
                 )

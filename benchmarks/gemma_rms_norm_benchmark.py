@@ -15,13 +15,18 @@ def main() -> None:
     args = parser.parse_args()
 
     r = rng(args)
-    x = jnp.asarray(r.normal(size=(args.num_tokens, args.hidden_size)), dtype=jnp.bfloat16)
+    # Rotated input stack (see benchmark_loop): consecutive iterations read
+    # different HBM, so neither the input nor a VMEM-resident copy can be
+    # reused across loop iterations, and no `x + carry` temp distorts the
+    # bytes accounting.
+    L = max(2, (2 * 16 << 20) // (args.num_tokens * args.hidden_size * 2))
+    xs = jnp.asarray(r.normal(size=(L, args.num_tokens, args.hidden_size)), dtype=jnp.bfloat16)
     w = jnp.asarray(r.normal(size=(args.hidden_size,)), dtype=jnp.bfloat16)
 
     run_and_report(args, [(
         "gemma_rms_norm",
-        lambda carry, x, w: gemma_rms_norm(x + carry, w, 1e-6),
-        2 * x.nbytes + w.nbytes, (x, w),
+        lambda carry, w, x: gemma_rms_norm(x, w, 1e-6),
+        2 * xs.nbytes // L + w.nbytes, (w,), None, (xs,),
     )])
 
 

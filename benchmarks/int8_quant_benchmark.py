@@ -14,12 +14,14 @@ def main() -> None:
     parser.add_argument("--hidden-size", type=int, default=4096)
     args = parser.parse_args()
 
-    x = jnp.asarray(rng(args).normal(size=(args.num_tokens, args.hidden_size)) * 30, dtype=jnp.bfloat16)
+    L = max(2, (2 * 16 << 20) // (args.num_tokens * args.hidden_size * 2))
+    xs = jnp.asarray(rng(args).normal(size=(L, args.num_tokens, args.hidden_size)) * 30, dtype=jnp.bfloat16)
     scale = jnp.asarray([0.4], dtype=jnp.float32)
+    per = xs.nbytes // L
     run_and_report(args, [(
         "int8_static_quant",
-        lambda carry, x, scale: scaled_int8_quant(x + carry, scale),
-        x.nbytes + x.size, (x, scale),
+        lambda carry, scale, x: scaled_int8_quant(x, scale),
+        per + per // 2, (scale,), None, (xs,),
     )])
 
 

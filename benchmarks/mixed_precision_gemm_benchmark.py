@@ -24,10 +24,21 @@ def main() -> None:
 
     r = rng(args)
     qt = scalar_types.uint4b8 if args.bits == 4 else scalar_types.uint8b128
-    w = r.normal(size=(args.k, args.n)).astype(np.float32) * 0.02
-    _, w_q, w_s, _ = quantize_weights(w, qt, args.group_size)
-    packed = jnp.asarray(pack_rows(w_q, args.bits))
-    scales = jnp.asarray(w_s, dtype=jnp.bfloat16)
+
+    # L weight sets rotated across loop iterations (benchmark_loop
+    # ``rotated``): a single loop-invariant weight gets hoisted into VMEM
+    # and marginal iterations then measure compute-only bandwidth the
+    # serving path never sees (round-2 published a 9890 GB/s dense row
+    # that way). L is sized so each operand stack exceeds 2x VMEM.
+    min_bytes = 2 * 2 * 16 * 1024 * 1024
+    L = max(2, -(-min_bytes // (args.k * args.n // 2)))
+    w = r.normal(size=(L, args.k, args.n)).astype(np.float32) * 0.02
+    w_qs = [quantize_weights(w[i], qt, args.group_size) for i in range(L)]
+    packed = jnp.asarray(np.stack([pack_rows(q[1], args.bits) for q in w_qs]))
+    packed_planar = jnp.asarray(
+        np.stack([pack_rows_planar(q[1], args.bits, args.group_size) for q in w_qs])
+    )
+    scales = jnp.asarray(np.stack([q[2] for q in w_qs]), dtype=jnp.bfloat16)
     x = jnp.asarray(r.normal(size=(args.m, args.k)), dtype=jnp.bfloat16)
     w_dense = jnp.asarray(w, dtype=jnp.bfloat16)
 
@@ -35,20 +46,21 @@ def main() -> None:
     dense = jax.jit(lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32).astype(a.dtype))
 
     out_bytes = args.m * args.n * 2
-    packed_planar = jnp.asarray(pack_rows_planar(w_q, args.bits, args.group_size))
+    per_packed = packed.nbytes // L + scales.nbytes // L + x.nbytes + out_bytes
+    per_planar = packed_planar.nbytes // L + scales.nbytes // L + x.nbytes + out_bytes
     run_and_report(args, [
         (f"mixed_gemm_w{args.bits}a16_m{args.m}",
          lambda carry, x, packed, scales: mixed_precision_gemm(
              x + carry, packed, scales, None, args.bits, qt.bias, args.group_size),
-         packed.nbytes + scales.nbytes + x.nbytes + out_bytes, (x, packed, scales)),
+         per_packed, (x,), None, (packed, scales)),
         (f"mixed_gemm_w{args.bits}a16_m{args.m}_planar",
          lambda carry, x, pp, scales: mixed_precision_gemm(
              x + carry, pp, scales, None, args.bits, qt.bias, args.group_size,
              layout="planar"),
-         packed_planar.nbytes + scales.nbytes + x.nbytes + out_bytes, (x, packed_planar, scales)),
+         per_planar, (x,), None, (packed_planar, scales)),
         ("dense_bf16_matmul",
          lambda carry, x, wd: dense(x + carry, wd),
-         w_dense.nbytes + x.nbytes + out_bytes, (x, w_dense)),
+         w_dense.nbytes // L + x.nbytes + out_bytes, (x,), None, (w_dense,)),
     ])
 
 

@@ -15,17 +15,21 @@ def main() -> None:
     args = parser.parse_args()
 
     r = rng(args)
-    x = jnp.asarray(r.normal(size=(args.num_tokens, args.hidden_size)), dtype=jnp.bfloat16)
-    res = jnp.asarray(r.normal(size=(args.num_tokens, args.hidden_size)), dtype=jnp.bfloat16)
+    # Rotated input stacks (see benchmark_loop): no VMEM residency across
+    # iterations, no `x + carry` temp distorting bytes accounting.
+    L = max(2, (2 * 16 << 20) // (args.num_tokens * args.hidden_size * 2))
+    xs = jnp.asarray(r.normal(size=(L, args.num_tokens, args.hidden_size)), dtype=jnp.bfloat16)
+    ress = jnp.asarray(r.normal(size=(L, args.num_tokens, args.hidden_size)), dtype=jnp.bfloat16)
     w = jnp.asarray(r.normal(size=(args.hidden_size,)), dtype=jnp.bfloat16)
+    per = xs.nbytes // L
 
     run_and_report(args, [
         ("rms_norm",
-         lambda carry, x, res, w: rms_norm(x + carry, w, 1e-6),
-         2 * x.nbytes + w.nbytes, (x, res, w)),
+         lambda carry, w, x, res: rms_norm(x, w, 1e-6),
+         2 * per + w.nbytes, (w,), None, (xs, ress)),
         ("fused_add_rms_norm",
-         lambda carry, x, res, w: fused_add_rms_norm(x + carry, res, w, 1e-6),
-         4 * x.nbytes + w.nbytes, (x, res, w)),
+         lambda carry, w, x, res: fused_add_rms_norm(x, res, w, 1e-6),
+         4 * per + w.nbytes, (w,), None, (xs, ress)),
     ])
 
 

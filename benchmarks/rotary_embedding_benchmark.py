@@ -20,13 +20,16 @@ def main() -> None:
     r = rng(args)
     cache = compute_cos_sin_cache(500000.0, args.head_size, 8192)
     pos = jnp.asarray(r.integers(0, 8192, size=(args.num_tokens,)), dtype=jnp.int32)
-    q = jnp.asarray(r.normal(size=(args.num_tokens, args.num_q_heads * args.head_size)), dtype=jnp.bfloat16)
-    k = jnp.asarray(r.normal(size=(args.num_tokens, args.num_kv_heads * args.head_size)), dtype=jnp.bfloat16)
+    # Rotated q/k stacks (see benchmark_loop): at the default shape q+k is
+    # ~10 MB and would otherwise sit VMEM-resident across loop iterations.
+    L = 4
+    qs = jnp.asarray(r.normal(size=(L, args.num_tokens, args.num_q_heads * args.head_size)), dtype=jnp.bfloat16)
+    ks = jnp.asarray(r.normal(size=(L, args.num_tokens, args.num_kv_heads * args.head_size)), dtype=jnp.bfloat16)
 
     run_and_report(args, [(
         "rotary_embedding",
-        lambda carry, pos, q, k, cache: rotary_embedding(pos, q + carry, k, args.head_size, cache),
-        2 * (q.nbytes + k.nbytes), (pos, q, k, cache),
+        lambda carry, pos, cache, q, k: rotary_embedding(pos, q, k, args.head_size, cache),
+        2 * (qs.nbytes + ks.nbytes) // L, (pos, cache), None, (qs, ks),
     )])
 
 

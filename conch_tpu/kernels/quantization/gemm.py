@@ -194,7 +194,7 @@ def _mixed_gemm_kernel(
     jax.jit,
     static_argnames=(
         "weight_size_bits", "weight_bias", "group_size", "zero_is_scalar", "out_dtype", "codebook",
-        "layout",
+        "layout", "block_n", "block_k",
     ),
 )
 def mixed_precision_gemm_launcher(
@@ -210,6 +210,8 @@ def mixed_precision_gemm_launcher(
     out_dtype=None,
     codebook: tuple[float, ...] | None = None,
     layout: str = "gptq",
+    block_n: int | None = None,
+    block_k: int | None = None,
 ) -> jax.Array:
     """``C = x @ dequant(w_q_packed)`` with groupwise scales/zero-points.
 
@@ -254,17 +256,25 @@ def mixed_precision_gemm_launcher(
         raise ValueError(msg)
 
     # Tile sizes: bn lanes, bk along K aligned to both the pack factor and
-    # the quantization group, bm >= one sublane tile. Tiles are deliberately
-    # LARGE (up to 1024x2048): measured on v5e, (256,256) weight blocks cap
-    # the kernel at ~150 GB/s because each grid step's DMA is only 32 KB,
-    # while (1024,2048) blocks reach ~470 GB/s of the ~740 GB/s
-    # DMA-only ceiling (tools/drive/exp_int4_gemm.py).
-    bn = min(round_up(n_dim, 128), 2048)
-    if layout == "planar":
-        # Whole groups per tile (the kernel dequantizes group-at-a-time).
+    # the quantization group, bm >= one sublane tile. The decode path is
+    # DMA-burst-bound, and WIDE-N tiles win: on v5e (m=8, K=4096, N=14336,
+    # g=128) bn=3584/bk=512 streams 632 GB/s vs 405 GB/s at bn=2048/bk=1024
+    # and ~150 GB/s at (256,256) — 79% of the same-window dense-bf16 803 GB/s
+    # (tools/drive/exp_int4_gemm.py). bn must DIVIDE the 128-aligned N so no
+    # full-weight jnp.pad runs inside the jitted launcher on every call.
+    n128 = round_up(n_dim, 128)
+    if block_n is not None:
+        bn = block_n
+    else:
+        bn = max(d for d in range(128, min(n128, 4096) + 1, 128) if n128 % d == 0)
+    if block_k is not None:
+        bk = block_k
+    elif layout == "planar":
+        # Whole groups per tile (the kernel dequantizes group-at-a-time);
+        # grow bk until the packed weight block reaches ~1 MB.
         bk = group_size
         gpt_max = k_dim // group_size
-        while bk * 2 <= 1024 and gpt_max % 2 == 0:
+        while (bk // epp) * bn * 4 < 768 * 1024 and gpt_max % 2 == 0:
             bk *= 2
             gpt_max //= 2
     else:
@@ -486,7 +496,8 @@ def scaled_gemm_launcher(
     sa = jnp.broadcast_to(scale_a.astype(jnp.float32).reshape(-1, 1), (m_dim, 1)) if scale_a.size > 1 else jnp.full((m_dim, 1), scale_a.astype(jnp.float32).reshape(()))
     sb = jnp.broadcast_to(scale_b.astype(jnp.float32).reshape(1, -1), (1, n_dim)) if scale_b.size > 1 else jnp.full((1, n_dim), scale_b.astype(jnp.float32).reshape(()))
 
-    bn = min(round_up(n_dim, 128), 1024)
+    n128 = round_up(n_dim, 128)
+    bn = next(c for c in (1024, 512, 256, 128) if n128 % c == 0)
     bk = 512
     while k_dim % bk != 0 and bk > 128:
         bk //= 2

@@ -108,6 +108,7 @@ def benchmark_loop(
     tag: str = "",
     *,
     operands: tuple = (),
+    rotated_operands: tuple = (),
     state: Any | None = None,
     iters_per_dispatch: int = 20,
     reps: int = 5,
@@ -140,6 +141,15 @@ def benchmark_loop(
     across iterations (XLA keeps loop-carried buffers resident) instead of
     re-copying a loop-invariant input every step.
 
+    ``rotated_operands`` defeats the other way loop timing can lie: a
+    loop-INVARIANT weight gets hoisted into VMEM once, so marginal
+    iterations measure compute-only bandwidth the serving path never sees
+    (round-2 tables published 9890 GB/s rows this way). Each rotated
+    operand is an array with a leading buffer dimension L >= 2 (total
+    bytes ideally > VMEM); iteration ``i`` dynamically slices buffer
+    ``i % L`` and passes it to ``step_fn`` after the plain operands, so
+    consecutive iterations touch different HBM and residency is impossible.
+
     Reports the per-iteration milliseconds over ``reps`` differenced pairs.
     """
     import numpy as np
@@ -148,10 +158,15 @@ def benchmark_loop(
 
     def make_run(n):
         @jax.jit
-        def run(eps, st, *ops):
+        def run(eps, st, ops, rops):
             def body(i, c):
                 carry, s = c
-                out = step_fn(carry, s, *ops) if state is not None else step_fn(carry, *ops)
+                rslices = tuple(
+                    jax.lax.dynamic_index_in_dim(r, i % r.shape[0], keepdims=False)
+                    for r in rops
+                )
+                args = (*ops, *rslices)
+                out = step_fn(carry, s, *args) if state is not None else step_fn(carry, *args)
                 leaf = jax.tree_util.tree_leaves(out)[0]
                 new_s = out if state is not None else s
                 return (carry + eps * jnp.ravel(leaf)[0].astype(jnp.float32), new_s)
@@ -161,6 +176,7 @@ def benchmark_loop(
 
         return run
 
+    operands = (operands, tuple(rotated_operands))
     n = iters_per_dispatch
     run_n, run_2n = make_run(n), make_run(2 * n)
     zero = jnp.float32(0.0)

@@ -59,7 +59,6 @@ def _planar_variant_kernel(x_ref, b_ref, s_ref, o_ref, acc_ref, *, mode, bk, bn,
         # b_ref is a native (bk, bn) int4 block; Mosaic converts s4->bf16
         w = packed.astype(jnp.bfloat16).reshape(gpt, GS, bn)
         xs = x.reshape(x.shape[0], gpt, GS)
-        xsum = jnp.sum(xs.astype(jnp.float32), axis=2).T[:, :, None]  # (gpt, bm, 1)
         part = jax.lax.dot_general(
             xs.transpose(1, 0, 2), w, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,

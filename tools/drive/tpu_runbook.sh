@@ -26,7 +26,7 @@ stage() {
 stage varlen_tuning 900 python tools/drive/drive_varlen_tuning.py --seq 2048 --batch 8
 
 # 2. TPU hardware test tier (Mosaic-lowers every kernel)
-stage tpu_tier 1800 python -m pytest tests/tpu -m tpu -q --no-header
+stage tpu_tier 1800 python -m pytest tests/tpu -m tpu -q --no-header -n 0
 
 # 3. headline bench
 stage bench_headline 1200 python bench.py

@@ -31,7 +31,9 @@ _KAPPA = 0.044715
 def _gelu_tanh_and_mul_kernel(x_ref, y_ref, o_ref):
     x = x_ref[...].astype(jnp.float32)
     inner = _BETA * (x + _KAPPA * x * x * x)
-    gelu = (0.5 * x * (1.0 + jnp.tanh(inner))).astype(o_ref.dtype)
+    # 0.5 * (1 + tanh(u)) == sigmoid(2u): one exp + one reciprocal on the
+    # VPU instead of tanh's rational-approximation ladder.
+    gelu = (x * jax.nn.sigmoid(2.0 * inner)).astype(o_ref.dtype)
     o_ref[...] = gelu * y_ref[...]
 
 
@@ -70,5 +72,9 @@ def gelu_tanh_and_mul_parts_launcher(gate: jax.Array, up: jax.Array) -> jax.Arra
 @jax.jit
 def gelu_tanh_and_mul_launcher(x: jax.Array) -> jax.Array:
     """GeGLU over a 2D (num_tokens, 2*d) input; returns (num_tokens, d)."""
+    from conch_tpu.kernels.activation.silu_and_mul import _fused_halves_launcher
+
     d = x.shape[-1] // 2
+    if d % 128 == 0:
+        return _fused_halves_launcher(_gelu_tanh_and_mul_kernel, x)
     return gelu_tanh_and_mul_parts_launcher(x[:, :d], x[:, d:])

@@ -125,7 +125,14 @@ class EngineConfig:
     # plain greedy with no pending logit rules. Under TP, greedy
     # selection uses a distributed argmax over the vocab-column shards
     # (two (batch,)-sized all-gathers) instead of gathering full logits.
-    multi_step_decode: int = 1
+    # DEFAULT ON (8): a decode-only all-greedy batch advances 8 tokens
+    # per dispatch; round-2 hardware measured the engine spending ~10x
+    # the model step time on host scheduling + per-step dispatch at
+    # default settings. Cost: streaming granularity and finish checks
+    # are 8 tokens coarse (overshoot KV is rolled back for free), and up
+    # to 7 wasted token-steps on requests that finish mid-scan. Set 1
+    # for per-token streaming latency.
+    multi_step_decode: int = 8
     # Rolling KV buffer for sliding-window models (Mistral-style): cap
     # each sequence's KV at a ring of
     # ceil((sliding_window + max_prefill_tokens)/page_size) + 1 pages;

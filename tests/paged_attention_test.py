@@ -49,7 +49,7 @@ def _run_and_compare(fx, dtype, softcap=0.0, scale=None, k_scale=1.0, v_scale=1.
 
 @pytest.mark.parametrize("num_q_heads,num_kv_heads", [(8, 8), (32, 8), (4, 1)])
 @pytest.mark.parametrize("head_size", [64, 128, 256])
-@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16, jnp.float16])
 def test_paged_attention_heads_dtypes(num_q_heads, num_kv_heads, head_size, dtype, rng):
     fx = create_paged_fixture(
         rng,

@@ -72,11 +72,43 @@ def eval_ppl_and_kl(params, ref_logits, config, tokens: jax.Array, forward=None)
     return ppl, kl, np.asarray(logits)
 
 
+def eval_ppl_kv_cache(params, config, tokens: jax.Array, cache_dtype) -> float:
+    """Teacher-forced ppl through the REAL paged serving path (varlen
+    attention over a paged KV cache written by reshape_and_cache), with the
+    cache held in ``cache_dtype`` (None = model dtype). This measures the
+    serving-precision deltas the dense eval above cannot see."""
+    import jax.numpy as jnp
+
+    from conch_tpu.models.llama import init_kv_caches, llama_verify_forward
+
+    batch, seq = tokens.shape
+    page_size = 16
+    pages_per_seq = -(-seq // page_size)
+    block_tables = np.arange(batch * pages_per_seq, dtype=np.int32).reshape(
+        batch, pages_per_seq
+    )
+    positions = np.tile(np.arange(seq, dtype=np.int32), batch)
+    pages = block_tables[:, positions[:seq] // page_size]  # (batch, seq)
+    slots = (pages * page_size + (np.arange(seq) % page_size)[None, :]).reshape(-1)
+    cu = np.arange(batch + 1, dtype=np.int32) * seq
+    k, v = init_kv_caches(config, batch * pages_per_seq, page_size, cache_dtype=cache_dtype)
+    logits, _, _ = jax.jit(llama_verify_forward, static_argnums=(1, 5))(
+        params, config, tokens.reshape(-1), jnp.asarray(positions), jnp.asarray(cu),
+        seq, jnp.full((batch,), seq, jnp.int32), jnp.asarray(block_tables),
+        jnp.asarray(slots), k, v,
+    )
+    lp = jax.nn.log_softmax(logits.reshape(batch, seq, -1)[:, :-1], axis=-1)
+    nll = -jnp.take_along_axis(lp, tokens[:, 1:][..., None], axis=-1)[..., 0]
+    return float(jnp.exp(jnp.mean(nll)))
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=300)
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--seq", type=int, default=128)
+    parser.add_argument("--layers", type=int, default=8)
+    parser.add_argument("--seeds", default="0", help="comma-separated training seeds")
     parser.add_argument("--lr", type=float, default=3e-3)
     parser.add_argument("--json", action="store_true", help="one JSON line per precision")
     parser.add_argument(
@@ -85,7 +117,29 @@ def main() -> None:
     )
     args = parser.parse_args()
 
-    rng = np.random.default_rng(0)
+    seeds = [int(s) for s in args.seeds.split(",")]
+    all_runs: list[dict[str, tuple[float, float]]] = []
+    for seed in seeds:
+        all_runs.append(run_once(args, seed))
+
+    if len(seeds) > 1:
+        print(f"# --- aggregate over seeds {seeds} (ppl delta vs same-seed bf16) ---")
+        for mode in all_runs[0]:
+            if mode == "bf16":
+                continue
+            deltas = [r[mode][0] - r["bf16"][0] for r in all_runs]
+            line = {
+                "precision": mode,
+                "ppl_delta_mean": round(float(np.mean(deltas)), 4),
+                "ppl_delta_min": round(float(np.min(deltas)), 4),
+                "ppl_delta_max": round(float(np.max(deltas)), 4),
+                "seeds": len(seeds),
+            }
+            print(json.dumps(line) if args.json else f"  {line}")
+
+
+def run_once(args, seed: int) -> dict[str, tuple[float, float]]:
+    rng = np.random.default_rng(seed)
     if args.family == "deepseek":
         from conch_tpu.models.deepseek import (
             DeepseekV2Config,
@@ -96,14 +150,14 @@ def main() -> None:
         )
 
         config = DeepseekV2Config(
-            vocab_size=512, hidden_size=256, num_layers=4, num_heads=4,
+            vocab_size=512, hidden_size=256, num_layers=args.layers, num_heads=4,
             kv_lora_rank=128, qk_nope_head_dim=64, qk_rope_head_dim=32,
             v_head_dim=64, n_routed_experts=4, n_shared_experts=1,
             num_experts_per_tok=2, moe_intermediate_size=256,
             intermediate_size=512, first_k_dense_replace=1,
             max_position=args.seq, moe_capacity_factor=100.0,
         )
-        params = init_deepseek_params(0, config, "bf16")
+        params = init_deepseek_params(seed, config, "bf16")
         mesh = create_mesh(data=1, model=1, devices=jax.devices()[:1])
         train_step, init_opt, _ = make_deepseek_train_step(mesh, config, params, learning_rate=args.lr)
         forward = lambda p, c, toks: deepseek_dense_forward(p, c, toks)[0]
@@ -111,10 +165,10 @@ def main() -> None:
         group_size = 32
     else:
         config = LlamaConfig(
-            vocab_size=512, hidden_size=256, intermediate_size=512, num_layers=4,
+            vocab_size=512, hidden_size=256, intermediate_size=512, num_layers=args.layers,
             num_heads=4, num_kv_heads=2, head_dim=64, max_position=args.seq,
         )
-        params = init_llama_params(0, config, "bf16")
+        params = init_llama_params(seed, config, "bf16")
         mesh = create_mesh(data=1, model=1, devices=jax.devices()[:1])
         train_step, init_opt, *_ = make_train_step(mesh, config, params, learning_rate=args.lr)
         forward = dense_forward
@@ -157,10 +211,30 @@ def main() -> None:
         }
         print(json.dumps(line) if args.json else f"  {line}")
 
+    if args.family == "llama":
+        # KV-cache precision rows through the real paged serving path.
+        # Baseline is the SAME path with a model-dtype cache, so the delta
+        # isolates the cache quantization (not kernel-vs-dense numerics).
+        kv_base = eval_ppl_kv_cache(params, config, heldout, None)
+        for name, dt in (("kv_int8", jnp.int8), ("kv_fp8_e4m3", jnp.float8_e4m3fn)):
+            ppl = eval_ppl_kv_cache(params, config, heldout, dt)
+            results[name] = (ppl, 0.0)
+            line = {
+                "precision": name,
+                "ppl": round(ppl, 4),
+                "ppl_delta_vs_paged_bf16_cache": round(ppl - kv_base, 4),
+                "paged_bf16_cache_ppl": round(kv_base, 4),
+            }
+            print(json.dumps(line) if args.json else f"  {line}")
+
     bf16_ppl = results["bf16"][0]
     assert bf16_ppl < uniform_ppl / 4, "training failed to learn structure"
-    worst = max(abs(results[m][0] - bf16_ppl) for m in modes if m != "bf16")
-    print(f"# bf16 ppl {bf16_ppl:.3f} (uniform {uniform_ppl}); worst quant ppl delta {worst:.4f}")
+    worst = max(abs(results[m][0] - bf16_ppl) for m in results if m != "bf16")
+    print(
+        f"# seed {seed}: bf16 ppl {bf16_ppl:.3f} (uniform {uniform_ppl}); "
+        f"worst quant ppl delta {worst:.4f}"
+    )
+    return results
 
 
 if __name__ == "__main__":

@@ -41,6 +41,10 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from conch_tpu.kernels.common import round_up, use_interpret_mode
 
 # NF4 code values (reference ``dequantize_blockwise.py:37-71``): the 16
 # quantiles of a standard normal, normalized to [-1, 1] (QLoRA appendix E).
@@ -198,6 +202,117 @@ def _work_shape(num_blocks: int, blocksize: int) -> tuple[int, int, int]:
     return rows, width, k
 
 
+def _pack_matrix_iota(bs: int) -> jax.Array:
+    """(bs, bs//2) nibble-pair pack matrix (16 at even rows, 1 at odd),
+    built from iota in-kernel (pallas kernels cannot capture constants)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (bs, bs // 2), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (bs, bs // 2), 1)
+    return (
+        jnp.where(r == 2 * j, jnp.bfloat16(16.0), jnp.bfloat16(0.0))
+        + jnp.where(r == 2 * j + 1, jnp.bfloat16(1.0), jnp.bfloat16(0.0))
+    )
+
+
+def _unpack_matrices_iota(bs: int) -> tuple[jax.Array, jax.Array]:
+    """(bs//2, bs) scatter matrices: E places the high nibble at lane 2j,
+    O the low nibble at lane 2j+1; built from iota in-kernel."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (bs // 2, bs), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (bs // 2, bs), 1)
+    e = jnp.where(c == 2 * j, jnp.bfloat16(1.0), jnp.bfloat16(0.0))
+    o = jnp.where(c == 2 * j + 1, jnp.bfloat16(1.0), jnp.bfloat16(0.0))
+    return e, o
+
+
+def _quantize4_kernel(x_ref, packed_ref, am_ref, *, quant_type: str, bs: int):
+    """One quantization block per row: absmax -> encode -> MXU nibble pack.
+
+    The cross-lane pair packing rides the MXU (codes <= 15 and packed
+    bytes <= 255 are bf16-exact), so the kernel is one HBM sweep: read
+    f32 x, write u8 packed + f32 absmax. The XLA formulation of the same
+    codec measured 46 GB/s on v5e — fusion boundaries materialized the
+    scaled/codes intermediates; here they live in VMEM.
+    """
+    x = x_ref[...].astype(jnp.float32)
+    am = jnp.max(jnp.abs(x), axis=1, keepdims=True)  # (BT, 1)
+    scaled = x * jnp.where(am > 0.0, 1.0 / am, 0.0)
+    codes = _nf4_encode(scaled) if quant_type == "nf4" else _fp4_encode(scaled)
+    packmat = _pack_matrix_iota(bs)
+    packed = jnp.dot(codes.astype(jnp.bfloat16), packmat, preferred_element_type=jnp.float32)
+    packed_ref[...] = packed.astype(jnp.uint8)
+    am_ref[...] = am
+
+
+def _dequantize4_kernel(p_ref, am_ref, out_ref, *, quant_type: str, bs: int):
+    """Inverse sweep: u8 packed -> nibble split -> MXU interleave -> decode."""
+    p = p_ref[...].astype(jnp.int32)  # (BT, bs/2)
+    hi = (p >> 4).astype(jnp.bfloat16)  # element 2j
+    lo = (p & 0x0F).astype(jnp.bfloat16)
+    e, o = _unpack_matrices_iota(bs)
+    codes_f = jnp.dot(hi, e, preferred_element_type=jnp.float32)
+    codes_f += jnp.dot(lo, o, preferred_element_type=jnp.float32)
+    codes = codes_f.astype(jnp.int32)  # exact: values <= 15
+    values = _nf4_decode(codes) if quant_type == "nf4" else _fp4_decode(codes)
+    out_ref[...] = (values * am_ref[...].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def _block_rows(bs: int) -> int:
+    """Rows per grid step: ~1 MB of f32 input per block, sublane-aligned."""
+    return max(32, min(2048, (1 << 20) // (bs * 4) // 32 * 32))
+
+
+def _quantize4_pallas(flat: jax.Array, num_blocks: int, blocksize: int, quant_type: str):
+    bt = _block_rows(blocksize)
+    nb_pad = round_up(num_blocks, bt)
+    if flat.shape[0] != nb_pad * blocksize:
+        flat = jnp.pad(flat, (0, nb_pad * blocksize - flat.shape[0]))
+    x2 = flat.reshape(nb_pad, blocksize)
+    packed, am = pl.pallas_call(
+        functools.partial(_quantize4_kernel, quant_type=quant_type, bs=blocksize),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb_pad, blocksize // 2), jnp.uint8),
+            jax.ShapeDtypeStruct((nb_pad, 1), jnp.float32),
+        ),
+        grid=(nb_pad // bt,),
+        in_specs=[pl.BlockSpec((bt, blocksize), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((bt, blocksize // 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=use_interpret_mode(),
+    )(x2)
+    return packed.reshape(-1), am.reshape(-1)[:num_blocks]
+
+
+def _dequantize4_pallas(
+    packed: jax.Array, absmax: jax.Array, num_blocks: int, blocksize: int,
+    quant_type: str, output_dtype,
+):
+    bt = _block_rows(blocksize)
+    nb_pad = round_up(num_blocks, bt)
+    if packed.shape[0] != nb_pad * (blocksize // 2):
+        packed = jnp.pad(packed, (0, nb_pad * (blocksize // 2) - packed.shape[0]))
+    if absmax.shape[0] != nb_pad:
+        absmax = jnp.pad(absmax, (0, nb_pad - absmax.shape[0]))
+    out = pl.pallas_call(
+        functools.partial(_dequantize4_kernel, quant_type=quant_type, bs=blocksize),
+        out_shape=jax.ShapeDtypeStruct((nb_pad, blocksize), output_dtype),
+        grid=(nb_pad // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, blocksize // 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, blocksize), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=use_interpret_mode(),
+    )(packed.reshape(nb_pad, blocksize // 2), absmax.astype(jnp.float32).reshape(nb_pad, 1))
+    return out.reshape(-1)
+
+
+# Pallas 4-bit path applies below this blocksize bound: one block per row
+# keeps the MXU pack/interleave at <= 256 MACs/element. Larger blocksizes
+# (1024..4096, rare) keep the XLA formulation.
+_PALLAS_MAX_BS = 512
+
+
 def _code8_encode(scaled: jax.Array, code: jax.Array) -> jax.Array:
     """Nearest-code rounding into a sorted 256-entry code table.
 
@@ -227,6 +342,13 @@ def quantize_blockwise_launcher(
         msg = f"4-bit quantization requires an even input size, got {input_size}"
         raise ValueError(msg)
     num_blocks = -(-input_size // blocksize)
+
+    if quant_type in ("nf4", "fp4") and blocksize % 2 == 0 and blocksize <= _PALLAS_MAX_BS:
+        packed, absmax = _quantize4_pallas(
+            x.reshape(-1).astype(jnp.float32), num_blocks, blocksize, quant_type
+        )
+        return packed[: input_size // 2].reshape(-1, 1), absmax
+
     rows, width, k = _work_shape(num_blocks, blocksize)
 
     flat = x.reshape(-1).astype(jnp.float32)
@@ -266,6 +388,13 @@ def dequantize_blockwise_launcher(
 ) -> jax.Array:
     """Blockwise dequantize packed NF4/FP4 or 8-bit codes to ``output_dtype``."""
     num_blocks = -(-output_size // blocksize)
+
+    if quant_type in ("nf4", "fp4") and blocksize % 2 == 0 and blocksize <= _PALLAS_MAX_BS:
+        out = _dequantize4_pallas(
+            x.reshape(-1), absmax, num_blocks, blocksize, quant_type, output_dtype
+        )
+        return out[:output_size]
+
     rows, width, k = _work_shape(num_blocks, blocksize)
 
     flat = x.reshape(-1)

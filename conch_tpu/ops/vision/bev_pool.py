@@ -20,6 +20,7 @@ def bev_pool(
     grid_cells_z: int,
     grid_cells_x: int,
     grid_cells_y: int,
+    cells_sorted: bool = True,
 ) -> jax.Array:
     """Cumulative-sum pooling onto a 3D voxel grid (differentiable).
 
@@ -29,6 +30,10 @@ def bev_pool(
         interval_starts: first point index of each pooled interval.
         interval_lengths: number of points in each pooled interval.
         batch_size / grid_cells_z / grid_cells_x / grid_cells_y: grid dims.
+        cells_sorted: intervals arrive in ascending flattened-cell order
+            (guaranteed by the BEVFusion quick-cumsum construction, which
+            sorts points by cell rank before deriving intervals). Selects
+            the windowed Pallas kernels; pass False for arbitrary order.
 
     Returns:
         (batch_size, grid_z, grid_x, grid_y, channels) pooled features;
@@ -43,6 +48,7 @@ def bev_pool(
         grid_cells_z,
         grid_cells_x,
         grid_cells_y,
+        cells_sorted,
     )
 
 
@@ -51,7 +57,11 @@ def bev_pool_backward(
     geom_feats: jax.Array,
     interval_starts: jax.Array,
     interval_lengths: jax.Array,
+    cells_sorted: bool = True,
 ) -> jax.Array:
     """Explicit backward pass (parity with the reference's separate op)."""
     num_points = geom_feats.shape[0]
-    return _bev_pool_backward(grad_output, geom_feats, interval_starts, interval_lengths, num_points)
+    return _bev_pool_backward(
+        grad_output, geom_feats, interval_starts, interval_lengths, num_points,
+        cells_sorted=cells_sorted,
+    )

@@ -379,3 +379,52 @@ def test_rolling_ring_attention_on_hw(nrng):
     p /= p.sum(-1, keepdims=True)
     exp = np.einsum("hk,khd->hd", p, v)
     np.testing.assert_allclose(np.asarray(out[0]), exp, atol=2e-2, rtol=2e-2)
+
+
+def test_small_ops_decode_shape_kernels_on_hw(nrng, monkeypatch):
+    """Decode-sized (8-token) Pallas kernels on hardware with small-op
+    fusion disabled: the kernel branch must lower and match the reference
+    at exactly the shapes where serving normally takes the fused branch
+    (ADVICE r2: neither branch was tested where it actually runs)."""
+    monkeypatch.setenv("CONCH_SMALL_OP_FUSION", "0")
+    from conch_tpu.ops.activation import silu_and_mul
+    from conch_tpu.ops.normalization import rms_norm
+    from conch_tpu.reference.normalization.rms_norm import rms_norm as rms_ref
+
+    x = jnp.asarray(nrng.normal(size=(8, 512)), jnp.bfloat16)
+    w = jnp.asarray(nrng.normal(size=(512,)), jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(rms_norm(x, w, 1e-6), np.float32),
+        np.asarray(rms_ref(x, w, 1e-6), np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+    a, b = np.asarray(x, np.float32)[:, :256], np.asarray(x, np.float32)[:, 256:]
+    np.testing.assert_allclose(
+        np.asarray(silu_and_mul(x), np.float32), a / (1 + np.exp(-a)) * b, atol=2e-2, rtol=2e-2
+    )
+
+
+def test_bev_pool_sorted_on_hw(nrng):
+    """Windowed one-hot bev_pool kernels (fwd + bwd) lower on hardware and
+    match the XLA fallback."""
+    from conch_tpu.ops.vision import bev_pool, bev_pool_backward
+
+    ni, g = 600, 32
+    lengths = nrng.integers(1, 7, size=ni).astype(np.int32)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int32)
+    n = int(lengths.sum())
+    feats = jnp.asarray(nrng.normal(size=(n, 80)), jnp.float32)
+    cells = np.sort(nrng.choice(g * g, size=ni, replace=False))
+    geom = np.zeros((n, 4), np.int32)
+    for i, (s, ln) in enumerate(zip(starts, lengths)):
+        geom[s : s + ln] = (cells[i] // g, cells[i] % g, 0, 0)
+    geom_j, starts_j, lengths_j = jnp.asarray(geom), jnp.asarray(starts), jnp.asarray(lengths)
+
+    fast = bev_pool(feats, geom_j, starts_j, lengths_j, 1, 1, g, g, cells_sorted=True)
+    ref = bev_pool(feats, geom_j, starts_j, lengths_j, 1, 1, g, g, cells_sorted=False)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    gout = jnp.asarray(nrng.normal(size=ref.shape), jnp.float32)
+    gfast = bev_pool_backward(gout, geom_j, starts_j, lengths_j, cells_sorted=True)
+    gref = bev_pool_backward(gout, geom_j, starts_j, lengths_j, cells_sorted=False)
+    np.testing.assert_allclose(np.asarray(gfast), np.asarray(gref), atol=1e-4, rtol=1e-4)

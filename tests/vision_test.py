@@ -24,13 +24,19 @@ from conch_tpu.ops.vision import (
 from conch_tpu.reference.vision import reference as ref
 
 
-def _make_bev_inputs(rng, num_intervals=20, max_len=6, channels=16, b=2, gz=1, gx=8, gy=8):
+def _make_bev_inputs(rng, num_intervals=20, max_len=6, channels=16, b=2, gz=1, gx=8, gy=8,
+                     sort_cells=True):
     lengths = rng.integers(1, max_len + 1, size=num_intervals)
     starts = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int32)
     n = int(lengths.sum())
     feats = rng.normal(size=(n, channels)).astype(np.float32)
 
     cells = rng.choice(b * gz * gx * gy, size=num_intervals, replace=False)
+    if sort_cells:
+        # BEVFusion builds intervals from points sorted by cell rank, so
+        # interval cell ids arrive ascending — the realistic layout (and
+        # the contract of the default cells_sorted=True fast path).
+        cells = np.sort(cells)
     geom = np.zeros((n, 4), dtype=np.int32)
     for i, (s, ln) in enumerate(zip(starts, lengths)):
         cell = cells[i]
@@ -40,21 +46,43 @@ def _make_bev_inputs(rng, num_intervals=20, max_len=6, channels=16, b=2, gz=1, g
     return feats, geom, starts, lengths.astype(np.int32), (b, gz, gx, gy)
 
 
-def test_bev_pool_forward(rng):
-    feats, geom, starts, lengths, (b, gz, gx, gy) = _make_bev_inputs(rng)
+@pytest.mark.parametrize("sort_cells", [True, False])
+def test_bev_pool_forward(rng, sort_cells):
+    feats, geom, starts, lengths, (b, gz, gx, gy) = _make_bev_inputs(rng, sort_cells=sort_cells)
     out = bev_pool(
-        jnp.asarray(feats), jnp.asarray(geom), jnp.asarray(starts), jnp.asarray(lengths), b, gz, gx, gy
+        jnp.asarray(feats), jnp.asarray(geom), jnp.asarray(starts), jnp.asarray(lengths), b, gz, gx, gy,
+        cells_sorted=sort_cells,
     )
     expected = ref.bev_pool(feats, geom, starts, lengths, b, gz, gx, gy)
     np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5, atol=1e-5)
 
 
-def test_bev_pool_backward(rng):
-    feats, geom, starts, lengths, (b, gz, gx, gy) = _make_bev_inputs(rng)
+def test_bev_pool_forward_large_sorted(rng):
+    """Window boundaries: >1 interval block, duplicate cells, long tails."""
+    feats, geom, starts, lengths, dims = _make_bev_inputs(
+        rng, num_intervals=700, max_len=9, channels=24, b=1, gz=1, gx=32, gy=32
+    )
+    # duplicate a few cells (scatter-ADD semantics must accumulate)
+    geom2 = geom.copy()
+    s1, l1 = starts[13], lengths[13]
+    geom2[s1 : s1 + l1] = geom2[starts[14]][None, :]
+    b, gz, gx, gy = dims
+    out = bev_pool(
+        jnp.asarray(feats), jnp.asarray(geom2), jnp.asarray(starts),
+        jnp.asarray(lengths), b, gz, gx, gy, cells_sorted=True,
+    )
+    expected = ref.bev_pool(feats, geom2, starts, lengths, b, gz, gx, gy)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("sort_cells", [True, False])
+def test_bev_pool_backward(rng, sort_cells):
+    feats, geom, starts, lengths, (b, gz, gx, gy) = _make_bev_inputs(rng, sort_cells=sort_cells)
     grad_out = rng.normal(size=(b, gz, gx, gy, feats.shape[1])).astype(np.float32)
 
     grads = bev_pool_backward(
-        jnp.asarray(grad_out), jnp.asarray(geom), jnp.asarray(starts), jnp.asarray(lengths)
+        jnp.asarray(grad_out), jnp.asarray(geom), jnp.asarray(starts), jnp.asarray(lengths),
+        cells_sorted=sort_cells,
     )
     expected = ref.bev_pool_backward(grad_out, geom, starts, lengths, feats.shape[0])
     np.testing.assert_allclose(np.asarray(grads), expected, rtol=1e-5, atol=1e-5)

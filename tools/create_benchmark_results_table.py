@@ -75,21 +75,30 @@ def main() -> None:
 
     body = []
     cals = []
+    rejected = []
     for bench in sorted(BENCH_DIR.glob("*_benchmark.py")):
         if args.only and args.only not in bench.name:
             continue
         rows, cal_gbps = run_benchmark(bench, args.iterations)
+        if cal_gbps is not None and any(
+            g is not None and g > cal_gbps * 1.1 for _, _, g in rows
+        ):
+            # A row implying more bandwidth than the same-window calibration
+            # is a measurement bug (utils/benchmark.py contract). Retry the
+            # whole file once in a fresh window before rejecting.
+            print(f"[retry] {bench.name}: row exceeded window calibration", file=sys.stderr)
+            rows, cal_gbps = run_benchmark(bench, args.iterations)
         if cal_gbps is not None:
             cals.append(cal_gbps)
         for tag, median, gbps in rows:
-            if gbps is None:
-                gcol, pcol = "—", "—"
-            else:
-                gcol = f"{gbps:.1f}"
-                frac = gbps / cal_gbps * 100 if cal_gbps else None
-                # Rows implying more bandwidth than the chip can deliver in
-                # this window are measurement bugs: flag, never publish as wins.
-                pcol = "—" if frac is None else (f"{frac:.0f}% ⚠BOGUS" if frac > 110 else f"{frac:.0f}%")
+            frac = gbps / cal_gbps * 100 if (gbps is not None and cal_gbps) else None
+            if frac is not None and frac > 110:
+                # REJECT: never publish a physically impossible row.
+                rejected.append(f"{bench.stem}/{tag}: {gbps:.1f} GB/s > window {cal_gbps:.0f} GB/s")
+                print(f"{bench.stem}: {tag} REJECTED ({gbps:.1f} GB/s > window)", file=sys.stderr)
+                continue
+            gcol = "—" if gbps is None else f"{gbps:.1f}"
+            pcol = "—" if frac is None else f"{frac:.0f}%"
             ccol = "—" if cal_gbps is None else f"{cal_gbps:.0f}"
             body.append(f"| {bench.stem} | {tag} | {median:.4f} | {gcol} | {ccol} | {pcol} |")
             print(f"{bench.stem}: {tag} = {median:.4f} ms ({gcol} GB/s, window {ccol} GB/s)", file=sys.stderr)
@@ -109,11 +118,18 @@ def main() -> None:
         "|---|---|---|---|---|---|",
         *body,
     ]
+    if rejected:
+        lines.append("")
+        lines.append("Rejected rows (implied GB/s exceeded the same-window calibration twice —")
+        lines.append("a measurement bug, not a fast kernel; see utils/benchmark.py):")
+        lines.extend(f"- {r}" for r in rejected)
     table = "\n".join(lines)
     if args.output:
         args.output.write_text(table + "\n")
     else:
         print(table)
+    if rejected:
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -207,10 +207,20 @@ def main():
         (packed_j, scales_j),
         pk_bytes,
     )
-    for bk, bn in [(512, 1024), (1024, 2048), (512, 3584)]:
+    for bk, bn in [
+        (512, 1024), (1024, 2048), (512, 3584), (1024, 1024), (2048, 1024),
+        (2048, 2048), (1024, 512), (4096, 512), (4096, 1024),
+    ]:
         bench(
             f"planar_bk{bk}_bn{bn}",
             lambda x, w, bk=bk, bn=bn: planar_variant(x, w[0], w[1], mode="planar", bk=bk, bn=bn),
+            (packed_j, scales_j),
+            pk_bytes,
+        )
+    for bk, bn in [(1024, 2048), (2048, 1024)]:
+        bench(
+            f"perfield_bk{bk}_bn{bn}",
+            lambda x, w, bk=bk, bn=bn: planar_variant(x, w[0], w[1], mode="perfield", bk=bk, bn=bn),
             (packed_j, scales_j),
             pk_bytes,
         )
@@ -220,18 +230,18 @@ def main():
         (packed_j, scales_j),
         pk_bytes,
     )
+    bench(
+        "nodequant_1024x2048",
+        lambda x, w: planar_variant(x, w[0], w[1], mode="nodequant", bk=1024, bn=2048),
+        (packed_j, scales_j),
+        pk_bytes,
+    )
 
     def to_int4(c):
         return (c.astype(jnp.int8) - 8).astype(jnp.int4)
 
-    for bk, bn in [(512, 1024), (1024, 2048)]:
-        bench(
-            f"int4ref_bk{bk}_bn{bn}",
-            lambda x, w, bk=bk, bn=bn: planar_variant(x, w[0], w[1], mode="int4ref", bk=bk, bn=bn),
-            (codes_j, scales_j),
-            i4b := codes[0].nbytes // 2 + scales[0].nbytes // 2,
-            pre=lambda w: (to_int4(w[0]), w[1]),
-        )
+    # int4ref variants measured 264-283 GB/s (r3 log): Mosaic's s4->bf16
+    # convert path loses to the manual planar unpack; dropped from the sweep.
 
     def xla_int4(x, w):
         wq, s = w  # (K, N) int4, (K//GS, N) bf16
@@ -247,14 +257,8 @@ def main():
     pre_int4 = lambda w: (to_int4(w[0]), w[1])
     bench("xla_int4", xla_int4, (codes_j, scales_j), i4_bytes, pre=pre_int4)
 
-    def xla_int4_flat(x, w):
-        wq, s = w
-        wb = wq.astype(jnp.bfloat16).reshape(K // GS, GS, N) * s[:, None, :]
-        return jnp.dot(x, wb.reshape(K, N), preferred_element_type=jnp.float32).astype(
-            jnp.bfloat16
-        )
-
-    bench("xla_int4_flat", xla_int4_flat, (codes_j, scales_j), i4_bytes, pre=pre_int4)
+    # xla_int4_flat measured 266 GB/s (r3 log): materializing the dequantized
+    # (K, N) bf16 weight loses to the fused per-group dot; dropped.
 
 
 if __name__ == "__main__":

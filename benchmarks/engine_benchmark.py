@@ -22,8 +22,10 @@ def main() -> None:
     parser.add_argument("--context", type=int, default=256)
     parser.add_argument("--quant", default="int4", choices=["int4", "bf16", "tiny"])
     parser.add_argument(
-        "--multi-step", type=int, default=1,
-        help="decode K tokens per dispatch (greedy; amortizes host RTT)",
+        "--multi-step", type=int, default=8,
+        help="decode K tokens per dispatch (greedy; amortizes host RTT). "
+        "8 matches the engine's production default; pass 1 for the "
+        "per-token-dispatch row",
     )
     args = parser.parse_args()
 

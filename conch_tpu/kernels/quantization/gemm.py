@@ -256,27 +256,27 @@ def mixed_precision_gemm_launcher(
         raise ValueError(msg)
 
     # Tile sizes: bn lanes, bk along K aligned to both the pack factor and
-    # the quantization group, bm >= one sublane tile. The decode path is
-    # DMA-burst-bound, and WIDE-N tiles win: on v5e (m=8, K=4096, N=14336,
-    # g=128) bn=3584/bk=512 streams 632 GB/s vs 405 GB/s at bn=2048/bk=1024
-    # and ~150 GB/s at (256,256) — 79% of the same-window dense-bf16 803 GB/s
-    # (tools/drive/exp_int4_gemm.py). bn must DIVIDE the 128-aligned N so no
-    # full-weight jnp.pad runs inside the jitted launcher on every call.
+    # the quantization group, bm >= one sublane tile. Two clean same-window
+    # v5e sweeps (tools/drive/exp_int4_gemm.py, m=8, K=4096, N=14336,
+    # g=128) agree: (bk=1024, bn=2048) is the decode sweet spot — 581 GB/s
+    # vs dense-bf16 806 (72%) in one window, 789 vs 930 (85%) in another —
+    # beating both narrower (461 at 1024x1024) and wider tiles (344-480 at
+    # bn=3584, 455 at 2048x2048; the earlier wide-N finding was a window
+    # artifact). bn must DIVIDE the 128-aligned N so no full-weight jnp.pad
+    # runs inside the jitted launcher on every call.
     n128 = round_up(n_dim, 128)
     if block_n is not None:
         bn = block_n
     else:
-        bn = max(d for d in range(128, min(n128, 4096) + 1, 128) if n128 % d == 0)
+        bn = max(d for d in range(128, min(n128, 2048) + 1, 128) if n128 % d == 0)
     if block_k is not None:
         bk = block_k
     elif layout == "planar":
         # Whole groups per tile (the kernel dequantizes group-at-a-time);
-        # grow bk until the packed weight block reaches ~1 MB.
+        # grow bk toward 1024 while it still divides K.
         bk = group_size
-        gpt_max = k_dim // group_size
-        while (bk // epp) * bn * 4 < 768 * 1024 and gpt_max % 2 == 0:
+        while bk < 1024 and k_dim % (bk * 2) == 0:
             bk *= 2
-            gpt_max //= 2
     else:
         bk = 512
         while k_dim % bk != 0 or (bk % group_size != 0 and group_size % bk != 0) or bk % epp != 0:

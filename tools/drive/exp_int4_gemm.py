@@ -208,8 +208,7 @@ def main():
         pk_bytes,
     )
     for bk, bn in [
-        (512, 1024), (1024, 2048), (512, 3584), (1024, 1024), (2048, 1024),
-        (2048, 2048), (1024, 512), (4096, 512), (4096, 1024),
+        (1024, 1024), (1024, 2048), (2048, 1024), (2048, 2048),
     ]:
         bench(
             f"planar_bk{bk}_bn{bn}",
@@ -217,19 +216,6 @@ def main():
             (packed_j, scales_j),
             pk_bytes,
         )
-    for bk, bn in [(1024, 2048), (2048, 1024)]:
-        bench(
-            f"perfield_bk{bk}_bn{bn}",
-            lambda x, w, bk=bk, bn=bn: planar_variant(x, w[0], w[1], mode="perfield", bk=bk, bn=bn),
-            (packed_j, scales_j),
-            pk_bytes,
-        )
-    bench(
-        "nodequant_512x1024",
-        lambda x, w: planar_variant(x, w[0], w[1], mode="nodequant", bk=512, bn=1024),
-        (packed_j, scales_j),
-        pk_bytes,
-    )
     bench(
         "nodequant_1024x2048",
         lambda x, w: planar_variant(x, w[0], w[1], mode="nodequant", bk=1024, bn=2048),
@@ -253,9 +239,7 @@ def main():
         out = (part * s[:, None, :].astype(jnp.float32)).sum(0)
         return out.astype(jnp.bfloat16)
 
-    i4_bytes = codes[0].nbytes // 2 + scales[0].nbytes // 2
-    pre_int4 = lambda w: (to_int4(w[0]), w[1])
-    bench("xla_int4", xla_int4, (codes_j, scales_j), i4_bytes, pre=pre_int4)
+    # xla_int4 measured 575.7 GB/s (r3 log); dropped from the sweep.
 
     # xla_int4_flat measured 266 GB/s (r3 log): materializing the dequantized
     # (K, N) bf16 weight loses to the fused per-group dot; dropped.

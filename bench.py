@@ -53,12 +53,18 @@ def build_params(config, quant: str):
 
     def proj(k, n):
         if quant == "int4":
-            packed = rng.integers(-(2**31), 2**31 - 1, size=(k // 8, n), dtype=np.int64).astype(np.int32)
-            scales = (rng.random((k // group, n), dtype=np.float32) * 0.01 + 0.005)
+            from conch_tpu.models.linear import padded_out_features
+
+            n_pad = padded_out_features(n)  # wide-tile pack-time padding (lm_head)
+            packed = rng.integers(-(2**31), 2**31 - 1, size=(k // 8, n_pad), dtype=np.int64).astype(np.int32)
+            scales = (rng.random((k // group, n_pad), dtype=np.float32) * 0.01 + 0.005)
+            meta = {"bits": 4, "bias": 8, "group_size": group, "layout": "planar"}
+            if n_pad != n:
+                meta["out_features"] = n
             return QuantizedLinear(
                 "int4",
                 {"packed": jnp.asarray(packed), "scales": jnp.asarray(scales, dtype=jnp.bfloat16)},
-                {"bits": 4, "bias": 8, "group_size": group, "layout": "planar"},
+                meta,
             )
         w = rng.standard_normal((k, n), dtype=np.float32) * 0.02
         return QuantizedLinear.dense(jnp.asarray(w, dtype=jnp.bfloat16))

@@ -143,46 +143,53 @@ def _paged_allheads_kernel(
         for cp in wave(c, slot):
             cp.wait()
 
-        for h in range(num_kv_heads):
-            r0, r1 = h * group_pad, (h + 1) * group_pad
-            q = q_ref[0, h].astype(mxu_dtype)  # (G_pad, D)
-            k = k_buf[slot, h].reshape(chunk_tokens, k_buf.shape[-1]).astype(mxu_dtype)
-            if softcap > 0.0:
-                s = jax.lax.dot_general(
-                    q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * eff_scale
-                s = softcap * jnp.tanh(s / softcap) * _LOG2E
-            else:
-                s = jax.lax.dot_general(
-                    q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * (eff_scale * _LOG2E)
+        # Head-BATCHED compute: at decode shapes the per-head op-issue
+        # overhead (8 heads x ~8 small VPU/MXU ops per chunk) dominates the
+        # actual work, so every stage runs once over a (KH, ...) batch —
+        # one batched QK dot, one 3D online-softmax update, one batched PV.
+        kh, gp = num_kv_heads, group_pad
+        d = k_buf.shape[-1]
+        q3 = q_ref[0].astype(mxu_dtype)  # (KH, G_pad, D)
+        k3 = k_buf[slot].reshape(kh, chunk_tokens, d).astype(mxu_dtype)
+        s = jax.lax.dot_general(
+            q3, k3, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (KH, G_pad, chunk_tokens)
+        if softcap > 0.0:
+            s = s * eff_scale
+            s = softcap * jnp.tanh(s / softcap) * _LOG2E
+        else:
+            s = s * (eff_scale * _LOG2E)
 
-            if masked:
-                entry_pos = c * chunk_tokens + jax.lax.broadcasted_iota(
-                    jnp.int32, s.shape, dimension=1
-                )
-                visible = entry_pos < seq_len
-                if window > 0:
-                    visible &= entry_pos >= seq_len - window
-                s = jnp.where(visible, s, _NEG_INF)
-
-            m_prev = m_scr[r0:r1, :1]
-            l_prev = l_scr[r0:r1, :1]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-
-            p = jnp.exp2(s - m_new)
-            alpha = jnp.exp2(m_prev - m_new)
-            l_scr[r0:r1, :] = jnp.broadcast_to(
-                l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True), (group_pad, l_scr.shape[-1])
+        if masked:
+            entry_pos = c * chunk_tokens + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, dimension=2
             )
+            visible = entry_pos < seq_len
+            if window > 0:
+                visible &= entry_pos >= seq_len - window
+            s = jnp.where(visible, s, _NEG_INF)
 
-            v = v_buf[slot, h].reshape(chunk_tokens, v_buf.shape[-1]).astype(mxu_dtype)
-            acc_scr[r0:r1, :] = acc_scr[r0:r1, :] * alpha + jnp.dot(
-                p.astype(mxu_dtype), v, preferred_element_type=jnp.float32
-            )
-            m_scr[r0:r1, :] = jnp.broadcast_to(m_new, (group_pad, m_scr.shape[-1]))
+        m_prev = m_scr[:, :1].reshape(kh, gp, 1)
+        l_prev = l_scr[:, :1].reshape(kh, gp, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        l_scr[...] = jnp.broadcast_to(
+            l_new.reshape(kh * gp, 1), (kh * gp, l_scr.shape[-1])
+        )
+
+        v3 = v_buf[slot].reshape(kh, chunk_tokens, d).astype(mxu_dtype)
+        pv = jax.lax.dot_general(
+            p.astype(mxu_dtype), v3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (KH, G_pad, D)
+        acc_scr[...] = acc_scr[...] * alpha.reshape(kh * gp, 1) + pv.reshape(kh * gp, d)
+        m_scr[...] = jnp.broadcast_to(
+            m_new.reshape(kh * gp, 1), (kh * gp, m_scr.shape[-1])
+        )
 
     num_full = jax.lax.div(seq_len, chunk_tokens)
 

@@ -238,7 +238,9 @@ def _quantize4_kernel(x_ref, packed_ref, am_ref, *, quant_type: str, bs: int):
     codes = _nf4_encode(scaled) if quant_type == "nf4" else _fp4_encode(scaled)
     packmat = _pack_matrix_iota(bs)
     packed = jnp.dot(codes.astype(jnp.bfloat16), packmat, preferred_element_type=jnp.float32)
-    packed_ref[...] = packed.astype(jnp.uint8)
+    # Mosaic has no f32->u8 convert: round-trip through i32 (values are
+    # exact integers <= 255, so the truncating casts are lossless).
+    packed_ref[...] = packed.astype(jnp.int32).astype(jnp.uint8)
     am_ref[...] = am
 
 

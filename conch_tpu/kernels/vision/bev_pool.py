@@ -69,6 +69,33 @@ def _flat_cells(geom_feats, interval_starts, grid_cells_z, grid_cells_x, grid_ce
 # ---------------------------------------------------------------------------
 
 
+
+def _exact_mask_dot(mask: jax.Array, vals: jax.Array) -> jax.Array:
+    """``mask @ vals`` exactly, with f32 values, on the bf16 MXU.
+
+    Mosaic supports only DEFAULT (1-pass bf16) and HIGHEST (6-pass) dot
+    precisions; DEFAULT rounds the f32 values to bf16 (~0.4% rel error)
+    and HIGHEST pays 6 passes. Since the mask side is 0/1 (bf16-exact),
+    splitting the VALUE side into three bf16 terms (8+8+8 = 24 mantissa
+    bits) gives full f32 fidelity in 3 passes:
+    ``mask @ v = mask @ v0 + mask @ v1 + mask @ v2``.
+    bf16 values take the single-dot fast path.
+    """
+    m = mask.astype(jnp.bfloat16)
+
+    def dot(a, b):
+        return jax.lax.dot(a, b, preferred_element_type=jnp.float32)
+
+    if vals.dtype == jnp.bfloat16:
+        return dot(m, vals)
+    v = vals.astype(jnp.float32)
+    v0 = v.astype(jnp.bfloat16)
+    r1 = v - v0.astype(jnp.float32)
+    v1 = r1.astype(jnp.bfloat16)
+    v2 = (r1 - v1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return dot(m, v0) + dot(m, v1) + dot(m, v2)
+
+
 def _interval_sums_kernel(
     starts_sm, ends_sm,  # scalar-prefetch (NIpad,)
     starts_ref, ends_ref,  # (_BI, 1) VMEM blocks
@@ -93,11 +120,8 @@ def _interval_sums_kernel(
         copy.wait()
         # membership mask over (interval, point): exact 0/1 in any dtype
         pidx = jax.lax.broadcasted_iota(jnp.int32, (starts_v.shape[0], wp), 1) + off
-        mask = ((pidx >= starts_v) & (pidx < ends_v)).astype(pts.dtype)
-        acc[...] += jax.lax.dot(
-            mask, pts[...], preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH,  # mask side is 0/1 (bf16-exact): 3-pass = full f32 fidelity
-        )
+        mask = (pidx >= starts_v) & (pidx < ends_v)
+        acc[...] += _exact_mask_dot(mask, pts[...])
         return 0
 
     jax.lax.fori_loop(0, nchunks, chunk, 0)
@@ -174,11 +198,8 @@ def _placement_kernel(
         # cwin is a (1, wi) row vector so both compares broadcast over dim0.
         riota = jax.lax.broadcasted_iota(jnp.int32, (acc.shape[0], wi), 0)
         widx = jax.lax.broadcasted_iota(jnp.int32, (acc.shape[0], wi), 1) + off
-        mask = (((cwin[...] - base) == riota) & (widx < hi)).astype(swin.dtype)
-        acc[...] += jax.lax.dot(
-            mask, swin[...], preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH,  # mask side is 0/1 (bf16-exact): 3-pass = full f32 fidelity
-        )
+        mask = ((cwin[...] - base) == riota) & (widx < hi)
+        acc[...] += _exact_mask_dot(mask, swin[...])
         return 0
 
     jax.lax.fori_loop(0, nchunks, chunk, 0)
@@ -252,11 +273,7 @@ def _grad_sums_kernel(
         copy.wait()
         # mask[i_local, r] = (cells[i_local] == off + r): gather grid row
         ridx = jax.lax.broadcasted_iota(jnp.int32, (cells_v.shape[0], gw), 1) + off
-        mask = (cells_v == ridx).astype(gwin.dtype)
-        acc[...] += jax.lax.dot(
-            mask, gwin[...], preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH,  # mask side is 0/1 (bf16-exact): 3-pass = full f32 fidelity
-        )
+        acc[...] += _exact_mask_dot(cells_v == ridx, gwin[...])
         return 0
 
     jax.lax.fori_loop(0, nchunks, chunk, 0)
@@ -297,11 +314,8 @@ def _grad_points_kernel(
         # mask[p, w] = interval w contains absolute point p0 + p; the
         # (1, wi) start/end row vectors broadcast over the point dim.
         pabs = jax.lax.broadcasted_iota(jnp.int32, (acc.shape[0], wi), 0) + p0
-        mask = ((pabs >= swin[...]) & (pabs < ewin[...])).astype(gwin.dtype)
-        acc[...] += jax.lax.dot(
-            mask, gwin[...], preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH,  # mask side is 0/1 (bf16-exact): 3-pass = full f32 fidelity
-        )
+        mask = (pabs >= swin[...]) & (pabs < ewin[...])
+        acc[...] += _exact_mask_dot(mask, gwin[...])
         return 0
 
     jax.lax.fori_loop(0, nchunks, chunk, 0)

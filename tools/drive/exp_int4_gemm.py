@@ -37,7 +37,10 @@ M, K, N, L, GS = 8, 4096, 14336, 8, 128
 ITERS = 32
 
 
-def _planar_variant_kernel(x_ref, b_ref, s_ref, o_ref, acc_ref, *, mode, bk, bn, num_k):
+def _planar_variant_kernel(x_ref, b_ref, s_ref, *rest, mode, bk, bn, num_k):
+    # rest = ([zp_ref,] o_ref, acc_ref) depending on the zp knob
+    zp_ref = rest[0] if len(rest) == 3 else None
+    o_ref, acc_ref = rest[-2], rest[-1]
     nbits, epp = 4, 8
     k = pl.program_id(2)
 
@@ -96,11 +99,24 @@ def _planar_variant_kernel(x_ref, b_ref, s_ref, o_ref, acc_ref, *, mode, bk, bn,
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "bk", "bn"))
-def planar_variant(x, packed, scales, *, mode, bk=256, bn=256):
+@functools.partial(
+    jax.jit, static_argnames=("mode", "bk", "bn", "with_cost", "with_zp", "with_slice")
+)
+def planar_variant(
+    x, packed, scales, *, mode, bk=256, bn=256,
+    with_cost=False, with_zp=False, with_slice=False,
+):
+    """Variant kernel with knobs replicating launcher features one by one:
+    with_cost  = pass the launcher's CostEstimate
+    with_zp    = add the dummy SMEM zero-point operand
+    with_slice = pad M inside the jit and slice the output (launcher does both)
+    """
     bm = 16
     mp = round_up(M, bm)
-    x = jnp.pad(x, ((0, mp - M), (0, 0)))
+    if with_slice:
+        x = jnp.pad(x, ((0, mp - x.shape[0]), (0, 0)))
+    else:
+        x = jnp.pad(x, ((0, mp - M), (0, 0)))
     grid = (mp // bm, N // bn, K // bk)
     gpt = bk // GS
     wspec = (
@@ -108,22 +124,35 @@ def planar_variant(x, packed, scales, *, mode, bk=256, bn=256):
         if mode == "int4ref"
         else pl.BlockSpec((bk // 8, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM)
     )
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+        wspec,
+        pl.BlockSpec((gpt, 1, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
+    ]
+    operands = [x, packed, scales.reshape(K // GS, 1, N)]
+    if with_zp:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.zeros((1,), dtype=jnp.float32))
+    kwargs = {}
+    if with_cost:
+        kwargs["cost_estimate"] = pl.CostEstimate(
+            flops=2 * mp * N * K,
+            bytes_accessed=mp * K * 2 + K * N // 8 * 4 + mp * N * 2,
+            transcendentals=0,
+        )
     out = pl.pallas_call(
         functools.partial(_planar_variant_kernel, mode=mode, bk=bk, bn=bn, num_k=K // bk),
         out_shape=jax.ShapeDtypeStruct((mp, N), jnp.bfloat16),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-            wspec,
-            pl.BlockSpec((gpt, 1, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=use_interpret_mode(),
-    )(x, packed, scales.reshape(K // GS, 1, N))
+        **kwargs,
+    )(*operands)
     return out[:M]
 
 
@@ -207,21 +236,21 @@ def main():
         (packed_j, scales_j),
         pk_bytes,
     )
-    for bk, bn in [
-        (1024, 1024), (1024, 2048), (2048, 1024), (2048, 2048),
+    for tag, kw in [
+        ("base", {}),
+        ("cost", {"with_cost": True}),
+        ("zp", {"with_zp": True}),
+        ("slice", {"with_slice": True}),
+        ("all3", {"with_cost": True, "with_zp": True, "with_slice": True}),
     ]:
         bench(
-            f"planar_bk{bk}_bn{bn}",
-            lambda x, w, bk=bk, bn=bn: planar_variant(x, w[0], w[1], mode="planar", bk=bk, bn=bn),
+            f"planar_1024x2048_{tag}",
+            lambda x, w, kw=kw: planar_variant(
+                x, w[0], w[1], mode="planar", bk=1024, bn=2048, **kw
+            ),
             (packed_j, scales_j),
             pk_bytes,
         )
-    bench(
-        "nodequant_1024x2048",
-        lambda x, w: planar_variant(x, w[0], w[1], mode="nodequant", bk=1024, bn=2048),
-        (packed_j, scales_j),
-        pk_bytes,
-    )
 
     def to_int4(c):
         return (c.astype(jnp.int8) - 8).astype(jnp.int4)

@@ -381,43 +381,50 @@ def _varlen_dma_allheads_kernel(
             if window > 0:
                 mask &= c * chunk_tokens >= low_thresh
 
-        for h in range(num_kv_heads):
-            r0, r1 = h * cq_rows, (h + 1) * cq_rows
-            q = q_ref[0, h].astype(mxu_dtype)  # (cq_rows, D)
-            k = k_buf[slot, h].reshape(chunk_tokens, k_buf.shape[-1]).astype(mxu_dtype)
-            if softcap > 0.0:
-                s = jax.lax.dot_general(
-                    q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * eff_scale
-                s = softcap * jnp.tanh(s / softcap) * _LOG2E
-            else:
-                # log2(e) folded into the scale: softmax runs in base 2.
-                s = jax.lax.dot_general(
-                    q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * (eff_scale * _LOG2E)
-            if masked:
-                s = jnp.where(mask, s, _NEG_INF)
+        # Head-BATCHED compute (see paged_attention.py): one batched QK
+        # dot, one 3D online-softmax update, one batched PV — avoids
+        # num_kv_heads sequential small-op chains per chunk.
+        kh, d = num_kv_heads, k_buf.shape[-1]
+        q3 = q_ref[0].astype(mxu_dtype)  # (KH, cq_rows, D)
+        k3 = k_buf[slot].reshape(kh, chunk_tokens, d).astype(mxu_dtype)
+        s = jax.lax.dot_general(
+            q3, k3, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (KH, cq_rows, chunk_tokens)
+        if softcap > 0.0:
+            s = s * eff_scale
+            s = softcap * jnp.tanh(s / softcap) * _LOG2E
+        else:
+            # log2(e) folded into the scale: softmax runs in base 2.
+            s = s * (eff_scale * _LOG2E)
+        if masked:
+            s = jnp.where(mask[None, :, :], s, _NEG_INF)
 
-            m_prev = m_scr[r0:r1, :1]
-            l_prev = l_scr[r0:r1, :1]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        m_prev = m_scr[:, :1].reshape(kh, cq_rows, 1)
+        l_prev = l_scr[:, :1].reshape(kh, cq_rows, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
 
-            p = jnp.exp2(s - m_new)
-            if masked:
-                # Fully-masked rows (query padding): keep p at 0.
-                p = jnp.where(m_new > _NEG_INF / 2, p, 0.0)
-            alpha = jnp.exp2(m_prev - m_new)
-            l_scr[r0:r1, :] = jnp.broadcast_to(
-                l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True), (cq_rows, l_scr.shape[-1])
-            )
+        p = jnp.exp2(s - m_new)
+        if masked:
+            # Fully-masked rows (query padding): keep p at 0.
+            p = jnp.where(m_new > _NEG_INF / 2, p, 0.0)
+        alpha = jnp.exp2(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        l_scr[...] = jnp.broadcast_to(
+            l_new.reshape(kh * cq_rows, 1), (kh * cq_rows, l_scr.shape[-1])
+        )
 
-            v = v_buf[slot, h].reshape(chunk_tokens, v_buf.shape[-1]).astype(mxu_dtype)
-            acc_scr[r0:r1, :] = acc_scr[r0:r1, :] * alpha + jnp.dot(
-                p.astype(mxu_dtype), v, preferred_element_type=jnp.float32
-            )
-            m_scr[r0:r1, :] = jnp.broadcast_to(m_new, (cq_rows, m_scr.shape[-1]))
+        v3 = v_buf[slot].reshape(kh, chunk_tokens, d).astype(mxu_dtype)
+        pv = jax.lax.dot_general(
+            p.astype(mxu_dtype), v3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (KH, cq_rows, D)
+        acc_scr[...] = acc_scr[...] * alpha.reshape(kh * cq_rows, 1) + pv.reshape(
+            kh * cq_rows, d
+        )
+        m_scr[...] = jnp.broadcast_to(
+            m_new.reshape(kh * cq_rows, 1), (kh * cq_rows, m_scr.shape[-1])
+        )
 
     def full_body(c, _):
         process(c, masked=False)

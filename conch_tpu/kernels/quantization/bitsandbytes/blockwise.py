@@ -203,10 +203,14 @@ def _work_shape(num_blocks: int, blocksize: int) -> tuple[int, int, int]:
 
 
 def _pack_matrix_iota(bs: int) -> jax.Array:
-    """(bs, bs//2) nibble-pair pack matrix (16 at even rows, 1 at odd),
-    built from iota in-kernel (pallas kernels cannot capture constants)."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (bs, bs // 2), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (bs, bs // 2), 1)
+    """(bs, max(bs//2, 128)) nibble-pair pack matrix (16 at even rows, 1 at
+    odd), built from iota in-kernel (pallas kernels cannot capture
+    constants). Lane dim padded to >=128: Mosaic mis-relayouts the i1
+    compare masks at narrower widths; columns past bs//2 are zero (their
+    2j >= bs never matches) and the caller slices them off after the dot."""
+    jp = max(bs // 2, 128)
+    r = jax.lax.broadcasted_iota(jnp.int32, (bs, jp), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (bs, jp), 1)
     return (
         jnp.where(r == 2 * j, jnp.bfloat16(16.0), jnp.bfloat16(0.0))
         + jnp.where(r == 2 * j + 1, jnp.bfloat16(1.0), jnp.bfloat16(0.0))
@@ -214,10 +218,14 @@ def _pack_matrix_iota(bs: int) -> jax.Array:
 
 
 def _unpack_matrices_iota(bs: int) -> tuple[jax.Array, jax.Array]:
-    """(bs//2, bs) scatter matrices: E places the high nibble at lane 2j,
-    O the low nibble at lane 2j+1; built from iota in-kernel."""
-    j = jax.lax.broadcasted_iota(jnp.int32, (bs // 2, bs), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (bs // 2, bs), 1)
+    """(bs//2, max(bs, 128)) scatter matrices: E places the high nibble at
+    lane 2j, O the low nibble at lane 2j+1; built from iota in-kernel.
+    Lane dim padded to >=128 (same Mosaic i1-relayout workaround as
+    :func:`_pack_matrix_iota`); extra columns never match and the caller
+    slices the dot output."""
+    cp_ = max(bs, 128)
+    j = jax.lax.broadcasted_iota(jnp.int32, (bs // 2, cp_), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (bs // 2, cp_), 1)
     e = jnp.where(c == 2 * j, jnp.bfloat16(1.0), jnp.bfloat16(0.0))
     o = jnp.where(c == 2 * j + 1, jnp.bfloat16(1.0), jnp.bfloat16(0.0))
     return e, o
@@ -238,6 +246,7 @@ def _quantize4_kernel(x_ref, packed_ref, am_ref, *, quant_type: str, bs: int):
     codes = _nf4_encode(scaled) if quant_type == "nf4" else _fp4_encode(scaled)
     packmat = _pack_matrix_iota(bs)
     packed = jnp.dot(codes.astype(jnp.bfloat16), packmat, preferred_element_type=jnp.float32)
+    packed = packed[:, : bs // 2]
     # Mosaic has no f32->u8 convert: round-trip through i32 (values are
     # exact integers <= 255, so the truncating casts are lossless).
     packed_ref[...] = packed.astype(jnp.int32).astype(jnp.uint8)
@@ -252,7 +261,7 @@ def _dequantize4_kernel(p_ref, am_ref, out_ref, *, quant_type: str, bs: int):
     e, o = _unpack_matrices_iota(bs)
     codes_f = jnp.dot(hi, e, preferred_element_type=jnp.float32)
     codes_f += jnp.dot(lo, o, preferred_element_type=jnp.float32)
-    codes = codes_f.astype(jnp.int32)  # exact: values <= 15
+    codes = codes_f[:, :bs].astype(jnp.int32)  # exact: values <= 15
     values = _nf4_decode(codes) if quant_type == "nf4" else _fp4_decode(codes)
     out_ref[...] = (values * am_ref[...].astype(jnp.float32)).astype(out_ref.dtype)
 

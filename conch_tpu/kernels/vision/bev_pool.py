@@ -203,12 +203,15 @@ def _placement_kernel(
         return 0
 
     jax.lax.fori_loop(0, nchunks, chunk, 0)
-    out_ref[...] = acc[...].astype(out_ref.dtype)
+    # acc is lane-padded (cp >= 128); the output block may be narrower
+    # (true channel count) — BlockSpec stores handle non-128 minors.
+    out_ref[...] = acc[:, : out_ref.shape[1]].astype(out_ref.dtype)
 
 
-def _place_on_grid(sums, cells, num_cells, out_dtype):
-    """Scatter-add sorted (NIpad, C) interval sums onto (NCpad, C) grid rows."""
+def _place_on_grid(sums, cells, num_cells, out_dtype, out_channels=None):
+    """Scatter-add sorted (NIpad, Cp) interval sums onto (NCpad, C) grid rows."""
     ni_pad, c = sums.shape
+    out_c = out_channels or c
     nc_pad = round_up(num_cells, _BC)
     num_blocks = nc_pad // _BC
     # Window DMAs may run past the last interval: pad by one window. Padded
@@ -228,7 +231,7 @@ def _place_on_grid(sums, cells, num_cells, out_dtype):
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((_BC, c), lambda g, s0, s1: (g, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((_BC, out_c), lambda g, s0, s1: (g, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((1, _WI), jnp.int32),
             pltpu.VMEM((_WI, c), jnp.float32),
@@ -238,7 +241,7 @@ def _place_on_grid(sums, cells, num_cells, out_dtype):
     )
     out = pl.pallas_call(
         functools.partial(_placement_kernel, wi=_WI),
-        out_shape=jax.ShapeDtypeStruct((nc_pad, c), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((nc_pad, out_c), out_dtype),
         grid_spec=grid_spec,
         interpret=use_interpret_mode(),
     )(lo, hi, cells_p, sums_p)
@@ -319,7 +322,7 @@ def _grad_points_kernel(
         return 0
 
     jax.lax.fori_loop(0, nchunks, chunk, 0)
-    gpts_ref[...] = acc[...].astype(gpts_ref.dtype)
+    gpts_ref[...] = acc[:, : gpts_ref.shape[1]].astype(gpts_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -350,8 +353,8 @@ def _bev_pool_sorted_impl(
     cells = jnp.pad(cells, (0, ni_pad - ni), mode="edge")  # padded sums are 0
 
     num_cells = batch_size * grid_cells_z * grid_cells_x * grid_cells_y
-    out = _place_on_grid(sums, cells, num_cells, image_feats.dtype)
-    return out[:, :c].reshape(batch_size, grid_cells_z, grid_cells_x, grid_cells_y, c)
+    out = _place_on_grid(sums, cells, num_cells, image_feats.dtype, out_channels=c)
+    return out.reshape(batch_size, grid_cells_z, grid_cells_x, grid_cells_y, c)
 
 
 @functools.partial(jax.jit, static_argnames=("num_points",))
@@ -423,7 +426,7 @@ def _bev_pool_backward_sorted_impl(
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((_PB, cp), lambda b, s0, s1: (b, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((_PB, c), lambda b, s0, s1: (b, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((1, _WI), jnp.int32),
             pltpu.VMEM((1, _WI), jnp.int32),
@@ -434,11 +437,11 @@ def _bev_pool_backward_sorted_impl(
     )
     grad_points = pl.pallas_call(
         functools.partial(_grad_points_kernel, wi=_WI),
-        out_shape=jax.ShapeDtypeStruct((np_pad, cp), grad_output.dtype),
+        out_shape=jax.ShapeDtypeStruct((np_pad, c), grad_output.dtype),
         grid_spec=grid_spec,
         interpret=use_interpret_mode(),
     )(ilo, ihi, starts_pad2, ends_pad2, gsums_pad)
-    return grad_points[:num_points, :c]
+    return grad_points[:num_points]
 
 
 # ---------------------------------------------------------------------------

@@ -91,10 +91,17 @@ def _paged_allheads_kernel(
     per descriptor, moving the bottleneck back to HBM bandwidth.
     """
     b = pl.program_id(0)
-    seq_len = seq_lens_ref[b]
-    num_pages = jax.lax.div(seq_len + page_size - 1, page_size)
-    num_chunks = jax.lax.div(num_pages + chunk_pages - 1, chunk_pages)
     chunk_tokens = chunk_pages * page_size
+
+    def geometry(seq):
+        """(seq_len, num_pages, num_chunks, start_chunk) for sequence seq."""
+        sl = seq_lens_ref[seq]
+        npg = jax.lax.div(sl + page_size - 1, page_size)
+        nch = jax.lax.div(npg + chunk_pages - 1, chunk_pages)
+        sc = jax.lax.div(jnp.maximum(sl - window, 0), chunk_tokens) if window > 0 else 0
+        return sl, npg, nch, sc
+
+    seq_len, num_pages, num_chunks, start_chunk = geometry(b)
 
     m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
     l_scr[...] = jnp.zeros_like(l_scr)
@@ -103,17 +110,16 @@ def _paged_allheads_kernel(
     kv_dtype = k_buf.dtype
     mxu_dtype = kv_dtype if kv_dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
     eff_scale = scale * k_scale_ref[0]
-    last_page = jnp.maximum(num_pages - 1, 0)
 
-    def wave(c, slot):
+    def wave(seq, lastp, c, slot):
         copies = []
         for j in range(chunk_pages):
-            idx = jnp.minimum(c * chunk_pages + j, last_page)
+            idx = jnp.minimum(c * chunk_pages + j, lastp)
             if ring_pages > 0:
                 # Rolling KV buffer: true position page -> ring slot (the
                 # window skip bounds the walk to live ring entries).
                 idx = jax.lax.rem(idx, ring_pages)
-            page = block_tables_ref[b, idx]
+            page = block_tables_ref[seq, idx]
             copies.append(
                 pltpu.make_async_copy(k_hbm.at[page], k_buf.at[slot, :, j], sems.at[slot, 0, j])
             )
@@ -122,13 +128,14 @@ def _paged_allheads_kernel(
             )
         return copies
 
-    start_chunk = (
-        jax.lax.div(jnp.maximum(seq_len - window, 0), chunk_tokens) if window > 0 else 0
-    )
+    last_page = jnp.maximum(num_pages - 1, 0)
 
-    @pl.when(num_chunks > 0)
+    # Cross-grid-step pipelining: step b-1's epilogue issued THIS step's
+    # first wave (scratch buffers and semaphores persist across grid
+    # steps), so only the very first sequence issues its own.
+    @pl.when((num_chunks > 0) & (b == 0))
     def _():
-        for cp in wave(start_chunk, jax.lax.rem(start_chunk, 2)):
+        for cp in wave(b, last_page, start_chunk, jax.lax.rem(start_chunk, 2)):
             cp.start()
 
     def process(c, masked: bool):
@@ -137,10 +144,10 @@ def _paged_allheads_kernel(
 
         @pl.when(c + 1 < num_chunks)
         def _():
-            for cp in wave(c + 1, next_slot):
+            for cp in wave(b, last_page, c + 1, next_slot):
                 cp.start()
 
-        for cp in wave(c, slot):
+        for cp in wave(b, last_page, c, slot):
             cp.wait()
 
         # Head-BATCHED compute: at decode shapes the per-head op-issue
@@ -204,6 +211,20 @@ def _paged_allheads_kernel(
     @pl.when(num_full < num_chunks)
     def _():
         process(num_full, masked=True)
+
+    # Epilogue: prefetch the NEXT sequence's first wave so its DMA streams
+    # while this step normalizes/writes and the next step ramps up. All of
+    # this step's waves were awaited above, so the buffers are free.
+    @pl.when(b + 1 < pl.num_programs(0))
+    def _():
+        sl1, npg1, nch1, sc1 = geometry(b + 1)
+
+        @pl.when(nch1 > 0)
+        def _():
+            for cp in wave(
+                b + 1, jnp.maximum(npg1 - 1, 0), sc1, jax.lax.rem(sc1, 2)
+            ):
+                cp.start()
 
     for h in range(num_kv_heads):
         r0, r1 = h * group_pad, (h + 1) * group_pad
@@ -462,7 +483,7 @@ def paged_attention_launcher(
     # docstring — per-head page slices are DMA-issue-bound). Falls back to
     # the per-head kernel when the KH-wide chunk buffers would not fit VMEM.
     kv_itemsize = jnp.dtype(key_cache.dtype).itemsize
-    ah_chunk_tokens = min(chunk_tokens, 512)
+    ah_chunk_tokens = min(chunk_tokens, 1024)
     ah_chunk_pages = max(1, min(ah_chunk_tokens // page_size, block_table.shape[1]))
     ah_bufs = 2 * 2 * num_kv_heads * ah_chunk_pages * page_size * head_size * kv_itemsize
     ah_stats = num_kv_heads * group_pad * (2 * 128 + head_size) * 4

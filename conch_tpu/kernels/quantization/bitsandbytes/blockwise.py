@@ -211,10 +211,10 @@ def _pack_matrix_iota(bs: int) -> jax.Array:
     jp = max(bs // 2, 128)
     r = jax.lax.broadcasted_iota(jnp.int32, (bs, jp), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (bs, jp), 1)
-    return (
-        jnp.where(r == 2 * j, jnp.bfloat16(16.0), jnp.bfloat16(0.0))
-        + jnp.where(r == 2 * j + 1, jnp.bfloat16(1.0), jnp.bfloat16(0.0))
-    )
+    # Select in i32 (same (8,128) tiling as the compare mask) and convert;
+    # an i1 mask feeding a bf16 select trips a Mosaic relayout bug.
+    m = jnp.where(r == 2 * j, 16, 0) + jnp.where(r == 2 * j + 1, 1, 0)
+    return m.astype(jnp.bfloat16)
 
 
 def _unpack_matrices_iota(bs: int) -> tuple[jax.Array, jax.Array]:
@@ -226,68 +226,82 @@ def _unpack_matrices_iota(bs: int) -> tuple[jax.Array, jax.Array]:
     cp_ = max(bs, 128)
     j = jax.lax.broadcasted_iota(jnp.int32, (bs // 2, cp_), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (bs // 2, cp_), 1)
-    e = jnp.where(c == 2 * j, jnp.bfloat16(1.0), jnp.bfloat16(0.0))
-    o = jnp.where(c == 2 * j + 1, jnp.bfloat16(1.0), jnp.bfloat16(0.0))
+    # i32 selects + convert (see _pack_matrix_iota: i1->bf16 select trips
+    # a Mosaic relayout bug).
+    e = jnp.where(c == 2 * j, 1, 0).astype(jnp.bfloat16)
+    o = jnp.where(c == 2 * j + 1, 1, 0).astype(jnp.bfloat16)
     return e, o
 
 
-def _quantize4_kernel(x_ref, packed_ref, am_ref, *, quant_type: str, bs: int):
-    """One quantization block per row: absmax -> encode -> MXU nibble pack.
-
-    The cross-lane pair packing rides the MXU (codes <= 15 and packed
-    bytes <= 255 are bf16-exact), so the kernel is one HBM sweep: read
-    f32 x, write u8 packed + f32 absmax. The XLA formulation of the same
-    codec measured 46 GB/s on v5e — fusion boundaries materialized the
-    scaled/codes intermediates; here they live in VMEM.
-    """
-    x = x_ref[...].astype(jnp.float32)
-    am = jnp.max(jnp.abs(x), axis=1, keepdims=True)  # (BT, 1)
-    scaled = x * jnp.where(am > 0.0, 1.0 / am, 0.0)
+def _quantize4_kernel(x_ref, packed_ref, am_ref, *, quant_type: str, bs: int, k: int):
+    """k quantization blocks per 512-lane row: one 3D per-block absmax
+    reduce, then scale/encode at FULL lane width (the 30-op threshold
+    encode dominates; a one-block-per-row (BT, 64) layout ran every VPU op
+    at half lanes and measured 58 GB/s). The cross-lane pair packing rides
+    the MXU (codes <= 15 and packed bytes <= 255 are bf16-exact)."""
+    bt, w = x_ref.shape
+    x = x_ref[...].astype(jnp.float32)  # (BT, W)
+    x3 = x.reshape(bt, k, bs)
+    am = jnp.max(jnp.abs(x3), axis=2)  # (BT, k)
+    recip = jnp.where(am > 0.0, 1.0 / am, 0.0)
+    recip_wide = jnp.broadcast_to(recip[:, :, None], (bt, k, bs)).reshape(bt, w)
+    scaled = x * recip_wide
     codes = _nf4_encode(scaled) if quant_type == "nf4" else _fp4_encode(scaled)
-    packmat = _pack_matrix_iota(bs)
+    packmat = _pack_matrix_iota(w)
     packed = jnp.dot(codes.astype(jnp.bfloat16), packmat, preferred_element_type=jnp.float32)
-    packed = packed[:, : bs // 2]
+    packed = packed[:, : w // 2]
     # Mosaic has no f32->u8 convert: round-trip through i32 (values are
     # exact integers <= 255, so the truncating casts are lossless).
     packed_ref[...] = packed.astype(jnp.int32).astype(jnp.uint8)
     am_ref[...] = am
 
 
-def _dequantize4_kernel(p_ref, am_ref, out_ref, *, quant_type: str, bs: int):
-    """Inverse sweep: u8 packed -> nibble split -> MXU interleave -> decode."""
-    p = p_ref[...].astype(jnp.int32)  # (BT, bs/2)
+def _dequantize4_kernel(p_ref, am_ref, out_ref, *, quant_type: str, bs: int, k: int):
+    """Inverse sweep: u8 packed -> nibble split -> MXU interleave -> decode
+    at full lane width -> per-block scale via one 3D broadcast."""
+    bt = p_ref.shape[0]
+    w = out_ref.shape[1]
+    p = p_ref[...].astype(jnp.int32)  # (BT, W/2)
     hi = (p >> 4).astype(jnp.bfloat16)  # element 2j
     lo = (p & 0x0F).astype(jnp.bfloat16)
-    e, o = _unpack_matrices_iota(bs)
+    e, o = _unpack_matrices_iota(w)
     codes_f = jnp.dot(hi, e, preferred_element_type=jnp.float32)
     codes_f += jnp.dot(lo, o, preferred_element_type=jnp.float32)
-    codes = codes_f[:, :bs].astype(jnp.int32)  # exact: values <= 15
+    codes = codes_f[:, :w].astype(jnp.int32)  # exact: values <= 15
     values = _nf4_decode(codes) if quant_type == "nf4" else _fp4_decode(codes)
-    out_ref[...] = (values * am_ref[...].astype(jnp.float32)).astype(out_ref.dtype)
+    am = am_ref[...].astype(jnp.float32)  # (BT, k)
+    am_wide = jnp.broadcast_to(am[:, :, None], (bt, k, bs)).reshape(bt, w)
+    out_ref[...] = (values * am_wide).astype(out_ref.dtype)
 
 
-def _block_rows(bs: int) -> int:
-    """Rows per grid step: ~1 MB of f32 input per block, sublane-aligned."""
-    return max(32, min(2048, (1 << 20) // (bs * 4) // 32 * 32))
+def _work_geometry(blocksize: int) -> tuple[int, int, int]:
+    """(rows_per_step, row_width, blocks_per_row) for the Pallas codecs."""
+    w = max(blocksize, 512)
+    k = w // blocksize
+    bt = max(32, min(2048, (1 << 20) // (w * 4) // 32 * 32))
+    return bt, w, k
 
 
 def _quantize4_pallas(flat: jax.Array, num_blocks: int, blocksize: int, quant_type: str):
-    bt = _block_rows(blocksize)
-    nb_pad = round_up(num_blocks, bt)
-    if flat.shape[0] != nb_pad * blocksize:
-        flat = jnp.pad(flat, (0, nb_pad * blocksize - flat.shape[0]))
-    x2 = flat.reshape(nb_pad, blocksize)
+    bt, w, k = _work_geometry(blocksize)
+    if flat.dtype not in (jnp.float32, jnp.bfloat16):
+        flat = flat.astype(jnp.float32)
+    rows = -(-num_blocks // k)
+    rows_pad = round_up(rows, bt)
+    if flat.shape[0] != rows_pad * w:
+        flat = jnp.pad(flat, (0, rows_pad * w - flat.shape[0]))
+    x2 = flat.reshape(rows_pad, w)
     packed, am = pl.pallas_call(
-        functools.partial(_quantize4_kernel, quant_type=quant_type, bs=blocksize),
+        functools.partial(_quantize4_kernel, quant_type=quant_type, bs=blocksize, k=k),
         out_shape=(
-            jax.ShapeDtypeStruct((nb_pad, blocksize // 2), jnp.uint8),
-            jax.ShapeDtypeStruct((nb_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, w // 2), jnp.uint8),
+            jax.ShapeDtypeStruct((rows_pad, k), jnp.float32),
         ),
-        grid=(nb_pad // bt,),
-        in_specs=[pl.BlockSpec((bt, blocksize), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        grid=(rows_pad // bt,),
+        in_specs=[pl.BlockSpec((bt, w), lambda i: (i, 0), memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((bt, blocksize // 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, w // 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         interpret=use_interpret_mode(),
     )(x2)
@@ -298,23 +312,24 @@ def _dequantize4_pallas(
     packed: jax.Array, absmax: jax.Array, num_blocks: int, blocksize: int,
     quant_type: str, output_dtype,
 ):
-    bt = _block_rows(blocksize)
-    nb_pad = round_up(num_blocks, bt)
-    if packed.shape[0] != nb_pad * (blocksize // 2):
-        packed = jnp.pad(packed, (0, nb_pad * (blocksize // 2) - packed.shape[0]))
-    if absmax.shape[0] != nb_pad:
-        absmax = jnp.pad(absmax, (0, nb_pad - absmax.shape[0]))
+    bt, w, k = _work_geometry(blocksize)
+    rows = -(-num_blocks // k)
+    rows_pad = round_up(rows, bt)
+    if packed.shape[0] != rows_pad * (w // 2):
+        packed = jnp.pad(packed, (0, rows_pad * (w // 2) - packed.shape[0]))
+    if absmax.shape[0] != rows_pad * k:
+        absmax = jnp.pad(absmax, (0, rows_pad * k - absmax.shape[0]))
     out = pl.pallas_call(
-        functools.partial(_dequantize4_kernel, quant_type=quant_type, bs=blocksize),
-        out_shape=jax.ShapeDtypeStruct((nb_pad, blocksize), output_dtype),
-        grid=(nb_pad // bt,),
+        functools.partial(_dequantize4_kernel, quant_type=quant_type, bs=blocksize, k=k),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, w), output_dtype),
+        grid=(rows_pad // bt,),
         in_specs=[
-            pl.BlockSpec((bt, blocksize // 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, w // 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bt, blocksize), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bt, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=use_interpret_mode(),
-    )(packed.reshape(nb_pad, blocksize // 2), absmax.astype(jnp.float32).reshape(nb_pad, 1))
+    )(packed.reshape(rows_pad, w // 2), absmax.astype(jnp.float32).reshape(rows_pad, k))
     return out.reshape(-1)
 
 
@@ -355,9 +370,9 @@ def quantize_blockwise_launcher(
     num_blocks = -(-input_size // blocksize)
 
     if quant_type in ("nf4", "fp4") and blocksize % 2 == 0 and blocksize <= _PALLAS_MAX_BS:
-        packed, absmax = _quantize4_pallas(
-            x.reshape(-1).astype(jnp.float32), num_blocks, blocksize, quant_type
-        )
+        # No pre-cast: the kernel upcasts each block in VMEM; materializing
+        # an f32 copy here costs two extra passes over the input.
+        packed, absmax = _quantize4_pallas(x.reshape(-1), num_blocks, blocksize, quant_type)
         return packed[: input_size // 2].reshape(-1, 1), absmax
 
     rows, width, k = _work_shape(num_blocks, blocksize)

@@ -26,8 +26,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
 from conch_tpu.kernels.attention.paged_attention import paged_attention_launcher
 
 B, QH, KH, D, PS, CTX = 8, 32, 8, 128, 64, 1024
-POOL_PAGES = 4096  # 4096 * (8, 64, 128) bf16 = 512 MB per cache
-L = 4  # rotated block tables
+POOL_PAGES = 2048  # 2048 * (8, 64, 128) bf16 = 256 MB per cache
+L = 2  # rotated block tables
 
 
 def main():
@@ -49,25 +49,25 @@ def main():
     q = jnp.asarray(rng.standard_normal((B, QH, D)), jnp.bfloat16)
 
     @functools.partial(jax.jit, static_argnames=("iters",))
-    def run(q, tables, iters):
+    def run(q, tables, kc, vc, iters):
+        # caches ride as OPERANDS: closure constants embed in the compile
+        # payload and overflow the tunnel's request limit (HTTP 413)
         def body(carry, i):
             q = carry
             bt = jax.lax.dynamic_index_in_dim(tables, i % L, keepdims=False)
-            o = paged_attention_launcher(
-                q, k_cache, v_cache, bt, seq_lens, scale=0.0883883
-            )
+            o = paged_attention_launcher(q, kc, vc, bt, seq_lens, scale=0.0883883)
             return q + o * 1e-6, ()
 
         q, _ = jax.lax.scan(body, q, jnp.arange(iters))
         return q
 
-    I = 64
-    _ = np.asarray(run(q, tables, iters=4))
-    _ = np.asarray(run(q, tables, iters=4 + I))
+    I = 32
+    _ = np.asarray(run(q, tables, k_cache, v_cache, iters=4))
+    _ = np.asarray(run(q, tables, k_cache, v_cache, iters=4 + I))
     diffs = []
     for _ in range(3):
-        t0 = time.perf_counter(); _ = np.asarray(run(q, tables, iters=4))
-        t1 = time.perf_counter(); _ = np.asarray(run(q, tables, iters=4 + I))
+        t0 = time.perf_counter(); _ = np.asarray(run(q, tables, k_cache, v_cache, iters=4))
+        t1 = time.perf_counter(); _ = np.asarray(run(q, tables, k_cache, v_cache, iters=4 + I))
         t2 = time.perf_counter()
         diffs.append((t2 - t1) - (t1 - t0))
     per = min(diffs) / I

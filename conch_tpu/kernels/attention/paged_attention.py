@@ -58,6 +58,7 @@ def _paged_allheads_kernel(
     # scalar prefetch
     block_tables_ref,  # (B, max_pages) int32
     seq_lens_ref,  # (B,) int32
+    layer_ref,  # (1,) int32 (stacked-cache layer index; 0 when unstacked)
     # inputs
     q_ref,  # (1, KH, G_pad, D) VMEM
     k_hbm,  # (P, KH, ps, D) ANY/HBM
@@ -82,6 +83,7 @@ def _paged_allheads_kernel(
     ring_pages: int = 0,
     num_kv_heads: int,
     group_pad: int,
+    stacked: bool = False,
 ):
     """All-kv-heads decode: one page DMA feeds every head.
 
@@ -120,11 +122,13 @@ def _paged_allheads_kernel(
                 # window skip bounds the walk to live ring entries).
                 idx = jax.lax.rem(idx, ring_pages)
             page = block_tables_ref[seq, idx]
+            ksrc = k_hbm.at[layer_ref[0], page] if stacked else k_hbm.at[page]
+            vsrc = v_hbm.at[layer_ref[0], page] if stacked else v_hbm.at[page]
             copies.append(
-                pltpu.make_async_copy(k_hbm.at[page], k_buf.at[slot, :, j], sems.at[slot, 0, j])
+                pltpu.make_async_copy(ksrc, k_buf.at[slot, :, j], sems.at[slot, 0, j])
             )
             copies.append(
-                pltpu.make_async_copy(v_hbm.at[page], v_buf.at[slot, :, j], sems.at[slot, 1, j])
+                pltpu.make_async_copy(vsrc, v_buf.at[slot, :, j], sems.at[slot, 1, j])
             )
         return copies
 
@@ -237,6 +241,7 @@ def _paged_attention_kernel(
     # scalar prefetch
     block_tables_ref,  # (B, max_pages) int32
     seq_lens_ref,  # (B,) int32
+    layer_ref,  # (1,) int32
     # inputs
     q_ref,  # (1, 1, G_pad, D) VMEM
     k_hbm,  # (P, KH, ps, D) ANY/HBM
@@ -259,6 +264,7 @@ def _paged_attention_kernel(
     softcap: float,
     window: int = 0,
     ring_pages: int = 0,
+    stacked: bool = False,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -293,11 +299,13 @@ def _paged_attention_kernel(
                 # Rolling KV buffer: true position page -> ring slot.
                 idx = jax.lax.rem(idx, ring_pages)
             page = block_tables_ref[b, idx]
+            ksrc = k_hbm.at[layer_ref[0], page, h] if stacked else k_hbm.at[page, h]
+            vsrc = v_hbm.at[layer_ref[0], page, h] if stacked else v_hbm.at[page, h]
             copies.append(
-                pltpu.make_async_copy(k_hbm.at[page, h], k_buf.at[slot, j], sems.at[slot, 0, j])
+                pltpu.make_async_copy(ksrc, k_buf.at[slot, j], sems.at[slot, 0, j])
             )
             copies.append(
-                pltpu.make_async_copy(v_hbm.at[page, h], v_buf.at[slot, j], sems.at[slot, 1, j])
+                pltpu.make_async_copy(vsrc, v_buf.at[slot, j], sems.at[slot, 1, j])
             )
         return copies
 
@@ -377,7 +385,7 @@ def _paged_attention_kernel(
 
 def _decode_via_varlen(
     query, key_cache, value_cache, block_table, seq_lens, *, scale, softcap, k_scale, v_scale,
-    window_size=0, ring_pages=0,
+    window_size=0, ring_pages=0, layer_idx=None,
 ):
     """Decode as single-token varlen attention (BlockSpec pipeline).
 
@@ -404,11 +412,13 @@ def _decode_via_varlen(
         v_scale=v_scale,
         window_size=window_size,
         ring_pages=ring_pages,
+        layer_idx=layer_idx,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "softcap", "chunk_tokens", "window_size", "ring_pages")
+    jax.jit,
+    static_argnames=("scale", "softcap", "chunk_tokens", "window_size", "ring_pages"),
 )
 def paged_attention_launcher(
     query: jax.Array,
@@ -424,6 +434,7 @@ def paged_attention_launcher(
     chunk_tokens: int = 1024,
     window_size: int = 0,
     ring_pages: int = 0,
+    layer_idx: jax.Array | None = None,
 ) -> jax.Array:
     """Decode-time paged attention.
 
@@ -451,8 +462,13 @@ def paged_attention_launcher(
     if ring_pages > 0 and window_size <= 0:
         msg = "ring_pages (rolling KV) requires window_size > 0"
         raise ValueError(msg)
+    stacked = layer_idx is not None
     batch, num_q_heads, head_size = query.shape
-    _, num_kv_heads, page_size, _ = key_cache.shape
+    num_kv_heads, page_size = key_cache.shape[-3], key_cache.shape[-2]
+    layer_arr = (
+        jnp.zeros((1,), jnp.int32) if layer_idx is None
+        else layer_idx.astype(jnp.int32).reshape(1)
+    )
     group = num_q_heads // num_kv_heads
 
     out_dtype = query.dtype
@@ -466,7 +482,7 @@ def paged_attention_launcher(
         return _decode_via_varlen(
             query, key_cache, value_cache, block_table, seq_lens,
             scale=scale, softcap=softcap, k_scale=k_scale, v_scale=v_scale,
-            window_size=window_size, ring_pages=ring_pages,
+            window_size=window_size, ring_pages=ring_pages, layer_idx=layer_idx,
         ).astype(out_dtype)
 
     # Query-group packing: (B, QH, D) -> (B, KH, G_pad, D).
@@ -488,11 +504,11 @@ def paged_attention_launcher(
     ah_bufs = 2 * 2 * num_kv_heads * ah_chunk_pages * page_size * head_size * kv_itemsize
     ah_stats = num_kv_heads * group_pad * (2 * 128 + head_size) * 4
     if ah_bufs + ah_stats <= 10 * 1024 * 1024:
-        def q_index_ah(b, bt, sl):
+        def q_index_ah(b, bt, sl, li):
             return (b, 0, 0, 0)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(batch,),
             in_specs=[
                 pl.BlockSpec(
@@ -531,6 +547,7 @@ def paged_attention_launcher(
                 ring_pages=ring_pages,
                 num_kv_heads=num_kv_heads,
                 group_pad=group_pad,
+                stacked=stacked,
             ),
             out_shape=jax.ShapeDtypeStruct(
                 (batch, num_kv_heads, group_pad, head_size), out_dtype
@@ -541,7 +558,7 @@ def paged_attention_launcher(
             ),
             interpret=use_interpret_mode(),
         )(
-            block_table.astype(jnp.int32), seq_lens.astype(jnp.int32),
+            block_table.astype(jnp.int32), seq_lens.astype(jnp.int32), layer_arr,
             q_grouped, key_cache, value_cache, k_scale_arr, v_scale_arr,
         )
         return out[:, :, :group, :].reshape(batch, num_q_heads, head_size)
@@ -550,11 +567,11 @@ def paged_attention_launcher(
     # never more pages than the table can hold.
     chunk_pages = max(1, min(chunk_tokens // page_size, block_table.shape[1]))
 
-    def q_index(b, h, bt, sl):
+    def q_index(b, h, bt, sl, li):
         return (b, h, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(batch, num_kv_heads),
         in_specs=[
             pl.BlockSpec((1, 1, group_pad, head_size), q_index, memory_space=pltpu.VMEM),
@@ -583,6 +600,7 @@ def paged_attention_launcher(
             softcap=softcap,
             window=window_size,
             ring_pages=ring_pages,
+            stacked=stacked,
         ),
         out_shape=jax.ShapeDtypeStruct((batch, num_kv_heads, group_pad, head_size), out_dtype),
         grid_spec=grid_spec,
@@ -590,6 +608,6 @@ def paged_attention_launcher(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=use_interpret_mode(),
-    )(block_table.astype(jnp.int32), seq_lens.astype(jnp.int32), q_grouped, key_cache, value_cache, k_scale_arr, v_scale_arr)
+    )(block_table.astype(jnp.int32), seq_lens.astype(jnp.int32), layer_arr, q_grouped, key_cache, value_cache, k_scale_arr, v_scale_arr)
 
     return out[:, :, :group, :].reshape(batch, num_q_heads, head_size)

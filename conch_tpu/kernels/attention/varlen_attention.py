@@ -58,6 +58,7 @@ def _varlen_dma_kernel(
     block_tables_ref,  # (B, max_pages) int32
     seq_lens_q_ref,  # (B,) int32
     seq_lens_k_ref,  # (B,) int32
+    layer_ref,  # (1,) int32 (stacked-cache layer index; 0 when unstacked)
     # inputs
     q_ref,  # (1, 1, cq_rows, D) VMEM
     k_hbm,  # (P, KH, ps, D) ANY/HBM
@@ -82,6 +83,7 @@ def _varlen_dma_kernel(
     cq_rows: int,
     window: int = 0,
     ring_pages: int = 0,
+    stacked: bool = False,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -160,11 +162,13 @@ def _varlen_dma_kernel(
                 # ring slots still hold them (cap >= window + chunk slack).
                 idx = jax.lax.rem(idx, ring_pages)
             page = block_tables_ref[b, idx]
+            ksrc = k_hbm.at[layer_ref[0], page, h] if stacked else k_hbm.at[page, h]
+            vsrc = v_hbm.at[layer_ref[0], page, h] if stacked else v_hbm.at[page, h]
             copies.append(
-                pltpu.make_async_copy(k_hbm.at[page, h], k_buf.at[slot, j], sems.at[slot, 0, j])
+                pltpu.make_async_copy(ksrc, k_buf.at[slot, j], sems.at[slot, 0, j])
             )
             copies.append(
-                pltpu.make_async_copy(v_hbm.at[page, h], v_buf.at[slot, j], sems.at[slot, 1, j])
+                pltpu.make_async_copy(vsrc, v_buf.at[slot, j], sems.at[slot, 1, j])
             )
         return copies
 
@@ -245,6 +249,7 @@ def _varlen_dma_allheads_kernel(
     block_tables_ref,  # (B, max_pages) int32
     seq_lens_q_ref,  # (B,) int32
     seq_lens_k_ref,  # (B,) int32
+    layer_ref,  # (1,) int32 (stacked-cache layer index; 0 when unstacked)
     # inputs
     q_ref,  # (1, KH, cq_rows, D) VMEM
     k_hbm,  # (P, KH, ps, D) ANY/HBM
@@ -270,6 +275,7 @@ def _varlen_dma_allheads_kernel(
     num_kv_heads: int,
     window: int = 0,
     ring_pages: int = 0,
+    stacked: bool = False,
 ):
     """All-kv-heads variant: one page DMA feeds every head.
 
@@ -350,11 +356,13 @@ def _varlen_dma_allheads_kernel(
                 # Rolling KV buffer: true position page -> ring slot.
                 idx = jax.lax.rem(idx, ring_pages)
             page = block_tables_ref[b, idx]
+            ksrc = k_hbm.at[layer_ref[0], page] if stacked else k_hbm.at[page]
+            vsrc = v_hbm.at[layer_ref[0], page] if stacked else v_hbm.at[page]
             copies.append(
-                pltpu.make_async_copy(k_hbm.at[page], k_buf.at[slot, :, j], sems.at[slot, 0, j])
+                pltpu.make_async_copy(ksrc, k_buf.at[slot, :, j], sems.at[slot, 0, j])
             )
             copies.append(
-                pltpu.make_async_copy(v_hbm.at[page], v_buf.at[slot, :, j], sems.at[slot, 1, j])
+                pltpu.make_async_copy(vsrc, v_buf.at[slot, :, j], sems.at[slot, 1, j])
             )
         return copies
 
@@ -590,6 +598,7 @@ def varlen_attention_launcher(
     q_chunk_rows: int = 512,
     window_size: int = 0,
     ring_pages: int = 0,
+    layer_idx: jax.Array | None = None,
 ) -> jax.Array:
     """Variable-length attention over a paged KV cache.
 
@@ -616,8 +625,20 @@ def varlen_attention_launcher(
     if ring_pages > 0 and window_size <= 0:
         msg = "ring_pages (rolling KV) requires window_size > 0"
         raise ValueError(msg)
+    stacked = layer_idx is not None
     total_q, num_q_heads, head_size = query.shape
-    _, num_kv_heads, page_size, _ = key_cache.shape
+    num_kv_heads, page_size = key_cache.shape[-3], key_cache.shape[-2]
+    layer_arr = (
+        jnp.zeros((1,), jnp.int32) if layer_idx is None
+        else layer_idx.astype(jnp.int32).reshape(1)
+    )
+    if stacked and head_size % 128 != 0:
+        # BlockSpec fallback (odd head sizes) has no in-kernel layer
+        # indexing: slice the layer out (one 2x layer copy, fallback only).
+        key_cache = jax.lax.dynamic_index_in_dim(key_cache, layer_arr[0], 0, keepdims=False)
+        value_cache = jax.lax.dynamic_index_in_dim(value_cache, layer_arr[0], 0, keepdims=False)
+        stacked = False
+        layer_arr = jnp.zeros((1,), jnp.int32)
     batch = cu_seqlens_q.shape[0] - 1
     max_pages = block_table.shape[1]
     group = num_q_heads // num_kv_heads
@@ -692,11 +713,11 @@ def varlen_attention_launcher(
     if all_heads:
         chunk_pages = max(1, min(ah_ct // page_size, max_pages))
 
-        def q_index_ah(b, t, bt, slq, slk):
+        def q_index_ah(b, t, bt, slq, slk, li):
             return (b, 0, t, 0)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(batch, num_q_chunks),
             in_specs=[
                 pl.BlockSpec((1, num_kv_heads, cq_rows, head_size), q_index_ah, memory_space=pltpu.VMEM),
@@ -730,6 +751,7 @@ def varlen_attention_launcher(
                 group=group,
                 cq_rows=cq_rows,
                 num_kv_heads=num_kv_heads,
+                stacked=stacked,
             ),
             out_shape=jax.ShapeDtypeStruct((batch, num_kv_heads, rows_padded, head_size), out_dtype),
             grid_spec=grid_spec,
@@ -741,6 +763,7 @@ def varlen_attention_launcher(
             block_table.astype(jnp.int32),
             seq_lens_q,
             seq_lens.astype(jnp.int32),
+            layer_arr,
             q_pad,
             key_cache,
             value_cache,
@@ -750,11 +773,11 @@ def varlen_attention_launcher(
     elif dma_path:
         chunk_pages = max(1, min(chunk_tokens // page_size, max_pages))
 
-        def q_index_dma(b, h, t, bt, slq, slk):
+        def q_index_dma(b, h, t, bt, slq, slk, li):
             return (b, h, t, 0)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(batch, num_kv_heads, num_q_chunks),
             in_specs=[
                 pl.BlockSpec((1, 1, cq_rows, head_size), q_index_dma, memory_space=pltpu.VMEM),
@@ -785,6 +808,7 @@ def varlen_attention_launcher(
                 ring_pages=ring_pages,
                 group=group,
                 cq_rows=cq_rows,
+                stacked=stacked,
             ),
             out_shape=jax.ShapeDtypeStruct((batch, num_kv_heads, rows_padded, head_size), out_dtype),
             grid_spec=grid_spec,
@@ -796,6 +820,7 @@ def varlen_attention_launcher(
             block_table.astype(jnp.int32),
             seq_lens_q,
             seq_lens.astype(jnp.int32),
+            layer_arr,
             q_pad,
             key_cache,
             value_cache,

@@ -32,7 +32,7 @@ import numpy as np
 from conch_tpu.models.linear import QuantizedLinear, quantize_linear
 from conch_tpu.ops.activation import silu_and_mul_parts
 from conch_tpu.ops.attention import paged_attention, varlen_attention
-from conch_tpu.ops.cache import reshape_and_cache
+from conch_tpu.ops.cache import reshape_and_cache, reshape_and_cache_stacked
 from conch_tpu.ops.embedding import rotary_embedding
 from conch_tpu.ops.normalization import rms_norm
 from conch_tpu.reference.embedding.rotary_embedding import compute_cos_sin_cache
@@ -284,8 +284,15 @@ def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, 
     def reduce_tp(x):
         return jax.lax.psum(x, tp_axis) if tp_axis else x
 
-    def layer_step(hidden, xs):
-        layer, k_cache, v_cache = xs
+    def layer_step(carry, xs):
+        # Caches ride the CARRY, not xs/ys: threading them as scan slices
+        # re-stacks the whole pool into fresh ys every step (~1 GB and
+        # 3.4 ms per decode step at Llama-8B b8 ctx1024 — measured in
+        # tools/drive/exp_cache_scan.py). The stacked cache write is an
+        # aliased in-place pallas scatter; attention reads index the
+        # stacked pool with the layer scalar inside the kernel.
+        hidden, k_caches, v_caches = carry
+        layer, l_idx = xs
         t = hidden.shape[0]
         lora_layer = layer.get("__lora__")
 
@@ -311,12 +318,12 @@ def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, 
         k = k.reshape(t, *kv_heads)
         v = v.reshape(t, *kv_heads)
         kv_dtype, kv_scale = kv_quant
-        k_cache, v_cache = reshape_and_cache(
-            k, v, k_cache, v_cache, slot_mapping,
+        k_caches, v_caches = reshape_and_cache_stacked(
+            k, v, k_caches, v_caches, slot_mapping, l_idx,
             kv_cache_dtype=kv_dtype, k_scale=kv_scale, v_scale=kv_scale,
         )
 
-        attn_out = attn_fn(q.reshape(t, *n_tokens_heads), k_cache, v_cache)
+        attn_out = attn_fn(q.reshape(t, *n_tokens_heads), k_caches, v_caches, l_idx)
         hidden = hidden + reduce_tp(proj("wo", attn_out.reshape(t, -1)))
 
         mlp_in = rms_norm(hidden, layer["post_attn_norm"], eps)
@@ -327,7 +334,7 @@ def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, 
             up = proj("w_up", mlp_in)
             hidden = hidden + reduce_tp(proj("w_down", silu_and_mul_parts(gate, up)))
 
-        return hidden, (k_cache, v_cache)
+        return (hidden, k_caches, v_caches), ()
 
     return layer_step
 
@@ -377,13 +384,14 @@ def llama_prefill(
     kv_quant = _kv_cache_quant(config, k_caches.dtype)
     layers, lora_sel = _splice_lora(params["layers"], lora, lora_ids)
 
-    def attn_fn(q, k_cache, v_cache):
+    def attn_fn(q, k_caches, v_caches, l_idx):
         return varlen_attention(
-            q, k_cache, v_cache, cu_seqlens_q, max_seqlen_q, seq_lens,
+            q, k_caches, v_caches, cu_seqlens_q, max_seqlen_q, seq_lens,
             max_seqlen_q, block_tables, causal=True,
             kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
             window_size=config.sliding_window,
             ring_pages=config.kv_ring_pages,
+            layer_idx=l_idx,
         )
 
     layer_step = _layer_step_factory(
@@ -391,7 +399,10 @@ def llama_prefill(
         tp_axis=tp_axis, num_heads=num_kv_heads * group, num_kv_heads=num_kv_heads,
         kv_quant=kv_quant, lora_sel=lora_sel,
     )
-    hidden, (k_caches, v_caches) = jax.lax.scan(layer_step, hidden, (layers, k_caches, v_caches))
+    layer_ids = jnp.arange(k_caches.shape[0], dtype=jnp.int32)
+    (hidden, k_caches, v_caches), _ = jax.lax.scan(
+        layer_step, (hidden, k_caches, v_caches), (layers, layer_ids)
+    )
 
     # Only the last token of each sequence produces next-token logits.
     last_rows = cu_seqlens_q[1:] - 1
@@ -429,13 +440,14 @@ def llama_verify_forward(
     kv_quant = _kv_cache_quant(config, k_caches.dtype)
     layers, lora_sel = _splice_lora(params["layers"], lora, lora_ids)
 
-    def attn_fn(q, k_cache, v_cache):
+    def attn_fn(q, k_caches, v_caches, l_idx):
         return varlen_attention(
-            q, k_cache, v_cache, cu_seqlens_q, max_seqlen_q, seq_lens,
+            q, k_caches, v_caches, cu_seqlens_q, max_seqlen_q, seq_lens,
             max_seqlen_q, block_tables, causal=True,
             kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
             window_size=config.sliding_window,
             ring_pages=config.kv_ring_pages,
+            layer_idx=l_idx,
         )
 
     layer_step = _layer_step_factory(
@@ -443,7 +455,10 @@ def llama_verify_forward(
         tp_axis=tp_axis, num_heads=num_kv_heads * group, num_kv_heads=num_kv_heads,
         kv_quant=kv_quant, lora_sel=lora_sel,
     )
-    hidden, (k_caches, v_caches) = jax.lax.scan(layer_step, hidden, (layers, k_caches, v_caches))
+    layer_ids = jnp.arange(k_caches.shape[0], dtype=jnp.int32)
+    (hidden, k_caches, v_caches), _ = jax.lax.scan(
+        layer_step, (hidden, k_caches, v_caches), (layers, layer_ids)
+    )
 
     hidden = rms_norm(hidden, params["final_norm"], config.rms_norm_eps)
     logits = params["lm_head"].apply(hidden)
@@ -477,12 +492,13 @@ def llama_decode_step(
     kv_quant = _kv_cache_quant(config, k_caches.dtype)
     layers, lora_sel = _splice_lora(params["layers"], lora, lora_ids)
 
-    def attn_fn(q, k_cache, v_cache):
+    def attn_fn(q, k_caches, v_caches, l_idx):
         return paged_attention(
-            q, k_cache, v_cache, block_tables, seq_lens,
+            q, k_caches, v_caches, block_tables, seq_lens,
             kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
             window_size=config.sliding_window,
             ring_pages=config.kv_ring_pages,
+            layer_idx=l_idx,
         )
 
     layer_step = _layer_step_factory(
@@ -490,7 +506,10 @@ def llama_decode_step(
         tp_axis=tp_axis, num_heads=num_kv_heads * group, num_kv_heads=num_kv_heads,
         kv_quant=kv_quant, lora_sel=lora_sel,
     )
-    hidden, (k_caches, v_caches) = jax.lax.scan(layer_step, hidden, (layers, k_caches, v_caches))
+    layer_ids = jnp.arange(k_caches.shape[0], dtype=jnp.int32)
+    (hidden, k_caches, v_caches), _ = jax.lax.scan(
+        layer_step, (hidden, k_caches, v_caches), (layers, layer_ids)
+    )
 
     hidden = rms_norm(hidden, params["final_norm"], config.rms_norm_eps)
     logits = params["lm_head"].apply(hidden)

@@ -300,11 +300,12 @@ def mixtral_decode_step(
     group = c.num_heads // c.num_kv_heads
     kv_quant = _kv_cache_quant(c, k_caches.dtype)
 
-    def attn_fn(q, k_cache, v_cache):
+    def attn_fn(q, k_caches, v_caches, l_idx):
         return paged_attention(
-            q, k_cache, v_cache, block_tables, seq_lens,
+            q, k_caches, v_caches, block_tables, seq_lens,
             kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
             window_size=c.sliding_window,
+            layer_idx=l_idx,
         )
 
     layer_step = _layer_step_factory(
@@ -313,7 +314,10 @@ def mixtral_decode_step(
         kv_quant=kv_quant,
         mlp_fn=_moe_mlp_fn(config, config.capacity(token_ids.shape[0]), tp_axis),
     )
-    hidden, (k_caches, v_caches) = jax.lax.scan(layer_step, hidden, (params["layers"], k_caches, v_caches))
+    layer_ids = jnp.arange(k_caches.shape[0], dtype=jnp.int32)
+    (hidden, k_caches, v_caches), _ = jax.lax.scan(
+        layer_step, (hidden, k_caches, v_caches), (params["layers"], layer_ids)
+    )
 
     hidden = rms_norm(hidden, params["final_norm"], c.rms_norm_eps)
     logits = params["lm_head"].apply(hidden)
@@ -341,12 +345,13 @@ def mixtral_prefill(
     group = c.num_heads // c.num_kv_heads
     kv_quant = _kv_cache_quant(c, k_caches.dtype)
 
-    def attn_fn(q, k_cache, v_cache):
+    def attn_fn(q, k_caches, v_caches, l_idx):
         return varlen_attention(
-            q, k_cache, v_cache, cu_seqlens_q, max_seqlen_q, seq_lens,
+            q, k_caches, v_caches, cu_seqlens_q, max_seqlen_q, seq_lens,
             max_seqlen_q, block_tables, causal=True,
             kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
             window_size=c.sliding_window,
+            layer_idx=l_idx,
         )
 
     layer_step = _layer_step_factory(
@@ -355,7 +360,10 @@ def mixtral_prefill(
         kv_quant=kv_quant,
         mlp_fn=_moe_mlp_fn(config, config.capacity(token_ids.shape[0]), tp_axis),
     )
-    hidden, (k_caches, v_caches) = jax.lax.scan(layer_step, hidden, (params["layers"], k_caches, v_caches))
+    layer_ids = jnp.arange(k_caches.shape[0], dtype=jnp.int32)
+    (hidden, k_caches, v_caches), _ = jax.lax.scan(
+        layer_step, (hidden, k_caches, v_caches), (params["layers"], layer_ids)
+    )
 
     last_rows = cu_seqlens_q[1:] - 1
     hidden_last = jnp.take(hidden, last_rows, axis=0)
@@ -388,12 +396,13 @@ def mixtral_verify_forward(
     group = c.num_heads // c.num_kv_heads
     kv_quant = _kv_cache_quant(c, k_caches.dtype)
 
-    def attn_fn(q, k_cache, v_cache):
+    def attn_fn(q, k_caches, v_caches, l_idx):
         return varlen_attention(
-            q, k_cache, v_cache, cu_seqlens_q, max_seqlen_q, seq_lens,
+            q, k_caches, v_caches, cu_seqlens_q, max_seqlen_q, seq_lens,
             max_seqlen_q, block_tables, causal=True,
             kv_cache_dtype=kv_quant[0], k_scale=kv_quant[1], v_scale=kv_quant[1],
             window_size=c.sliding_window,
+            layer_idx=l_idx,
         )
 
     layer_step = _layer_step_factory(
@@ -402,7 +411,10 @@ def mixtral_verify_forward(
         kv_quant=kv_quant,
         mlp_fn=_moe_mlp_fn(config, config.capacity(token_ids.shape[0]), tp_axis),
     )
-    hidden, (k_caches, v_caches) = jax.lax.scan(layer_step, hidden, (params["layers"], k_caches, v_caches))
+    layer_ids = jnp.arange(k_caches.shape[0], dtype=jnp.int32)
+    (hidden, k_caches, v_caches), _ = jax.lax.scan(
+        layer_step, (hidden, k_caches, v_caches), (params["layers"], layer_ids)
+    )
 
     hidden = rms_norm(hidden, params["final_norm"], c.rms_norm_eps)
     logits = params["lm_head"].apply(hidden)

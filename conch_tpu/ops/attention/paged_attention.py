@@ -92,6 +92,7 @@ def paged_attention(
     v_scale: jax.Array | None = None,
     window_size: int = 0,
     ring_pages: int = 0,
+    layer_idx: jax.Array | None = None,
 ) -> jax.Array:
     """Decode-only paged attention over a paged KV cache.
 
@@ -111,7 +112,10 @@ def paged_attention(
     Returns:
         (batch, num_q_heads, head_size) attention output.
     """
-    metadata = _check_size_compatibility(query, key_cache, value_cache, block_table)
+    # Stacked (L, P, KH, ps, D) caches validate on the trailing 4 dims.
+    kc_v = key_cache[0] if (layer_idx is not None and key_cache.ndim == 5) else key_cache
+    vc_v = value_cache[0] if (layer_idx is not None and value_cache.ndim == 5) else value_cache
+    metadata = _check_size_compatibility(query, kc_v, vc_v, block_table)
     if scale is None:
         scale = 1.0 / math.sqrt(metadata.head_size)
 
@@ -137,4 +141,5 @@ def paged_attention(
         v_scale=v_scale,
         window_size=window_size,
         ring_pages=ring_pages,
+        layer_idx=layer_idx,
     )

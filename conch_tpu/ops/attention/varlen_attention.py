@@ -78,6 +78,7 @@ def varlen_attention(
     v_scale: jax.Array | None = None,
     window_size: int = 0,
     ring_pages: int = 0,
+    layer_idx: jax.Array | None = None,
     strict: bool = False,
 ) -> jax.Array:
     """Variable-length (prefill + decode) attention over a paged KV cache.
@@ -102,7 +103,9 @@ def varlen_attention(
         (total_num_q, num_q_heads, head_size) output.
     """
     if strict:
-        _check_size_compatibility(query, key_cache, value_cache, cu_seqlens_q, seq_lens, block_table)
+        kc_v = key_cache[0] if (layer_idx is not None and key_cache.ndim == 5) else key_cache
+        vc_v = value_cache[0] if (layer_idx is not None and value_cache.ndim == 5) else value_cache
+        _check_size_compatibility(query, kc_v, vc_v, cu_seqlens_q, seq_lens, block_table)
 
     head_size = query.shape[-1]
     if scale is None:
@@ -132,4 +135,5 @@ def varlen_attention(
         v_scale=v_scale,
         window_size=window_size,
         ring_pages=ring_pages,
+        layer_idx=layer_idx,
     )

@@ -13,7 +13,10 @@ from typing import Final
 
 import jax
 
-from conch_tpu.kernels.cache.reshape_and_cache import reshape_and_cache_launcher
+from conch_tpu.kernels.cache.reshape_and_cache import (
+    reshape_and_cache_launcher,
+    reshape_and_cache_stacked_launcher,
+)
 
 _SCALED_KV_DTYPES: Final = {"fp8", "fp8_e4m3", "int8"}
 
@@ -93,4 +96,29 @@ def reshape_and_cache(
         k_scale,
         v_scale,
         apply_fp8_scaling=apply_fp8,
+    )
+
+
+def reshape_and_cache_stacked(
+    key: jax.Array,
+    value: jax.Array,
+    key_caches: jax.Array,
+    value_caches: jax.Array,
+    slot_mapping: jax.Array,
+    layer_idx: jax.Array,
+    kv_cache_dtype: str = "auto",
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """In-place token insertion into STACKED (L, P, KH, ps, D) caches.
+
+    Same semantics as :func:`reshape_and_cache` plus a traced
+    ``layer_idx``. The update goes through pallas input_output_aliases so
+    carrying the cache pool through a layer ``lax.scan`` copies nothing
+    (the xs->ys roundtrip re-stacked ~1 GB per decode step at Llama-8B).
+    """
+    apply_fp8 = kv_cache_dtype in _SCALED_KV_DTYPES
+    return reshape_and_cache_stacked_launcher(
+        key, value, key_caches, value_caches, slot_mapping, layer_idx,
+        k_scale, v_scale, apply_fp8_scaling=apply_fp8,
     )

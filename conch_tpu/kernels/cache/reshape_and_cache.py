@@ -35,51 +35,87 @@ from conch_tpu.kernels.common import use_interpret_mode
 
 
 def _stacked_write_kernel(
-    meta_sm,  # scalar prefetch: (3, T) int32 [valid, page, entry] per token
+    meta_sm,  # scalar prefetch: (3, T) int32 [layer, page, entry] per token
     k_new_ref,  # (T, KH, D) VMEM
     v_new_ref,
     kc_in,  # (L, P, KH, ps, D) HBM (aliased to outputs)
     vc_in,
     kc_out,
     vc_out,
-    sems,  # DMA (2, GROUP)
+    kwin,  # (T, KH, 8, D) VMEM scratch
+    vwin,
+    sems,  # DMA (2, T)
     *,
     layer_arg: bool,
 ):
-    """Write each token's K/V row into the stacked cache at
-    [layer, page, :, entry] via per-token DMAs (2 KB each). The caches are
-    input_output_aliased, so this is a true in-place update: the layer
-    scan carries the cache pool untouched instead of re-stacking ~1 GB of
-    scan ys per decode step (measured 3.4 ms/step at Llama-8B b8 ctx1024,
-    tools/drive/exp_cache_scan.py)."""
+    """In-place token insertion into the stacked cache pool.
+
+    XLA scatter into the (L, P, KH, ps, D) pool lowers pathologically
+    (170 ms/step measured — tools/drive/exp_cache_scan.py), and Mosaic
+    DMA cannot store a single sublane row (entry tiling is 8). So each
+    token read-modify-writes its 8-entry aligned window: parallel window
+    reads, an in-VMEM masked row insert, parallel write-backs. The caches
+    are input_output_aliased — no pool copy, ~32 KB moved per token.
+
+    HAZARD CONTRACT: at most one token per (page, 8-entry window) per
+    call — guaranteed on the decode path (one token per sequence;
+    sequences never share a write page). Prefill/verify use the per-layer
+    scatter path instead.
+    """
     t_total = k_new_ref.shape[0]
     layer = meta_sm[0, 0] if layer_arg else 0
-    group = sems.shape[1]
 
-    for g0 in range(0, t_total, group):
-        copies = []
-        for j in range(min(group, t_total - g0)):
-            t = g0 + j
-            valid = meta_sm[1, t] >= 0
-            page = jnp.maximum(meta_sm[1, t], 0)
-            entry = meta_sm[2, t]
-            kcp = pltpu.make_async_copy(
-                k_new_ref.at[t], kc_out.at[layer, page, :, entry], sems.at[0, j]
-            )
-            vcp = pltpu.make_async_copy(
-                v_new_ref.at[t], vc_out.at[layer, page, :, entry], sems.at[1, j]
-            )
-            copies.append((valid, kcp, vcp))
-        for valid, kcp, vcp in copies:
-            @pl.when(valid)
-            def _(kcp=kcp, vcp=vcp):
-                kcp.start()
-                vcp.start()
-        for valid, kcp, vcp in copies:
-            @pl.when(valid)
-            def _(kcp=kcp, vcp=vcp):
-                kcp.wait()
-                vcp.wait()
+    reads = []
+    for t in range(t_total):
+        valid = meta_sm[1, t] >= 0
+        page = jnp.maximum(meta_sm[1, t], 0)
+        e8 = (meta_sm[2, t] // 8) * 8
+        kcp = pltpu.make_async_copy(
+            kc_out.at[layer, page, :, pl.ds(e8, 8)], kwin.at[t], sems.at[0, t]
+        )
+        vcp = pltpu.make_async_copy(
+            vc_out.at[layer, page, :, pl.ds(e8, 8)], vwin.at[t], sems.at[1, t]
+        )
+        reads.append((valid, page, e8, kcp, vcp))
+    for valid, _, _, kcp, vcp in reads:
+        @pl.when(valid)
+        def _(kcp=kcp, vcp=vcp):
+            kcp.start()
+            vcp.start()
+    for valid, _, _, kcp, vcp in reads:
+        @pl.when(valid)
+        def _(kcp=kcp, vcp=vcp):
+            kcp.wait()
+            vcp.wait()
+
+    # Insert each token's row at entry % 8 (masked select, no sublane slicing).
+    kh, d = k_new_ref.shape[1], k_new_ref.shape[2]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (kh, 8, d), 1)
+    for t in range(t_total):
+        off = meta_sm[2, t] - (meta_sm[2, t] // 8) * 8
+        mask = sub == off
+        kwin[t] = jnp.where(mask, k_new_ref[t][:, None, :], kwin[t])
+        vwin[t] = jnp.where(mask, v_new_ref[t][:, None, :], vwin[t])
+
+    writes = []
+    for t, (valid, page, e8, _, _) in enumerate(reads):
+        kcp = pltpu.make_async_copy(
+            kwin.at[t], kc_out.at[layer, page, :, pl.ds(e8, 8)], sems.at[0, t]
+        )
+        vcp = pltpu.make_async_copy(
+            vwin.at[t], vc_out.at[layer, page, :, pl.ds(e8, 8)], sems.at[1, t]
+        )
+        writes.append((valid, kcp, vcp))
+    for valid, kcp, vcp in writes:
+        @pl.when(valid)
+        def _(kcp=kcp, vcp=vcp):
+            kcp.start()
+            vcp.start()
+    for valid, kcp, vcp in writes:
+        @pl.when(valid)
+        def _(kcp=kcp, vcp=vcp):
+            kcp.wait()
+            vcp.wait()
 
 
 @functools.partial(
@@ -136,7 +172,11 @@ def reshape_and_cache_stacked_launcher(
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((2, 16))],
+        scratch_shapes=[
+            pltpu.VMEM((t, key_caches.shape[2], 8, key_caches.shape[4]), key_caches.dtype),
+            pltpu.VMEM((t, value_caches.shape[2], 8, value_caches.shape[4]), value_caches.dtype),
+            pltpu.SemaphoreType.DMA((2, t)),
+        ],
     )
     return pl.pallas_call(
         functools.partial(_stacked_write_kernel, layer_arg=True),

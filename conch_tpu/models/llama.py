@@ -257,7 +257,7 @@ def _kv_cache_quant(config: LlamaConfig, cache_dtype) -> tuple[str, jax.Array | 
     return "auto", None
 
 
-def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, slot_mapping, tp_axis: str | None = None, num_heads: int | None = None, num_kv_heads: int | None = None, kv_quant: tuple[str, jax.Array | None] = ("auto", None), mlp_fn=None, lora_sel: jax.Array | None = None):
+def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, slot_mapping, tp_axis: str | None = None, num_heads: int | None = None, num_kv_heads: int | None = None, kv_quant: tuple[str, jax.Array | None] = ("auto", None), mlp_fn=None, lora_sel: jax.Array | None = None, cache_mode: str = "rmw"):
     """Build the scanned per-layer function shared by prefill and decode.
 
     With ``tp_axis`` set (inside a shard_map), the per-chip head counts are
@@ -318,10 +318,26 @@ def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, 
         k = k.reshape(t, *kv_heads)
         v = v.reshape(t, *kv_heads)
         kv_dtype, kv_scale = kv_quant
-        k_caches, v_caches = reshape_and_cache_stacked(
-            k, v, k_caches, v_caches, slot_mapping, l_idx,
-            kv_cache_dtype=kv_dtype, k_scale=kv_scale, v_scale=kv_scale,
-        )
+        if cache_mode == "rmw":
+            # Decode: one token per sequence, exclusive write pages -> the
+            # aliased read-modify-write kernel updates in place (~32 KB).
+            k_caches, v_caches = reshape_and_cache_stacked(
+                k, v, k_caches, v_caches, slot_mapping, l_idx,
+                kv_cache_dtype=kv_dtype, k_scale=kv_scale, v_scale=kv_scale,
+            )
+        else:
+            # Prefill/verify: many tokens per page window (the RMW hazard
+            # contract does not hold) -> per-layer scatter on a dynamic
+            # slice of the carry; the layer-slice roundtrip amortizes over
+            # the whole token chunk.
+            kl = jax.lax.dynamic_index_in_dim(k_caches, l_idx, 0, keepdims=False)
+            vl = jax.lax.dynamic_index_in_dim(v_caches, l_idx, 0, keepdims=False)
+            kl, vl = reshape_and_cache(
+                k, v, kl, vl, slot_mapping,
+                kv_cache_dtype=kv_dtype, k_scale=kv_scale, v_scale=kv_scale,
+            )
+            k_caches = jax.lax.dynamic_update_index_in_dim(k_caches, kl, l_idx, 0)
+            v_caches = jax.lax.dynamic_update_index_in_dim(v_caches, vl, l_idx, 0)
 
         attn_out = attn_fn(q.reshape(t, *n_tokens_heads), k_caches, v_caches, l_idx)
         hidden = hidden + reduce_tp(proj("wo", attn_out.reshape(t, -1)))
@@ -397,7 +413,7 @@ def llama_prefill(
     layer_step = _layer_step_factory(
         config, attn_fn, params["cos_sin_cache"], positions, slot_mapping,
         tp_axis=tp_axis, num_heads=num_kv_heads * group, num_kv_heads=num_kv_heads,
-        kv_quant=kv_quant, lora_sel=lora_sel,
+        kv_quant=kv_quant, lora_sel=lora_sel, cache_mode="scatter",
     )
     layer_ids = jnp.arange(k_caches.shape[0], dtype=jnp.int32)
     (hidden, k_caches, v_caches), _ = jax.lax.scan(
@@ -453,7 +469,7 @@ def llama_verify_forward(
     layer_step = _layer_step_factory(
         config, attn_fn, params["cos_sin_cache"], positions, slot_mapping,
         tp_axis=tp_axis, num_heads=num_kv_heads * group, num_kv_heads=num_kv_heads,
-        kv_quant=kv_quant, lora_sel=lora_sel,
+        kv_quant=kv_quant, lora_sel=lora_sel, cache_mode="scatter",
     )
     layer_ids = jnp.arange(k_caches.shape[0], dtype=jnp.int32)
     (hidden, k_caches, v_caches), _ = jax.lax.scan(

@@ -359,6 +359,7 @@ def mixtral_prefill(
         tp_axis=tp_axis, num_heads=num_kv_heads * group, num_kv_heads=num_kv_heads,
         kv_quant=kv_quant,
         mlp_fn=_moe_mlp_fn(config, config.capacity(token_ids.shape[0]), tp_axis),
+        cache_mode="scatter",
     )
     layer_ids = jnp.arange(k_caches.shape[0], dtype=jnp.int32)
     (hidden, k_caches, v_caches), _ = jax.lax.scan(
@@ -410,6 +411,7 @@ def mixtral_verify_forward(
         tp_axis=tp_axis, num_heads=num_kv_heads * group, num_kv_heads=num_kv_heads,
         kv_quant=kv_quant,
         mlp_fn=_moe_mlp_fn(config, config.capacity(token_ids.shape[0]), tp_axis),
+        cache_mode="scatter",
     )
     layer_ids = jnp.arange(k_caches.shape[0], dtype=jnp.int32)
     (hidden, k_caches, v_caches), _ = jax.lax.scan(

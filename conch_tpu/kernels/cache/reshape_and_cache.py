@@ -64,17 +64,20 @@ def _stacked_write_kernel(
     """
     t_total = k_new_ref.shape[0]
     layer = meta_sm[0, 0] if layer_arg else 0
+    # Window = min(8, page_size): a full-dim slice is always legal; larger
+    # pages use an 8-row (sublane-tile) aligned window.
+    win = kwin.shape[2]
 
     reads = []
     for t in range(t_total):
         valid = meta_sm[1, t] >= 0
         page = jnp.maximum(meta_sm[1, t], 0)
-        e8 = (meta_sm[2, t] // 8) * 8
+        e8 = (meta_sm[2, t] // win) * win
         kcp = pltpu.make_async_copy(
-            kc_out.at[layer, page, :, pl.ds(e8, 8)], kwin.at[t], sems.at[0, t]
+            kc_out.at[layer, page, :, pl.ds(e8, win)], kwin.at[t], sems.at[0, t]
         )
         vcp = pltpu.make_async_copy(
-            vc_out.at[layer, page, :, pl.ds(e8, 8)], vwin.at[t], sems.at[1, t]
+            vc_out.at[layer, page, :, pl.ds(e8, win)], vwin.at[t], sems.at[1, t]
         )
         reads.append((valid, page, e8, kcp, vcp))
     for valid, _, _, kcp, vcp in reads:
@@ -88,11 +91,11 @@ def _stacked_write_kernel(
             kcp.wait()
             vcp.wait()
 
-    # Insert each token's row at entry % 8 (masked select, no sublane slicing).
+    # Insert each token's row at entry % win (masked select, no sublane slicing).
     kh, d = k_new_ref.shape[1], k_new_ref.shape[2]
-    sub = jax.lax.broadcasted_iota(jnp.int32, (kh, 8, d), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (kh, win, d), 1)
     for t in range(t_total):
-        off = meta_sm[2, t] - (meta_sm[2, t] // 8) * 8
+        off = meta_sm[2, t] - (meta_sm[2, t] // win) * win
         mask = sub == off
         kwin[t] = jnp.where(mask, k_new_ref[t][:, None, :], kwin[t])
         vwin[t] = jnp.where(mask, v_new_ref[t][:, None, :], vwin[t])
@@ -100,10 +103,10 @@ def _stacked_write_kernel(
     writes = []
     for t, (valid, page, e8, _, _) in enumerate(reads):
         kcp = pltpu.make_async_copy(
-            kwin.at[t], kc_out.at[layer, page, :, pl.ds(e8, 8)], sems.at[0, t]
+            kwin.at[t], kc_out.at[layer, page, :, pl.ds(e8, win)], sems.at[0, t]
         )
         vcp = pltpu.make_async_copy(
-            vwin.at[t], vc_out.at[layer, page, :, pl.ds(e8, 8)], sems.at[1, t]
+            vwin.at[t], vc_out.at[layer, page, :, pl.ds(e8, win)], sems.at[1, t]
         )
         writes.append((valid, kcp, vcp))
     for valid, kcp, vcp in writes:
@@ -173,8 +176,8 @@ def reshape_and_cache_stacked_launcher(
             pl.BlockSpec(memory_space=pltpu.HBM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((t, key_caches.shape[2], 8, key_caches.shape[4]), key_caches.dtype),
-            pltpu.VMEM((t, value_caches.shape[2], 8, value_caches.shape[4]), value_caches.dtype),
+            pltpu.VMEM((t, key_caches.shape[2], min(8, page_size), key_caches.shape[4]), key_caches.dtype),
+            pltpu.VMEM((t, value_caches.shape[2], min(8, page_size), value_caches.shape[4]), value_caches.dtype),
             pltpu.SemaphoreType.DMA((2, t)),
         ],
     )

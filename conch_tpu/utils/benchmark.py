@@ -59,6 +59,10 @@ class BenchmarkResult:
     def pretty(self) -> str:
         gbps = self.achieved_gbps
         extra = "" if gbps is None else f" achieved={gbps:.1f}GB/s"
+        if self.metadata.get("over_window"):
+            extra += f" [OVER-WINDOW: >{self.metadata.get('window_gbps')}GB/s calibrated — measurement suspect]"
+        if self.metadata.get("unstable"):
+            extra += " [UNSTABLE: diff samples did not converge]"
         return (
             f"{self.tag}: median={self.median_ms:.4f}ms mean={self.mean_ms:.4f}ms "
             f"min={self.min_ms:.4f}ms max={self.max_ms:.4f}ms (n={self.num_iterations}){extra}"
@@ -103,6 +107,44 @@ def benchmark_it(
     )
 
 
+def collect_diff_samples(
+    time_pair: Callable[[], float],
+    *,
+    min_good: int = 3,
+    max_tries: int = 12,
+    rel_spread: float = 0.20,
+) -> tuple[list[float], bool]:
+    """Collect loop-difference samples until they are trustworthy.
+
+    ``time_pair`` returns one per-iteration time estimate (seconds) from a
+    differenced (N, 2N) loop pair. A single pair can be garbage on a
+    tunneled device — window hiccups during the short run produce negative
+    or wildly inflated differences — so a number is only publishable when
+    several independent pairs agree:
+
+    - negative samples are DISCARDED and re-measured (a negative time is
+      always a measurement failure, never a fast kernel);
+    - sampling continues until ``min_good`` positive samples lie within
+      ``rel_spread`` of their median, or ``max_tries`` pairs are spent.
+
+    Returns ``(samples, consistent)``: the agreeing cluster (or whatever
+    positive samples were collected) and whether the consistency bar was
+    met. Callers must mark results with ``consistent=False`` as unstable
+    rather than publishing them as clean rows.
+    """
+    good: list[float] = []
+    for _ in range(max_tries):
+        d = time_pair()
+        if d > 0:
+            good.append(d)
+        if len(good) >= min_good:
+            med = statistics.median(good)
+            close = [g for g in good if abs(g - med) <= rel_spread * med]
+            if len(close) >= min_good:
+                return close, True
+    return good, False
+
+
 def benchmark_loop(
     step_fn: Callable[..., Any],
     tag: str = "",
@@ -113,6 +155,7 @@ def benchmark_loop(
     iters_per_dispatch: int = 20,
     reps: int = 5,
     bytes_moved: int | None = None,
+    window_gbps: float | None = None,
     metadata: dict[str, Any] | None = None,
 ) -> BenchmarkResult:
     """Time ``iters_per_dispatch`` chained invocations under ONE dispatch.
@@ -140,6 +183,14 @@ def benchmark_loop(
     ``step_fn(carry, state, *operands) -> new_state`` mutates it in place
     across iterations (XLA keeps loop-carried buffers resident) instead of
     re-copying a loop-invariant input every step.
+
+    Every published sample passes :func:`collect_diff_samples`: negative
+    differences are re-measured, and the row is only clean when >= 3
+    positive samples agree within 20% of their median; otherwise the
+    result carries ``metadata["unstable"] = True``. When ``window_gbps``
+    (the same-window calibrated bandwidth) is given, a row implying more
+    than 1.0x that bandwidth is flagged ``metadata["over_window"] = True``
+    — physically impossible rows must never be quoted as fast kernels.
 
     ``rotated_operands`` defeats the other way loop timing can lie: a
     loop-INVARIANT weight gets hoisted into VMEM once, so marginal
@@ -202,31 +253,86 @@ def benchmark_loop(
         float(np.asarray(run_n(zero, state, *operands)))
         float(np.asarray(run_2n(zero, state, *operands)))
 
-    times_ms: list[float] = []
-    for _ in range(reps):
+    def time_pair() -> float:
         t0 = time.perf_counter()
         float(np.asarray(run_n(zero, state, *operands)))
         t_n = time.perf_counter() - t0
         t0 = time.perf_counter()
         float(np.asarray(run_2n(zero, state, *operands)))
         t_2n = time.perf_counter() - t0
-        # The median over reps is the reported statistic; min-of-diffs
-        # would be biased low (window hiccups during t_n fake speed).
-        times_ms.append(max(t_2n - t_n, 1e-9) / n * 1e3)
+        return (t_2n - t_n) / n
+
+    # The median over agreeing samples is the reported statistic;
+    # min-of-diffs would be biased low (a window hiccup during t_n fakes
+    # speed), and any negative sample is a measurement failure.
+    samples, consistent = collect_diff_samples(
+        time_pair, min_good=max(reps, 3), max_tries=max(4 * reps, 12)
+    )
+    if not samples:
+        # Every pair came out negative: fall back to the (never-negative)
+        # total time of the long run as an upper bound and flag it.
+        t0 = time.perf_counter()
+        float(np.asarray(run_2n(zero, state, *operands)))
+        samples = [(time.perf_counter() - t0) / (2 * n)]
+        consistent = False
+    times_ms = [s * 1e3 for s in samples]
 
     meta = dict(metadata or {})
     if bytes_moved is not None:
         meta["bytes_moved"] = bytes_moved
     meta["iters_per_dispatch"] = n
-    return BenchmarkResult(
+    if not consistent:
+        meta["unstable"] = True
+    result = BenchmarkResult(
         tag=tag,
         min_ms=min(times_ms),
         max_ms=max(times_ms),
         mean_ms=statistics.fmean(times_ms),
         median_ms=statistics.median(times_ms),
-        num_iterations=reps * n,
+        num_iterations=len(samples) * n,
         metadata=meta,
     )
+    if window_gbps is not None:
+        meta["window_gbps"] = round(window_gbps, 1)
+        gbps = result.achieved_gbps
+        if gbps is not None and gbps > window_gbps:
+            meta["over_window"] = True
+    return result
+
+
+def robust_diff_time(
+    run_n: Callable[[], Any],
+    run_2n: Callable[[], Any],
+    n: int,
+    *,
+    reps: int = 3,
+) -> tuple[float, bool]:
+    """Per-iteration seconds from differenced (N, 2N) runs, made trustworthy.
+
+    ``run_n``/``run_2n`` are zero-arg callables that fully synchronize
+    (fetch a value to the host). Applies the :func:`collect_diff_samples`
+    contract — negative differences re-measured, >=3 agreeing samples
+    required — and returns ``(seconds_per_iter, consistent)``. Drive/
+    experiment scripts must print an ``[unstable]`` marker when
+    ``consistent`` is False instead of publishing the number as clean.
+    """
+
+    def time_pair() -> float:
+        t0 = time.perf_counter()
+        run_n()
+        t1 = time.perf_counter()
+        run_2n()
+        t2 = time.perf_counter()
+        return ((t2 - t1) - (t1 - t0)) / n
+
+    samples, ok = collect_diff_samples(
+        time_pair, min_good=max(reps, 3), max_tries=max(4 * reps, 12)
+    )
+    if not samples:
+        t0 = time.perf_counter()
+        run_2n()
+        return (time.perf_counter() - t0) / (2 * n), False
+    return statistics.median(samples), ok
 
 
 def calibrate_hbm_bw(nominal: float = float("inf"), trials: int = 3) -> float:
@@ -255,18 +361,25 @@ def calibrate_hbm_bw(nominal: float = float("inf"), trials: int = 3) -> float:
         zero = jnp.float32(0.0)
         float(np.asarray(run_n(zero, *operands)))
         float(np.asarray(run_2n(zero, *operands)))
-        diffs = []
-        for _ in range(trials):
+
+        def time_pair() -> float:
             t0 = time.perf_counter()
             float(np.asarray(run_n(zero, *operands)))
             t_n = time.perf_counter() - t0
             t0 = time.perf_counter()
             float(np.asarray(run_2n(zero, *operands)))
             t_2n = time.perf_counter() - t0
-            diffs.append(max(t_2n - t_n, 1e-12) / n)
-        # Median, not min: a difference estimator's minimum is biased low
-        # (one window hiccup during the short run fakes a huge bandwidth).
-        return statistics.median(diffs)
+            return (t_2n - t_n) / n
+
+        # Median of an agreeing cluster, not min: a difference estimator's
+        # minimum is biased low (one window hiccup during the short run
+        # fakes a huge bandwidth), and negatives are re-measured.
+        samples, _ = collect_diff_samples(
+            time_pair, min_good=max(trials, 3), max_tries=max(4 * trials, 12)
+        )
+        if not samples:
+            return float("inf")  # calibration failed; caller falls back
+        return statistics.median(samples)
 
     # Any result beyond this is a failed probe (no v5-class chip streams
     # 2 TB/s from HBM), not a fast chip: discard it.
@@ -306,7 +419,7 @@ def calibrate_hbm_bw(nominal: float = float("inf"), trials: int = 3) -> float:
 
         stream_bw = big.nbytes / diff_time(make_stream, (big,), 48)
 
-        candidates = [bw for bw in (gemv_bw, stream_bw) if bw < plausible]
+        candidates = [bw for bw in (gemv_bw, stream_bw) if 1e10 < bw < plausible]
         if not candidates:
             return nominal
         return min(max(candidates), nominal)

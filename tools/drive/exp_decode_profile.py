@@ -15,7 +15,7 @@ All timings via readback differencing (block_until_ready lies on axon).
 from __future__ import annotations
 
 import functools
-import sys, pathlib, time
+import sys, pathlib
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +24,8 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
 
 from conch_tpu.kernels.quantization.gemm import mixed_precision_gemm_launcher
+from conch_tpu.models.linear import padded_out_features
+from conch_tpu.utils.benchmark import robust_diff_time
 from conch_tpu.utils.quant_utils import pack_rows_planar
 
 B, GS = 8, 128
@@ -39,18 +41,6 @@ PROJS = [
     ("down", 14336, 4096, 1),
 ]
 LMHEAD = ("lm_head", 4096, 128256, 1)
-
-
-def diff_time(run_small, run_big, scale, reps=3):
-    diffs = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        run_small()
-        t1 = time.perf_counter()
-        run_big()
-        t2 = time.perf_counter()
-        diffs.append((t2 - t1) - (t1 - t0))
-    return min(diffs) / scale
 
 
 def time_step(context, iters=12, steps_per_call=8):
@@ -99,26 +89,27 @@ def time_step(context, iters=12, steps_per_call=8):
         _ = np.asarray(state["t"])
 
     run(stepN); run(step2N)  # compile
-    diffs = []
-    for _ in range(iters // 4):
-        t0 = time.perf_counter(); run(stepN)
-        t1 = time.perf_counter(); run(step2N)
-        t2 = time.perf_counter()
-        diffs.append(((t2 - t1) - (t1 - t0)) / steps_per_call)
-    ms = min(diffs) * 1e3
-    print(f"step_ctx{context:<6} {ms:8.3f} ms/step   ({B / (ms/1e3):.0f} tok/s)", flush=True)
+    per, ok = robust_diff_time(lambda: run(stepN), lambda: run(step2N), steps_per_call)
+    ms = per * 1e3
+    flag = "" if ok else "  [unstable]"
+    print(f"step_ctx{context:<6} {ms:8.3f} ms/step   ({B / (ms/1e3):.0f} tok/s){flag}", flush=True)
     return ms
 
 
 def time_gemms():
-    """Per-projection shipped-launcher timing at m=8, L=8 stacked layers."""
+    """Per-projection shipped-launcher timing at m=8, L stacked layers.
+
+    N is padded exactly as the model packs it (padded_out_features), so
+    lm_head is measured on its real wide-tile shape, not the bn=768 one.
+    """
     rng = np.random.default_rng(0)
     total = 0.0
     for name, K, N, cnt in PROJS + [LMHEAD]:
-        L = max(2, min(8, (2 << 30) // (K * N // 2)))
-        codes = rng.integers(0, 16, size=(L, K, N), dtype=np.uint8)
+        NP = padded_out_features(N)
+        L = max(2, min(8, (2 << 30) // (K * NP // 2)))
+        codes = rng.integers(0, 16, size=(L, K, NP), dtype=np.uint8)
         packed = jnp.asarray(np.stack([pack_rows_planar(codes[i], 4, GS) for i in range(L)]))
-        scales = jnp.asarray(rng.random((L, K // GS, N), dtype=np.float32) * 0.01, jnp.bfloat16)
+        scales = jnp.asarray(rng.random((L, K // GS, NP), dtype=np.float32) * 0.01, jnp.bfloat16)
         x = jnp.asarray(rng.standard_normal((B, K)), jnp.bfloat16)
 
         @functools.partial(jax.jit, static_argnames=("iters",))
@@ -129,7 +120,7 @@ def time_gemms():
                         x, w[0], w[1], None, weight_size_bits=4, weight_bias=8,
                         group_size=GS, layout="planar",
                     )
-                    nf = min(K, N)
+                    nf = min(K, NP)
                     return x.at[:, :nf].add(y[:, :nf].astype(x.dtype) * 1e-6), ()
                 x, _ = jax.lax.scan(body, x, (pk, sc))
                 return x, ()
@@ -139,16 +130,19 @@ def time_gemms():
         I = 24
         _ = np.asarray(run(x, packed, scales, iters=2))
         _ = np.asarray(run(x, packed, scales, iters=2 + I))
-        diffs = []
-        for _ in range(3):
-            t0 = time.perf_counter(); _ = np.asarray(run(x, packed, scales, iters=2))
-            t1 = time.perf_counter(); _ = np.asarray(run(x, packed, scales, iters=2 + I))
-            t2 = time.perf_counter()
-            diffs.append((t2 - t1) - (t1 - t0))
-        per = min(diffs) / (I * L)
+        per, ok = robust_diff_time(
+            lambda: np.asarray(run(x, packed, scales, iters=2)),
+            lambda: np.asarray(run(x, packed, scales, iters=2 + I)),
+            I * L,
+        )
         gbps = (packed.nbytes // L + scales.nbytes // L) / per / 1e9
+        elrate = (K * NP) / per / 1e9
         total += per * cnt * (32 if name != "lm_head" else 1)
-        print(f"gemm_{name:8s} {per*1e3:8.4f} ms  {gbps:7.1f} GB/s  (K={K}, N={N})", flush=True)
+        flag = "" if ok else "  [unstable]"
+        print(
+            f"gemm_{name:8s} {per*1e3:8.4f} ms  {gbps:7.1f} GB/s  {elrate:7.1f} Gel/s  (K={K}, N={NP}){flag}",
+            flush=True,
+        )
     print(f"gemm_total_per_step {total*1e3:8.3f} ms (32 layers + lm_head)", flush=True)
 
 
@@ -172,15 +166,17 @@ def time_attention(context):
     I = 48
     q = fx.query
     _ = np.asarray(run(q, iters=2)); _ = np.asarray(run(q, iters=2 + I))
-    diffs = []
-    for _ in range(3):
-        t0 = time.perf_counter(); _ = np.asarray(run(q, iters=2))
-        t1 = time.perf_counter(); _ = np.asarray(run(q, iters=2 + I))
-        t2 = time.perf_counter()
-        diffs.append((t2 - t1) - (t1 - t0))
-    per = min(diffs) / I
+    per, ok = robust_diff_time(
+        lambda: np.asarray(run(q, iters=2)),
+        lambda: np.asarray(run(q, iters=2 + I)),
+        I,
+    )
     kv_bytes = B * context * 8 * 128 * 2 * 2
-    print(f"attn_ctx{context:<6} {per*1e3:8.4f} ms/layer  ({kv_bytes/per/1e9:7.1f} GB/s; x32 = {per*32*1e3:.3f} ms)", flush=True)
+    flag = "" if ok else "  [unstable]"
+    print(
+        f"attn_ctx{context:<6} {per*1e3:8.4f} ms/layer  ({kv_bytes/per/1e9:7.1f} GB/s; x32 = {per*32*1e3:.3f} ms){flag}",
+        flush=True,
+    )
 
 
 def main():

@@ -227,11 +227,15 @@ def mixed_precision_gemm_launcher(
         codebook: optional 16-entry value table; when given, codes index the
             table (NF4/FP4 fused dequant) instead of being linear ints, and
             ``weight_bias`` is ignored.
-        layout: ``"gptq"`` (reference row-interleaved packing) or
+        layout: ``"gptq"`` (reference row-interleaved packing),
             ``"planar"`` (:func:`conch_tpu.utils.quant_utils.pack_rows_planar`
-            within-group planar packing -> per-group-dot kernel, the fast
-            serving path). ``"planar"`` requires ``K % group_size == 0``,
-            ``group_size % pack_factor == 0`` and no codebook.
+            within-group planar packing -> per-group-dot kernel), or
+            ``"magic"`` (:func:`conch_tpu.utils.quant_utils.pack_rows_magic`
+            bf16-bitcast packing -> zero-convert unpack, the fastest
+            decode path measured on v5e). ``"planar"`` requires
+            ``K % group_size == 0``, ``group_size % pack_factor == 0`` and
+            no codebook; ``"magic"`` additionally requires 4-bit weights
+            and ``group_size % 8 == 0``.
 
     Returns:
         (M, N) output in ``out_dtype`` (defaults to ``x.dtype``).
@@ -254,6 +258,18 @@ def mixed_precision_gemm_launcher(
             f"pack={epp}, codebook={codebook is not None})"
         )
         raise ValueError(msg)
+    if layout == "magic" and (
+        codebook is not None
+        or weight_size_bits != 4
+        or k_dim % group_size != 0
+        or group_size % 8 != 0
+    ):
+        msg = (
+            "magic layout requires 4-bit non-codebook weights with "
+            f"K % group_size == 0 and group_size % 8 == 0 (K={k_dim}, "
+            f"group={group_size}, bits={weight_size_bits}, codebook={codebook is not None})"
+        )
+        raise ValueError(msg)
 
     # Tile sizes: bn lanes, bk along K aligned to both the pack factor and
     # the quantization group, bm >= one sublane tile. Two clean same-window
@@ -265,26 +281,54 @@ def mixed_precision_gemm_launcher(
     # artifact). bn must DIVIDE the 128-aligned N so no full-weight jnp.pad
     # runs inside the jitted launcher on every call.
     n128 = round_up(n_dim, 128)
-    if block_n is not None:
-        bn = block_n
-    else:
-        bn = max(d for d in range(128, min(n128, 2048) + 1, 128) if n128 % d == 0)
-    if block_k is not None:
-        bk = block_k
-    elif layout == "planar":
-        # Whole groups per tile (the kernel dequantizes group-at-a-time);
-        # grow bk toward 1024 while it still divides K.
-        bk = group_size
-        while bk < 1024 and k_dim % (bk * 2) == 0:
-            bk *= 2
-    else:
-        bk = 512
-        while k_dim % bk != 0 or (bk % group_size != 0 and group_size % bk != 0) or bk % epp != 0:
-            bk //= 2
-            if bk < 32:
-                bk = group_size  # fall back to one group per tile; pad K below
-                break
     bm = min(round_up(m_dim, 16), 256)
+    if layout == "magic":
+        # Whole groups per tile; grow bk toward 2048 while it divides K
+        # (bk > 2048 OOMs the 16 MB scoped VMEM at useful bn).
+        if block_k is not None:
+            bk = block_k
+        else:
+            bk = group_size
+            while bk < 2048 and k_dim % (bk * 2) == 0:
+                bk *= 2
+        if block_n is not None:
+            bn = block_n
+        else:
+            # Widest lane tile that fits scoped VMEM: weight tile double-
+            # buffered + x + f32 acc + out + scales. bk2048/bn7168 at bm16
+            # compiles on v5e (est 16.2 MB); bk4096/bn3584 does not.
+            def vmem_est(bn_c: int) -> int:
+                return (
+                    2 * (bk // 8) * bn_c * 4
+                    + 2 * bm * bk * 2
+                    + bm * bn_c * 4
+                    + 2 * bm * bn_c * 2
+                    + 2 * max(bk // group_size, 1) * bn_c * 2
+                )
+
+            cands = [d for d in range(128, min(n128, 7168) + 1, 128) if n128 % d == 0]
+            fitting = [d for d in cands if vmem_est(d) <= 16_200_000]
+            bn = max(fitting) if fitting else min(cands)
+    else:
+        if block_n is not None:
+            bn = block_n
+        else:
+            bn = max(d for d in range(128, min(n128, 2048) + 1, 128) if n128 % d == 0)
+        if block_k is not None:
+            bk = block_k
+        elif layout == "planar":
+            # Whole groups per tile (the kernel dequantizes group-at-a-time);
+            # grow bk toward 1024 while it still divides K.
+            bk = group_size
+            while bk < 1024 and k_dim % (bk * 2) == 0:
+                bk *= 2
+        else:
+            bk = 512
+            while k_dim % bk != 0 or (bk % group_size != 0 and group_size % bk != 0) or bk % epp != 0:
+                bk //= 2
+                if bk < 32:
+                    bk = group_size  # fall back to one group per tile; pad K below
+                    break
 
     # Pad every operand to tile multiples (zero-padded K contributes nothing
     # because the padded rows of x are zero).
@@ -337,7 +381,18 @@ def mixed_precision_gemm_launcher(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.append(jnp.zeros((1,), dtype=jnp.float32))
 
-    if layout == "planar":
+    if layout == "magic":
+        kernel = functools.partial(
+            _mixed_gemm_magic_kernel,
+            weight_bias=weight_bias,
+            group_size=group_size,
+            bk=bk,
+            bn=bn,
+            has_zp=has_zp,
+            zero_is_scalar=zero_is_scalar,
+            num_k=kp // bk,
+        )
+    elif layout == "planar":
         kernel = functools.partial(
             _mixed_gemm_planar_kernel,
             nbits=weight_size_bits,
@@ -442,6 +497,74 @@ def _mixed_gemm_planar_kernel(
         else:
             zp = jnp.float32(weight_bias)
         acc_ref[...] += (part - zp * xsum) * sg
+
+    @pl.when(k == num_k - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _mixed_gemm_magic_kernel(
+    x_ref,
+    b_ref,
+    s_ref,
+    zp_ref,
+    o_ref,
+    acc_ref,
+    *,
+    weight_bias: int,
+    group_size: int,
+    bk: int,
+    bn: int,
+    has_zp: bool,
+    zero_is_scalar: bool,
+    num_k: int,
+):
+    """Decode-speed int4 GEMM over the magic bf16-bitcast packing.
+
+    The unpack costs ~1.4 VPU ops/element and ZERO converts: field ``j``
+    of the packed words is masked to the low nibble of each 16-bit half
+    and OR'd with 0x4300, so bitcasting the int32 block to bf16 yields
+    the exactly-representable values ``128 + code`` directly in the
+    sublane-interleaved order the pack anticipated
+    (``conch_tpu.utils.quant_utils.pack_rows_magic``). The spurious +128
+    rides the existing post-dot zero-point algebra:
+    ``sum_k x*(c - z)*s = s * (x@(128+c) - (128+z) * sum_k x)``.
+
+    Measured on v5e (tools/drive/logs/exp_int4_gemm_r4.log, robust
+    timer): 733 Gel/s at bk1024/bn2048 and 792 at bk2048/bn7168 vs 601
+    for the shift/mask/convert planar kernel at equal tiles — against a
+    1012 Gel/s pure-DMA ceiling and a 682 Gel/s XLA-native-int4 dot.
+    """
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    gpt = bk // group_size
+    rpg = group_size // 8
+    x = x_ref[...]
+    packed = b_ref[...]
+    for g in range(gpt):
+        pw = packed[g * rpg : (g + 1) * rpg]
+        slabs = [
+            pltpu.bitcast(
+                (jax.lax.shift_right_logical(pw, 4 * j) & jnp.int32(0x000F000F))
+                | jnp.int32(0x43004300),
+                jnp.bfloat16,
+            )
+            for j in range(4)
+        ]
+        codes = jnp.concatenate(slabs, axis=0)  # (group_size, bn) bf16 = 128 + code
+        xg = x[:, g * group_size : (g + 1) * group_size]
+        part = jnp.dot(xg, codes.astype(x.dtype), preferred_element_type=jnp.float32)
+        xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        if has_zp:
+            zp = zp_ref[0] if zero_is_scalar else zp_ref[g].astype(jnp.float32)
+        else:
+            zp = jnp.float32(weight_bias)
+        sg = s_ref[g].astype(jnp.float32)
+        acc_ref[...] += (part - (128.0 + zp) * xsum) * sg
 
     @pl.when(k == num_k - 1)
     def _():

@@ -35,7 +35,12 @@ from conch_tpu.kernels.quantization.bitsandbytes.blockwise import NF4_CODE
 from conch_tpu.ops.quantization.bitsandbytes.functional import quantize_4bit
 from conch_tpu.ops.quantization.gemm import mixed_precision_gemm, scaled_gemm
 from conch_tpu.types.scalar_type import scalar_types
-from conch_tpu.utils.quant_utils import pack_rows, pack_rows_planar, quantize_weights
+from conch_tpu.utils.quant_utils import (
+    pack_rows,
+    pack_rows_magic,
+    pack_rows_planar,
+    quantize_weights,
+)
 
 
 def padded_out_features(n: int) -> int:
@@ -58,9 +63,11 @@ def padded_out_features(n: int) -> int:
 
 
 def _pack_grouped(w_q: np.ndarray, num_bits: int, group_size: int) -> tuple[np.ndarray, str]:
-    """Planar-within-group packing when the shape allows it (the TPU-fast
-    per-group-dot GEMM path), else reference GPTQ row packing."""
+    """Fastest packing the shape allows: magic (4-bit bf16-bitcast unpack,
+    733-792 Gel/s on v5e) > planar (per-group-dot, 601) > GPTQ rows."""
     epp = 32 // num_bits
+    if num_bits == 4 and w_q.shape[0] % group_size == 0 and group_size % 8 == 0:
+        return pack_rows_magic(w_q, num_bits, group_size), "magic"
     if w_q.shape[0] % group_size == 0 and group_size % epp == 0:
         return pack_rows_planar(w_q, num_bits, group_size), "planar"
     return pack_rows(w_q, num_bits), "gptq"

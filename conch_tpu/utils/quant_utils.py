@@ -132,6 +132,50 @@ def pack_rows_planar(q_w: np.ndarray, num_bits: int, group_size: int) -> np.ndar
     return packed.reshape(size_k // pack_factor, size_n).astype(np.int32)
 
 
+def pack_rows_magic(q_w: np.ndarray, num_bits: int, group_size: int) -> np.ndarray:
+    """Pack (K, N) 4-bit codes for the magic bf16-bitcast unpack kernel.
+
+    The fastest measured decode layout on v5e (tools/drive/logs/
+    exp_int4_gemm_r4.log: 733-792 Gel/s vs 601 planar at equal tiles).
+    The kernel extracts field ``j`` as ``(w >> 4j) & 0x000F000F |
+    0x43004300`` and bitcasts the int32 block straight to bf16 — each
+    half-word becomes the exactly-representable value ``128 + code``
+    with **zero convert ops** (the 128 and the quantization bias fold
+    into the post-dot zero-point correction). Mosaic's int32->bf16
+    bitcast interleaves halves by sublane (out row 2r = low half of word
+    row r, 2r+1 = high half; tools/drive/exp_bitcast_probe.py), so
+    within each group, logical row ``l`` lives in word row
+    ``(l % (group_size/4)) // 2``, field ``l // (group_size/4)``, half
+    ``l % 2``.
+
+    Only ``num_bits=4`` with ``group_size % 8 == 0`` is supported.
+    """
+    assert num_bits == 4, "magic layout is 4-bit only"
+    size_k, size_n = q_w.shape
+    assert size_k % group_size == 0, (size_k, group_size)
+    assert group_size % 8 == 0, group_size
+    spg = group_size // 4  # logical rows per field slab
+    num_groups = size_k // group_size
+    # (G, field j, word row r, half h, N)
+    c = np.asarray(q_w, dtype=np.uint32).reshape(num_groups, 4, spg // 2, 2, size_n)
+    packed = np.zeros((num_groups, spg // 2, size_n), dtype=np.uint32)
+    for j in range(4):
+        for h in range(2):
+            packed |= (c[:, j, :, h] & 0xF) << (4 * j + 16 * h)
+    return packed.reshape(size_k // 8, size_n).astype(np.int32)
+
+
+def unpack_rows_magic(packed: np.ndarray, size_k: int, group_size: int) -> np.ndarray:
+    """Inverse of :func:`pack_rows_magic`; returns (K, N) unsigned codes."""
+    spg = group_size // 4
+    p = np.asarray(packed, dtype=np.uint32).reshape(size_k // group_size, spg // 2, -1)
+    out = np.zeros((size_k // group_size, 4, spg // 2, 2, p.shape[-1]), dtype=np.uint32)
+    for j in range(4):
+        for h in range(2):
+            out[:, j, :, h] = (p >> (4 * j + 16 * h)) & 0xF
+    return out.reshape(size_k, p.shape[-1])
+
+
 def unpack_rows_planar(packed: np.ndarray, num_bits: int, size_k: int, group_size: int) -> np.ndarray:
     """Inverse of :func:`pack_rows_planar`; returns (K, N) unsigned codes."""
     pack_factor = get_pack_factor(num_bits)

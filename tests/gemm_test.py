@@ -273,6 +273,47 @@ def test_mixed_gemm_planar_layout_matches_gptq(bits, group_size):
     assert rel < 0.02, rel
 
 
+@pytest.mark.parametrize("group_size", [64, 128])
+def test_mixed_gemm_magic_layout_matches_gptq(group_size):
+    """Magic bf16-bitcast packing + zero-convert unpack kernel computes the
+    same GEMM as the GPTQ-layout kernel. The kernel dots against 128+code
+    and folds the 128 into the post-dot zero-point correction, so agreement
+    is bounded by the gptq path's bf16 weight rounding."""
+    from conch_tpu.utils.quant_utils import pack_rows_magic, unpack_rows_magic
+
+    rng_ = np.random.default_rng(7)
+    k_dim, n_dim = 512, 384
+    qt = scalar_types.uint4b8
+    w = rng_.normal(size=(k_dim, n_dim)).astype(np.float32) * 0.02
+    _, w_q, w_s, _ = quantize_weights(w, qt, group_size)
+    codes = np.asarray(w_q)
+    magic = pack_rows_magic(codes, 4, group_size)
+    assert (unpack_rows_magic(magic, k_dim, group_size) == codes.astype(np.uint32)).all()
+
+    x = jnp.asarray(rng_.normal(size=(16, k_dim)), dtype=jnp.bfloat16)
+    scales = jnp.asarray(w_s, dtype=jnp.bfloat16)
+    out_gptq = mixed_precision_gemm(
+        x, jnp.asarray(pack_rows(codes, 4)), scales, None, 4, qt.bias, group_size
+    )
+    out_magic = mixed_precision_gemm(
+        x, jnp.asarray(magic), scales, None, 4, qt.bias, group_size, layout="magic"
+    )
+    a, b = np.asarray(out_gptq, np.float32), np.asarray(out_magic, np.float32)
+    rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
+    assert rel < 0.02, rel
+
+
+def test_mixed_gemm_magic_rejects_unsupported():
+    """Magic layout is 4-bit only with K % group == 0 and group % 8 == 0."""
+    rng_ = np.random.default_rng(3)
+    x = jnp.asarray(rng_.normal(size=(4, 256)), jnp.bfloat16)
+    packed = jnp.zeros((64, 128), jnp.int32)
+    scales = jnp.ones((2, 128), jnp.bfloat16)
+    with pytest.raises(ValueError, match="magic"):
+        # 8-bit weights are not supported by the bf16-bitcast unpack
+        mixed_precision_gemm(x, packed, scales, None, 8, 128, 128, layout="magic")
+
+
 def test_mixed_gemm_planar_rejects_unsupported():
     """Planar layout needs K % group == 0, group % pack == 0, no codebook."""
     rng_ = np.random.default_rng(3)
@@ -284,23 +325,27 @@ def test_mixed_gemm_planar_rejects_unsupported():
         mixed_precision_gemm(x, packed, jnp.ones((8, 128), jnp.bfloat16), None, 4, 8, 12, layout="planar")
 
 
-def test_quantized_linear_planar_by_default():
-    """int4/int8 QuantizedLinear pick the planar layout when shapes allow
-    and fall back to gptq otherwise; both compute x @ W."""
+def test_quantized_linear_fast_layout_by_default():
+    """QuantizedLinear picks the fastest layout the shape allows (magic for
+    int4, planar for int8) and falls back to gptq otherwise; all compute
+    x @ W."""
     from conch_tpu.models.linear import quantize_linear
 
-    from conch_tpu.utils.quant_utils import unpack_rows_planar
+    from conch_tpu.utils.quant_utils import unpack_rows_magic, unpack_rows_planar
 
     rng_ = np.random.default_rng(11)
     w = rng_.normal(size=(256, 128)).astype(np.float32) * 0.05
     x = jnp.asarray(rng_.normal(size=(8, 256)), jnp.bfloat16)
     for mode in ("int4", "int8"):
         lin = quantize_linear(w, mode)
-        assert lin.meta["layout"] == "planar"
+        assert lin.meta["layout"] == ("magic" if mode == "int4" else "planar")
         out = np.asarray(lin.apply(x), np.float32)
         # Oracle: x @ dequant(codes) with the stored codes/scales.
         g = lin.meta["group_size"]
-        codes = unpack_rows_planar(np.asarray(lin.arrays["packed"]), lin.meta["bits"], 256, g)
+        if lin.meta["layout"] == "magic":
+            codes = unpack_rows_magic(np.asarray(lin.arrays["packed"]), 256, g)
+        else:
+            codes = unpack_rows_planar(np.asarray(lin.arrays["packed"]), lin.meta["bits"], 256, g)
         deq = (codes.astype(np.float32) - lin.meta["bias"]) * np.repeat(
             np.asarray(lin.arrays["scales"], np.float32), g, axis=0
         )
@@ -312,6 +357,6 @@ def test_quantized_linear_planar_by_default():
     lin = quantize_linear(w_odd, "int4", group_size=96)
     # 96 % 8 == 0 so planar is fine; force a non-multiple instead
     lin2 = quantize_linear(w_odd, "int4", group_size=48)
-    assert lin2.meta["layout"] in ("planar", "gptq")
+    assert lin2.meta["layout"] in ("magic", "planar", "gptq")
     out2 = np.asarray(lin2.apply(jnp.asarray(rng_.normal(size=(4, 96)), jnp.bfloat16)))
     assert out2.shape == (4, 64)

@@ -22,9 +22,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _stage(msg: str) -> None:
+    """Progress to stderr (stdout stays the single JSON line)."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
 HBM_BW_BY_KIND = {
@@ -58,7 +64,7 @@ def build_params(config, quant: str):
             n_pad = padded_out_features(n)  # wide-tile pack-time padding (lm_head)
             packed = rng.integers(-(2**31), 2**31 - 1, size=(k // 8, n_pad), dtype=np.int64).astype(np.int32)
             scales = (rng.random((k // group, n_pad), dtype=np.float32) * 0.01 + 0.005)
-            meta = {"bits": 4, "bias": 8, "group_size": group, "layout": "planar"}
+            meta = {"bits": 4, "bias": 8, "group_size": group, "layout": "magic"}
             if n_pad != n:
                 meta["out_features"] = n
             return QuantizedLinear(
@@ -143,8 +149,10 @@ def main() -> None:
     pages_per_seq = -(-args.context // page_size) + 1
     num_pages = args.batch * pages_per_seq + 1
 
+    _stage("building params")
     params = build_params(config, args.preset)
     k_caches, v_caches = init_kv_caches(config, num_pages, page_size)
+    _stage("params + caches ready")
 
     rng = np.random.default_rng(0)
     batch = args.batch
@@ -185,12 +193,16 @@ def main() -> None:
 
     kind = current_platform.get_device_name().lower()
     nominal = next((v for k, v in HBM_BW_BY_KIND.items() if kind.startswith(k)), 819e9)
+    _stage("calibrating HBM bandwidth (pre)")
     bw_pre = None if args.no_calibrate else calibrate_hbm_bw(nominal)
+    _stage(f"calibration pre done: {bw_pre and bw_pre/1e9:.0f} GB/s" if bw_pre else "calibration skipped")
 
     positions0 = jnp.full((batch,), args.context - 1 - args.iters * steps_per_call - steps_per_call, jnp.int32)
     positions0 = jnp.maximum(positions0, 0)
+    _stage("compiling + first step")
     tok, pos, k_caches, v_caches = step(params, token_ids, positions0, k_caches, v_caches)
     jax.block_until_ready(tok)
+    _stage("compiled; timing")
 
     times = []
     for _ in range(args.iters):
@@ -207,6 +219,7 @@ def main() -> None:
     # vs_baseline is conservative even if the tunnel window shifts mid-run.
     bw = nominal
     if not args.no_calibrate:
+        _stage("calibrating HBM bandwidth (post)")
         bw = max(bw_pre, calibrate_hbm_bw(nominal))
     # Batched decode amortizes the weight read across the batch.
     weight_and_kv = roofline_bytes_per_token(config, args.preset, args.context)

@@ -16,7 +16,30 @@ from typing import Callable
 
 import numpy as np
 
-from conch_tpu.utils.benchmark import BenchmarkResult, benchmark_it, benchmark_loop
+
+def _ensure_backend() -> None:
+    """Fall back to auto platform selection when JAX_PLATFORMS is stale.
+
+    Drive environments export ``JAX_PLATFORMS=axon`` (the tunneled-TPU
+    PJRT plugin) but scripts are sometimes run with a PYTHONPATH that
+    drops the plugin's sitecustomize; the named backend then never
+    registers and the first ``device_put`` raises "Backend 'axon' is not
+    in the list of known backends", killing the whole CLI before a single
+    measurement (round-3 bench_gemm_r3.log). Probe once at import and
+    clear the platform pin if it names an unregistered backend.
+    """
+    import jax
+
+    try:
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "")
+        jax.devices()
+
+
+_ensure_backend()
+
+from conch_tpu.utils.benchmark import BenchmarkResult, benchmark_it, benchmark_loop  # noqa: E402
 
 
 def make_parser(description: str) -> argparse.ArgumentParser:

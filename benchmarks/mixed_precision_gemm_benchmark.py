@@ -10,7 +10,12 @@ import numpy as np
 from benchmarks.common import make_parser, rng, run_and_report
 from conch_tpu.ops.quantization.gemm import mixed_precision_gemm
 from conch_tpu.types import scalar_types
-from conch_tpu.utils.quant_utils import pack_rows, pack_rows_planar, quantize_weights
+from conch_tpu.utils.quant_utils import (
+    pack_rows,
+    pack_rows_magic,
+    pack_rows_planar,
+    quantize_weights,
+)
 
 
 def main() -> None:
@@ -45,10 +50,25 @@ def main() -> None:
     import jax
     dense = jax.jit(lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32).astype(a.dtype))
 
+    packed_magic = None
+    if args.bits == 4 and args.k % args.group_size == 0 and args.group_size % 8 == 0:
+        packed_magic = jnp.asarray(
+            np.stack([pack_rows_magic(q[1], args.bits, args.group_size) for q in w_qs])
+        )
+
     out_bytes = args.m * args.n * 2
     per_packed = packed.nbytes // L + scales.nbytes // L + x.nbytes + out_bytes
     per_planar = packed_planar.nbytes // L + scales.nbytes // L + x.nbytes + out_bytes
+    magic_cases = []
+    if packed_magic is not None:
+        magic_cases = [(
+            f"mixed_gemm_w{args.bits}a16_m{args.m}_magic",
+            lambda carry, x, pm, scales: mixed_precision_gemm(
+                x + carry, pm, scales, None, args.bits, qt.bias, args.group_size,
+                layout="magic"),
+            per_planar, (x,), None, (packed_magic, scales))]
     run_and_report(args, [
+        *magic_cases,
         (f"mixed_gemm_w{args.bits}a16_m{args.m}",
          lambda carry, x, packed, scales: mixed_precision_gemm(
              x + carry, packed, scales, None, args.bits, qt.bias, args.group_size),

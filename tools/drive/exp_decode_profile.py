@@ -26,7 +26,6 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
 from conch_tpu.kernels.quantization.gemm import mixed_precision_gemm_launcher
 from conch_tpu.models.linear import padded_out_features
 from conch_tpu.utils.benchmark import robust_diff_time
-from conch_tpu.utils.quant_utils import pack_rows_planar
 
 B, GS = 8, 128
 
@@ -96,19 +95,21 @@ def time_step(context, iters=12, steps_per_call=8):
     return ms
 
 
-def time_gemms():
+def time_gemms(layout="magic"):
     """Per-projection shipped-launcher timing at m=8, L stacked layers.
 
     N is padded exactly as the model packs it (padded_out_features), so
     lm_head is measured on its real wide-tile shape, not the bn=768 one.
+    Packed content is random int32 (bit patterns don't affect perf).
     """
     rng = np.random.default_rng(0)
     total = 0.0
     for name, K, N, cnt in PROJS + [LMHEAD]:
         NP = padded_out_features(N)
         L = max(2, min(8, (2 << 30) // (K * NP // 2)))
-        codes = rng.integers(0, 16, size=(L, K, NP), dtype=np.uint8)
-        packed = jnp.asarray(np.stack([pack_rows_planar(codes[i], 4, GS) for i in range(L)]))
+        packed = jnp.asarray(
+            rng.integers(-(2**31), 2**31 - 1, size=(L, K // 8, NP), dtype=np.int64).astype(np.int32)
+        )
         scales = jnp.asarray(rng.random((L, K // GS, NP), dtype=np.float32) * 0.01, jnp.bfloat16)
         x = jnp.asarray(rng.standard_normal((B, K)), jnp.bfloat16)
 
@@ -118,7 +119,7 @@ def time_gemms():
                 def body(x, w):
                     y = mixed_precision_gemm_launcher(
                         x, w[0], w[1], None, weight_size_bits=4, weight_bias=8,
-                        group_size=GS, layout="planar",
+                        group_size=GS, layout=layout,
                     )
                     nf = min(K, NP)
                     return x.at[:, :nf].add(y[:, :nf].astype(x.dtype) * 1e-6), ()

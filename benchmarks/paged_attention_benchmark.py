@@ -21,6 +21,10 @@ def main() -> None:
     parser.add_argument("--head-size", type=int, default=128)
     parser.add_argument("--seq-len", type=int, default=8192)
     parser.add_argument("--page-size", type=int, default=32)
+    parser.add_argument(
+        "--kv-dtype", default="bf16", choices=["bf16", "int8", "fp8"],
+        help="KV cache storage dtype (north-star serving uses quantized KV)",
+    )
     args = parser.parse_args()
 
     fx = create_paged_fixture(
@@ -29,14 +33,36 @@ def main() -> None:
         page_size=args.page_size, seq_lens=[args.seq_len] * args.batch,
         dtype=jnp.bfloat16,
     )
+    key_cache, value_cache = fx.key_cache, fx.value_cache
+    kwargs = {}
+    if args.kv_dtype == "int8":
+        qs = 0.05
+        key_cache = jnp.clip(jnp.round(key_cache.astype(jnp.float32) / qs), -128, 127).astype(jnp.int8)
+        value_cache = jnp.clip(jnp.round(value_cache.astype(jnp.float32) / qs), -128, 127).astype(jnp.int8)
+        kwargs = dict(
+            kv_cache_dtype="int8",
+            k_scale=jnp.asarray([qs], jnp.float32),
+            v_scale=jnp.asarray([qs], jnp.float32),
+        )
+    elif args.kv_dtype == "fp8":
+        qs = 1.0 / 8.0
+        key_cache = (key_cache.astype(jnp.float32) / qs).astype(jnp.float8_e4m3fn).view(jnp.uint8)
+        value_cache = (value_cache.astype(jnp.float32) / qs).astype(jnp.float8_e4m3fn).view(jnp.uint8)
+        kwargs = dict(
+            kv_cache_dtype="fp8",
+            k_scale=jnp.asarray([qs], jnp.float32),
+            v_scale=jnp.asarray([qs], jnp.float32),
+        )
+
     scale = 1.0 / math.sqrt(args.head_size)
     # Decode reads the whole KV working set once: that is the roofline.
-    kv_bytes = 2 * args.batch * args.seq_len * args.num_kv_heads * args.head_size * fx.key_cache.dtype.itemsize
+    kv_bytes = 2 * args.batch * args.seq_len * args.num_kv_heads * args.head_size * key_cache.dtype.itemsize
     run_and_report(args, [(
-        f"paged_attention_b{args.batch}_s{args.seq_len}",
-        lambda carry, q, kc, vc, bt, sl: paged_attention(q + carry, kc, vc, bt, sl, scale=scale),
+        f"paged_attention_b{args.batch}_s{args.seq_len}_{args.kv_dtype}",
+        lambda carry, q, kc, vc, bt, sl: paged_attention(
+            q + carry, kc, vc, bt, sl, scale=scale, **kwargs),
         kv_bytes,
-        (fx.query, fx.key_cache, fx.value_cache, fx.block_table, fx.seq_lens),
+        (fx.query, key_cache, value_cache, fx.block_table, fx.seq_lens),
     )])
 
 

@@ -37,10 +37,16 @@ from conch_tpu.kernels.common import round_up, use_interpret_mode
 from conch_tpu.kernels.quantization.bitsandbytes import blockwise as bw
 from conch_tpu.utils.benchmark import robust_diff_time
 
-NUMEL = 16 * 1024 * 1024
+import argparse
+
+_p = argparse.ArgumentParser()
+_p.add_argument("--numel", type=int, default=16 * 1024 * 1024)
+_p.add_argument("--iters", type=int, default=16)
+_a = _p.parse_args()
+NUMEL = _a.numel
 BS = 64
 L = 4  # rotated operand stacks
-ITERS = 16
+ITERS = _a.iters
 
 
 def bench(tag, fn, xs, bytes_per, iters=ITERS):
@@ -66,13 +72,44 @@ def bench(tag, fn, xs, bytes_per, iters=ITERS):
     print(f"{tag:16s} {per*1e3:8.4f} ms  {bytes_per/per/1e9:7.1f} GB/s{flag}", flush=True)
 
 
+def _roll_absmax_wide(x: jax.Array, bs: int) -> jax.Array:
+    """Per-contiguous-bs-lane-group absmax, broadcast back to full width.
+
+    Pure lane-rotate ops — no 3D reshape (minor-dim-bs relayout) at all:
+    log2(bs) roll+max steps leave the group max at each group's first
+    lane; log2(bs) roll+select steps broadcast it across the group.
+    """
+    w = x.shape[-1]
+    a = jnp.abs(x)
+    s = 1
+    while s < bs:
+        a = jnp.maximum(a, pltpu.roll(a, w - s, 1))  # lane l sees a[l+s]
+        s *= 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % bs
+    b = a
+    s = 1
+    while s < bs:
+        b = jnp.where(lane >= s, pltpu.roll(b, s, 1), b)
+        s *= 2
+    return b
+
+
 def variant_quant_kernel(x_ref, packed_ref, am_ref, *, bs, k, mode):
     bt, w = x_ref.shape
     x = x_ref[...].astype(jnp.float32)
-    x3 = x.reshape(bt, k, bs)
-    am = jnp.max(jnp.abs(x3), axis=2)
-    recip = jnp.where(am > 0.0, 1.0 / am, 0.0)
-    scaled = x * jnp.broadcast_to(recip[:, :, None], (bt, k, bs)).reshape(bt, w)
+    if mode == "noabsmax":
+        am = jnp.zeros((bt, k), jnp.float32) + x[:, :1]  # wrong, data-dep
+        scaled = x
+    elif mode == "rollrecip":
+        # recip applied via lane rolls; am OUTPUT still via the 3D reduce
+        am_wide = _roll_absmax_wide(x, bs)
+        scaled = x * jnp.where(am_wide > 0.0, 1.0 / am_wide, 0.0)
+        am = jnp.max(jnp.abs(x.reshape(bt, k, bs)), axis=2)
+    else:
+        x3 = x.reshape(bt, k, bs)
+        am = jnp.max(jnp.abs(x3), axis=2)
+        recip = jnp.where(am > 0.0, 1.0 / am, 0.0)
+        scaled = x * jnp.broadcast_to(recip[:, :, None], (bt, k, bs)).reshape(bt, w)
     if mode == "noencode":
         codes = jnp.clip(scaled.astype(jnp.int32) + 8, 0, 15)
     else:
@@ -135,7 +172,24 @@ def variant_deq_kernel(p_ref, am_ref, out_ref, *, bs, k, mode):
         codes = cf[:, :w].astype(jnp.int32)
     values = bw._nf4_decode(codes)
     am = am_ref[...].astype(jnp.float32)
-    am_wide = jnp.broadcast_to(am[:, :, None], (bt, k, bs)).reshape(bt, w)
+    if mode == "noam":
+        out_ref[...] = values.astype(out_ref.dtype)  # wrong values, right traffic
+        return
+    if mode == "amdot":
+        # (bt, k) -> (bt, w) via an exact 3-term one-hot MXU expand: no 3D
+        # broadcast/reshape (minor-dim-bs relayout) on the wide tensor.
+        j = jax.lax.broadcasted_iota(jnp.int32, (k, w), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (k, w), 1)
+        expand = jnp.where(c // bs == j, 1.0, 0.0).astype(jnp.bfloat16)
+        a0 = am.astype(jnp.bfloat16)
+        r1 = am - a0.astype(jnp.float32)
+        a1 = r1.astype(jnp.bfloat16)
+        a2 = (r1 - a1.astype(jnp.float32)).astype(jnp.bfloat16)
+        am_wide = sum(
+            jnp.dot(t, expand, preferred_element_type=jnp.float32) for t in (a0, a1, a2)
+        )
+    else:
+        am_wide = jnp.broadcast_to(am[:, :, None], (bt, k, bs)).reshape(bt, w)
     out_ref[...] = (values * am_wide).astype(out_ref.dtype)
 
 
@@ -196,6 +250,8 @@ def main():
     bench("q_nopack", make_quant_variant("nopack"), xs, q_bytes)
     bench("q_noam_pad128", make_quant_variant("full", am_pad=True), xs, q_bytes)
     bench("q_bt2048", make_quant_variant("full", bt_override=2048), xs, q_bytes)
+    bench("q_noabsmax", make_quant_variant("noabsmax"), xs, q_bytes)
+    bench("q_rollrecip", make_quant_variant("rollrecip"), xs, q_bytes)
 
     bench(
         "d_launcher",
@@ -206,6 +262,8 @@ def main():
     )
     bench("d_direct", make_deq_variant("full"), (packed_s, am_s), d_bytes)
     bench("d_nointerleave", make_deq_variant("nointerleave"), (packed_s, am_s), d_bytes)
+    bench("d_noam", make_deq_variant("noam"), (packed_s, am_s), d_bytes)
+    bench("d_amdot", make_deq_variant("amdot"), (packed_s, am_s), d_bytes)
 
 
 if __name__ == "__main__":

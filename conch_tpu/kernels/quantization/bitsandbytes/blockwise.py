@@ -233,19 +233,79 @@ def _unpack_matrices_iota(bs: int) -> tuple[jax.Array, jax.Array]:
     return e, o
 
 
+def _roll_absmax_wide(x: jax.Array, bs: int) -> jax.Array:
+    """Per-contiguous-``bs``-lane-group absmax, broadcast to full width.
+
+    Pure lane rotates — Mosaic rejects the 3D ``(bt, k, bs)`` reshape a
+    minor-dim reduce would need ("infer-vector-layout: unsupported shape
+    cast"), so the reduce is log2(bs) roll+max steps (leaving each group's
+    max at its first lane) followed by log2(bs) roll+select steps that
+    re-broadcast the group-start lane across the group (the first loop's
+    wraparound pollutes non-start lanes with the next group's values).
+    Requires power-of-two ``bs`` (enforced by ``_PALLAS_MAX_BS`` gating).
+    """
+    w = x.shape[-1]
+    a = jnp.abs(x)
+    s = 1
+    while s < bs:
+        a = jnp.maximum(a, pltpu.roll(a, w - s, 1))  # lane l sees a[l+s]
+        s *= 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % bs
+    s = 1
+    while s < bs:
+        a = jnp.where(lane >= s, pltpu.roll(a, s, 1), a)
+        s *= 2
+    return a
+
+
+def _extract_matrix_iota(w: int, bs: int) -> jax.Array:
+    """(w, max(w//bs, 128)) one-hot: column j selects lane ``j*bs``.
+
+    Narrows the roll-broadcast absmax (bt, w) to the per-block (bt, k)
+    output via one MXU dot (lane dim padded to >=128; see
+    :func:`_pack_matrix_iota` for the i1-select workaround)."""
+    kp = max(w // bs, 128)
+    r = jax.lax.broadcasted_iota(jnp.int32, (w, kp), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (w, kp), 1)
+    return jnp.where(r == j * bs, 1, 0).astype(jnp.bfloat16)
+
+
+def _expand_matrix_iota(k: int, w: int) -> jax.Array:
+    """(k, w) one-hot: row j covers lanes ``[j*bs, (j+1)*bs)`` (bs = w//k).
+
+    Expands per-block absmax (bt, k) to full row width via one MXU dot —
+    the reshape-free inverse of :func:`_extract_matrix_iota`."""
+    bs = w // k
+    j = jax.lax.broadcasted_iota(jnp.int32, (k, w), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (k, w), 1)
+    return jnp.where(c // bs == j, 1, 0).astype(jnp.bfloat16)
+
+
+def _split_bf16_terms(x: jax.Array, exact: bool) -> list[jax.Array]:
+    """f32 -> bf16 term list whose sum reconstructs ``x`` (3 terms exact)."""
+    a0 = x.astype(jnp.bfloat16)
+    if not exact:
+        return [a0]
+    r1 = x - a0.astype(jnp.float32)
+    a1 = r1.astype(jnp.bfloat16)
+    a2 = (r1 - a1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return [a0, a1, a2]
+
+
 def _quantize4_kernel(x_ref, packed_ref, am_ref, *, quant_type: str, bs: int, k: int):
-    """k quantization blocks per 512-lane row: one 3D per-block absmax
-    reduce, then scale/encode at FULL lane width (the 30-op threshold
-    encode dominates; a one-block-per-row (BT, 64) layout ran every VPU op
-    at half lanes and measured 58 GB/s). The cross-lane pair packing rides
-    the MXU (codes <= 15 and packed bytes <= 255 are bf16-exact)."""
+    """k quantization blocks per 512-lane row: roll-based per-block absmax
+    at FULL lane width (the 30-op threshold encode dominates; a
+    one-block-per-row (BT, 64) layout ran every VPU op at half lanes and
+    measured 58 GB/s), then scale/encode/pack. The cross-lane pair packing
+    and the narrow (BT, k) absmax extraction ride the MXU (codes <= 15 and
+    packed bytes <= 255 are bf16-exact; bf16 inputs' absmax is bf16-exact,
+    f32 inputs use an exact 3-term bf16 split)."""
     bt, w = x_ref.shape
+    exact_needs_split = x_ref.dtype.itemsize > 2
     x = x_ref[...].astype(jnp.float32)  # (BT, W)
-    x3 = x.reshape(bt, k, bs)
-    am = jnp.max(jnp.abs(x3), axis=2)  # (BT, k)
-    recip = jnp.where(am > 0.0, 1.0 / am, 0.0)
-    recip_wide = jnp.broadcast_to(recip[:, :, None], (bt, k, bs)).reshape(bt, w)
-    scaled = x * recip_wide
+    am_wide = _roll_absmax_wide(x, bs)
+    recip = jnp.where(am_wide > 0.0, 1.0 / am_wide, 0.0)
+    scaled = x * recip
     codes = _nf4_encode(scaled) if quant_type == "nf4" else _fp4_encode(scaled)
     packmat = _pack_matrix_iota(w)
     packed = jnp.dot(codes.astype(jnp.bfloat16), packmat, preferred_element_type=jnp.float32)
@@ -253,12 +313,21 @@ def _quantize4_kernel(x_ref, packed_ref, am_ref, *, quant_type: str, bs: int, k:
     # Mosaic has no f32->u8 convert: round-trip through i32 (values are
     # exact integers <= 255, so the truncating casts are lossless).
     packed_ref[...] = packed.astype(jnp.int32).astype(jnp.uint8)
-    am_ref[...] = am
+    if k == 1:
+        am_ref[...] = am_wide[:, :1]
+    else:
+        ext = _extract_matrix_iota(w, bs)
+        am = sum(
+            jnp.dot(t, ext, preferred_element_type=jnp.float32)
+            for t in _split_bf16_terms(am_wide, exact_needs_split)
+        )
+        am_ref[...] = am[:, :k]
 
 
 def _dequantize4_kernel(p_ref, am_ref, out_ref, *, quant_type: str, bs: int, k: int):
     """Inverse sweep: u8 packed -> nibble split -> MXU interleave -> decode
-    at full lane width -> per-block scale via one 3D broadcast."""
+    at full lane width -> per-block scale via a one-hot MXU expand (the 3D
+    broadcast+reshape Mosaic rejects; exact 3-term bf16 split)."""
     bt = p_ref.shape[0]
     w = out_ref.shape[1]
     p = p_ref[...].astype(jnp.int32)  # (BT, W/2)
@@ -270,7 +339,14 @@ def _dequantize4_kernel(p_ref, am_ref, out_ref, *, quant_type: str, bs: int, k: 
     codes = codes_f[:, :w].astype(jnp.int32)  # exact: values <= 15
     values = _nf4_decode(codes) if quant_type == "nf4" else _fp4_decode(codes)
     am = am_ref[...].astype(jnp.float32)  # (BT, k)
-    am_wide = jnp.broadcast_to(am[:, :, None], (bt, k, bs)).reshape(bt, w)
+    if k == 1:
+        am_wide = jnp.broadcast_to(am, (bt, w))
+    else:
+        exp = _expand_matrix_iota(k, w)
+        am_wide = sum(
+            jnp.dot(t, exp, preferred_element_type=jnp.float32)
+            for t in _split_bf16_terms(am, True)
+        )
     out_ref[...] = (values * am_wide).astype(out_ref.dtype)
 
 
@@ -339,6 +415,12 @@ def _dequantize4_pallas(
 _PALLAS_MAX_BS = 512
 
 
+def _use_pallas4(blocksize: int) -> bool:
+    """Pallas codec eligibility: the roll-based absmax needs a power-of-two
+    blocksize (real bnb blocksizes are 64..4096); others keep the XLA path."""
+    return blocksize & (blocksize - 1) == 0 and 2 <= blocksize <= _PALLAS_MAX_BS
+
+
 def _code8_encode(scaled: jax.Array, code: jax.Array) -> jax.Array:
     """Nearest-code rounding into a sorted 256-entry code table.
 
@@ -369,7 +451,7 @@ def quantize_blockwise_launcher(
         raise ValueError(msg)
     num_blocks = -(-input_size // blocksize)
 
-    if quant_type in ("nf4", "fp4") and blocksize % 2 == 0 and blocksize <= _PALLAS_MAX_BS:
+    if quant_type in ("nf4", "fp4") and _use_pallas4(blocksize):
         # No pre-cast: the kernel upcasts each block in VMEM; materializing
         # an f32 copy here costs two extra passes over the input.
         packed, absmax = _quantize4_pallas(x.reshape(-1), num_blocks, blocksize, quant_type)
@@ -415,7 +497,7 @@ def dequantize_blockwise_launcher(
     """Blockwise dequantize packed NF4/FP4 or 8-bit codes to ``output_dtype``."""
     num_blocks = -(-output_size // blocksize)
 
-    if quant_type in ("nf4", "fp4") and blocksize % 2 == 0 and blocksize <= _PALLAS_MAX_BS:
+    if quant_type in ("nf4", "fp4") and _use_pallas4(blocksize):
         out = _dequantize4_pallas(
             x.reshape(-1), absmax, num_blocks, blocksize, quant_type, output_dtype
         )

@@ -144,6 +144,7 @@ def _mixed_gemm_kernel(
     zero_is_scalar: bool,
     num_k: int,
     codebook: tuple[float, ...] | None,
+    stacked: bool = False,
 ):
     k = pl.program_id(2)
 
@@ -151,10 +152,11 @@ def _mixed_gemm_kernel(
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    b_block = b_ref[0] if stacked else b_ref[...]
     if codebook is not None:
-        w = _codebook_decode(_unpack_block(b_ref[...], nbits, epp, bk, bn), codebook)
+        w = _codebook_decode(_unpack_block(b_block, nbits, epp, bk, bn), codebook)
     else:
-        codes = _unpack_block(b_ref[...], nbits, epp, bk, bn).astype(jnp.float32)
+        codes = _unpack_block(b_block, nbits, epp, bk, bn).astype(jnp.float32)
         w = codes - float(weight_bias)
 
     # The BlockSpec index map delivers exactly this K tile's group rows
@@ -164,9 +166,9 @@ def _mixed_gemm_kernel(
     gpt = bk // group_size  # groups per tile (0 => tile inside one group)
 
     def expand_groups(meta_ref):
-        m = meta_ref[...].astype(jnp.float32)  # (gpt, 1, bn) or (1, 1, bn)
+        m = (meta_ref[0] if stacked else meta_ref[...]).astype(jnp.float32)
         if gpt >= 1:
-            return m  # broadcasts over (gpt, group_size, bn)
+            return m  # (gpt, 1, bn) broadcasts over (gpt, group_size, bn)
         return m.reshape(1, m.shape[-1])  # broadcasts over (bk, bn)
 
     if gpt >= 1:
@@ -212,13 +214,16 @@ def mixed_precision_gemm_launcher(
     layout: str = "gptq",
     block_n: int | None = None,
     block_k: int | None = None,
+    layer_index: jax.Array | None = None,
 ) -> jax.Array:
     """``C = x @ dequant(w_q_packed)`` with groupwise scales/zero-points.
 
     Args:
         x: (M, K) activations (fp32/bf16/fp16).
-        w_q_packed: (K // pack_factor, N) int32 packed weights (GPTQ row layout).
-        w_s: (K // group_size, N) per-group scales.
+        w_q_packed: (K // pack_factor, N) int32 packed weights (GPTQ row
+            layout), or the whole per-layer stack (L, K // pack_factor, N)
+            with ``layer_index`` selecting the layer (see below).
+        w_s: (K // group_size, N) per-group scales ((L, ...) when stacked).
         w_zp: optional (K // group_size, N) zero-points, or a single element
             when ``zero_is_scalar``.
         weight_size_bits: bit-width of each packed weight (2/4/8).
@@ -237,11 +242,26 @@ def mixed_precision_gemm_launcher(
             no codebook; ``"magic"`` additionally requires 4-bit weights
             and ``group_size % 8 == 0``.
 
+        layer_index: scalar int32 selecting a layer from stacked (L, ...)
+            weight/scale arrays. The index rides Pallas *scalar prefetch*,
+            so the kernel DMAs the selected layer's tiles straight out of
+            the stacked HBM buffer. This exists because feeding a
+            ``lax.scan``/``dynamic_slice`` weight slice to an opaque
+            ``pallas_call`` makes XLA materialize the slice — measured on
+            v5e (tools/drive/logs/exp_lmhead_r4b.log): the same lm_head
+            GEMM runs at 816.7 GB/s fed directly, 201 with a dynamic
+            slice, 109 as a scan slice. Stacked mode requires
+            pad-free geometry (M may still pad): K % bk == 0, N % bn == 0.
+
     Returns:
         (M, N) output in ``out_dtype`` (defaults to ``x.dtype``).
     """
     m_dim, k_dim = x.shape
-    _, n_dim = w_q_packed.shape
+    stacked = w_q_packed.ndim == 3
+    if stacked and layer_index is None:
+        msg = "stacked (L, K//pack, N) weights require layer_index"
+        raise ValueError(msg)
+    n_dim = w_q_packed.shape[-1]
     epp = 32 // weight_size_bits
     out_dtype = out_dtype or x.dtype
     if x.dtype == jnp.float16 and not use_interpret_mode():
@@ -333,19 +353,30 @@ def mixed_precision_gemm_launcher(
     # Pad every operand to tile multiples (zero-padded K contributes nothing
     # because the padded rows of x are zero).
     mp, kp, np_ = round_up(m_dim, bm), round_up(k_dim, bk), round_up(n_dim, bn)
-    num_groups = w_s.shape[0]
+    num_groups = w_s.shape[1] if stacked else w_s.shape[0]
     gp = max(kp // group_size, 1)
 
+    if stacked and ((kp, np_) != (k_dim, n_dim) or gp != num_groups):
+        # Padding the (L, ...) stack inside the launcher would materialize
+        # a full copy every call — exactly the traffic stacked mode exists
+        # to avoid. Pack with pad-free geometry instead
+        # (models.linear.padded_out_features).
+        msg = (
+            f"stacked GEMM requires pad-free tiles: K={k_dim} (tile {bk}), "
+            f"N={n_dim} (tile {bn}), groups={num_groups} (need {gp})"
+        )
+        raise ValueError(msg)
     if (mp, kp) != (m_dim, k_dim):
         x = jnp.pad(x, ((0, mp - m_dim), (0, kp - k_dim)))
-    if (kp // epp, np_) != w_q_packed.shape:
-        w_q_packed = jnp.pad(
-            w_q_packed, ((0, kp // epp - w_q_packed.shape[0]), (0, np_ - n_dim))
-        )
-    if (gp, np_) != w_s.shape:
-        w_s = jnp.pad(w_s, ((0, gp - num_groups), (0, np_ - n_dim)), constant_values=1)
-    if has_zp and not zero_is_scalar and (gp, np_) != w_zp.shape:
-        w_zp = jnp.pad(w_zp, ((0, gp - w_zp.shape[0]), (0, np_ - n_dim)))
+    if not stacked:
+        if (kp // epp, np_) != w_q_packed.shape:
+            w_q_packed = jnp.pad(
+                w_q_packed, ((0, kp // epp - w_q_packed.shape[0]), (0, np_ - n_dim))
+            )
+        if (gp, np_) != w_s.shape:
+            w_s = jnp.pad(w_s, ((0, gp - num_groups), (0, np_ - n_dim)), constant_values=1)
+        if has_zp and not zero_is_scalar and (gp, np_) != w_zp.shape:
+            w_zp = jnp.pad(w_zp, ((0, gp - w_zp.shape[0]), (0, np_ - n_dim)))
 
     grid = (mp // bm, np_ // bn, kp // bk)
 
@@ -357,29 +388,60 @@ def mixed_precision_gemm_launcher(
     # Mosaic constrains only the last two block dims (sublane x lane),
     # and (1, bn) is legal for any group_size/bk combo.
     gpt = bk // group_size
-    if gpt >= 1:
-        meta_spec = pl.BlockSpec((gpt, 1, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM)
-    else:
-        meta_spec = pl.BlockSpec(
-            (1, 1, bn), lambda i, j, k: (k * bk // group_size, 0, j), memory_space=pltpu.VMEM
-        )
-
-    in_specs = [
-        pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bk // epp, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-        meta_spec,
-    ]
-    operands = [x, w_q_packed, w_s.reshape(gp, 1, np_)]
-    if has_zp:
-        if zero_is_scalar:
-            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-            operands.append(w_zp.reshape(1).astype(jnp.float32))
+    if stacked:
+        num_layers = w_q_packed.shape[0]
+        if gpt >= 1:
+            meta_spec = pl.BlockSpec(
+                (1, gpt, 1, bn), lambda i, j, k, li: (li[0], k, 0, j), memory_space=pltpu.VMEM
+            )
         else:
-            in_specs.append(meta_spec)
-            operands.append(w_zp.reshape(gp, 1, np_))
+            meta_spec = pl.BlockSpec(
+                (1, 1, 1, bn),
+                lambda i, j, k, li: (li[0], k * bk // group_size, 0, j),
+                memory_space=pltpu.VMEM,
+            )
+        in_specs = [
+            pl.BlockSpec((bm, bk), lambda i, j, k, li: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, bk // epp, bn), lambda i, j, k, li: (li[0], k, j), memory_space=pltpu.VMEM
+            ),
+            meta_spec,
+        ]
+        operands = [x, w_q_packed, w_s.reshape(num_layers, gp, 1, np_)]
+        if has_zp:
+            if zero_is_scalar:
+                in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+                operands.append(w_zp.reshape(1).astype(jnp.float32))
+            else:
+                in_specs.append(meta_spec)
+                operands.append(w_zp.reshape(num_layers, gp, 1, np_))
+        else:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            operands.append(jnp.zeros((1,), dtype=jnp.float32))
     else:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        operands.append(jnp.zeros((1,), dtype=jnp.float32))
+        if gpt >= 1:
+            meta_spec = pl.BlockSpec((gpt, 1, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM)
+        else:
+            meta_spec = pl.BlockSpec(
+                (1, 1, bn), lambda i, j, k: (k * bk // group_size, 0, j), memory_space=pltpu.VMEM
+            )
+
+        in_specs = [
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // epp, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            meta_spec,
+        ]
+        operands = [x, w_q_packed, w_s.reshape(gp, 1, np_)]
+        if has_zp:
+            if zero_is_scalar:
+                in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+                operands.append(w_zp.reshape(1).astype(jnp.float32))
+            else:
+                in_specs.append(meta_spec)
+                operands.append(w_zp.reshape(gp, 1, np_))
+        else:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            operands.append(jnp.zeros((1,), dtype=jnp.float32))
 
     if layout == "magic":
         kernel = functools.partial(
@@ -391,6 +453,7 @@ def mixed_precision_gemm_launcher(
             has_zp=has_zp,
             zero_is_scalar=zero_is_scalar,
             num_k=kp // bk,
+            stacked=stacked,
         )
     elif layout == "planar":
         kernel = functools.partial(
@@ -404,6 +467,7 @@ def mixed_precision_gemm_launcher(
             has_zp=has_zp,
             zero_is_scalar=zero_is_scalar,
             num_k=kp // bk,
+            stacked=stacked,
         )
     else:
         kernel = functools.partial(
@@ -418,24 +482,51 @@ def mixed_precision_gemm_launcher(
             zero_is_scalar=zero_is_scalar,
             num_k=kp // bk,
             codebook=codebook,
+            stacked=stacked,
         )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * mp * np_ * kp,
-            bytes_accessed=mp * kp * 2 + kp * np_ // epp * 4 + mp * np_ * 2,
-            transcendentals=0,
-        ),
-        interpret=use_interpret_mode(),
-    )(*operands)
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+    cost_estimate = pl.CostEstimate(
+        flops=2 * mp * np_ * kp,
+        bytes_accessed=mp * kp * 2 + kp * np_ // epp * 4 + mp * np_ * 2,
+        transcendentals=0,
+    )
+    if stacked:
+        base_kernel = kernel
+
+        def kernel_sp(li_ref, *refs):  # noqa: ARG001 — index maps consume li_ref
+            base_kernel(*refs)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda i, j, k, li: (i, j), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        )
+        out = pl.pallas_call(
+            kernel_sp,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+            compiler_params=compiler_params,
+            cost_estimate=cost_estimate,
+            interpret=use_interpret_mode(),
+        )(layer_index.astype(jnp.int32).reshape(1), *operands)
+    else:
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            compiler_params=compiler_params,
+            cost_estimate=cost_estimate,
+            interpret=use_interpret_mode(),
+        )(*operands)
 
     return out[:m_dim, :n_dim]
 
@@ -457,6 +548,7 @@ def _mixed_gemm_planar_kernel(
     has_zp: bool,
     zero_is_scalar: bool,
     num_k: int,
+    stacked: bool = False,
 ):
     """Decode-speed mixed GEMM over planar-within-group packing.
 
@@ -483,7 +575,7 @@ def _mixed_gemm_planar_kernel(
     gpt = bk // group_size
     rpg = group_size // epp
     x = x_ref[...]
-    packed = b_ref[...]
+    packed = b_ref[0] if stacked else b_ref[...]
     for g in range(gpt):
         pw = packed[g * rpg : (g + 1) * rpg]
         fields = [jax.lax.shift_right_logical(pw, nbits * i) & mask for i in range(epp)]
@@ -491,9 +583,12 @@ def _mixed_gemm_planar_kernel(
         xg = x[:, g * group_size : (g + 1) * group_size]
         part = jnp.dot(xg, codes.astype(x.dtype), preferred_element_type=jnp.float32)
         xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)  # (bm, 1)
-        sg = s_ref[g].astype(jnp.float32)  # (1, bn)
+        sg = (s_ref[0, g] if stacked else s_ref[g]).astype(jnp.float32)  # (1, bn)
         if has_zp:
-            zp = zp_ref[0] if zero_is_scalar else zp_ref[g].astype(jnp.float32)
+            if zero_is_scalar:
+                zp = zp_ref[0]
+            else:
+                zp = (zp_ref[0, g] if stacked else zp_ref[g]).astype(jnp.float32)
         else:
             zp = jnp.float32(weight_bias)
         acc_ref[...] += (part - zp * xsum) * sg
@@ -518,6 +613,7 @@ def _mixed_gemm_magic_kernel(
     has_zp: bool,
     zero_is_scalar: bool,
     num_k: int,
+    stacked: bool = False,
 ):
     """Decode-speed int4 GEMM over the magic bf16-bitcast packing.
 
@@ -544,7 +640,7 @@ def _mixed_gemm_magic_kernel(
     gpt = bk // group_size
     rpg = group_size // 8
     x = x_ref[...]
-    packed = b_ref[...]
+    packed = b_ref[0] if stacked else b_ref[...]
     for g in range(gpt):
         pw = packed[g * rpg : (g + 1) * rpg]
         slabs = [
@@ -560,10 +656,13 @@ def _mixed_gemm_magic_kernel(
         part = jnp.dot(xg, codes.astype(x.dtype), preferred_element_type=jnp.float32)
         xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
         if has_zp:
-            zp = zp_ref[0] if zero_is_scalar else zp_ref[g].astype(jnp.float32)
+            if zero_is_scalar:
+                zp = zp_ref[0]
+            else:
+                zp = (zp_ref[0, g] if stacked else zp_ref[g]).astype(jnp.float32)
         else:
             zp = jnp.float32(weight_bias)
-        sg = s_ref[g].astype(jnp.float32)
+        sg = (s_ref[0, g] if stacked else s_ref[g]).astype(jnp.float32)
         acc_ref[...] += (part - (128.0 + zp) * xsum) * sg
 
     @pl.when(k == num_k - 1)

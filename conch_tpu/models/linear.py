@@ -227,6 +227,61 @@ class QuantizedLinear:
         msg = f"Unknown linear kind: {self.kind}"
         raise ValueError(msg)
 
+    def take_layer(self, layer_index: jax.Array) -> "QuantizedLinear":
+        """Select one layer from stacked (L, ...) arrays (materializes the
+        slice — use :meth:`apply_stacked` on the hot path)."""
+        arrays = {
+            k: jax.lax.dynamic_index_in_dim(v, layer_index, 0, keepdims=False)
+            for k, v in self.arrays.items()
+        }
+        return QuantizedLinear(self.kind, arrays, self.meta)
+
+    def apply_stacked(self, x: jax.Array, layer_index: jax.Array) -> jax.Array:
+        """``x @ W[layer_index]`` for per-layer-stacked (L, ...) arrays.
+
+        For the packed int formats the layer index rides the GEMM kernel's
+        scalar prefetch, so the selected layer's tiles are DMA'd straight
+        from the stacked HBM buffer. The alternative — slicing the stack in
+        the layer scan — makes XLA materialize a copy of every weight
+        before the opaque pallas_call: measured on v5e the same GEMM runs
+        at 816.7 GB/s fed directly vs 109 GB/s as a scan slice
+        (tools/drive/logs/exp_lmhead_r4b.log). Falls back to
+        slice-then-apply for kinds/shapes the stacked kernel doesn't cover.
+        """
+        if self.kind in ("int4", "int8_grouped"):
+            try:
+                out = mixed_precision_gemm(
+                    x,
+                    self.arrays["packed"],
+                    self.arrays["scales"],
+                    None,
+                    self.meta["bits"],
+                    self.meta["bias"],
+                    self.meta["group_size"],
+                    layout=self.meta.get("layout", "gptq"),
+                    layer_index=layer_index,
+                )
+            except ValueError:  # pad-free geometry unavailable for this shape
+                return self.take_layer(layer_index).apply(x)
+            n = self.meta.get("out_features")
+            return out if n is None else out[:, :n]
+        if self.kind == "nf4":
+            try:
+                return mixed_precision_gemm(
+                    x,
+                    self.arrays["packed"],
+                    self.arrays["absmax"],
+                    None,
+                    4,
+                    0,
+                    self.meta["blocksize"],
+                    codebook=tuple(float(v) for v in NF4_CODE),
+                    layer_index=layer_index,
+                )
+            except ValueError:
+                return self.take_layer(layer_index).apply(x)
+        return self.take_layer(layer_index).apply(x)
+
 
 def quantize_linear(w: np.ndarray, mode: str, **kwargs) -> QuantizedLinear:
     """Build a QuantizedLinear from a dense (K, N) weight by mode name."""

@@ -257,7 +257,7 @@ def _kv_cache_quant(config: LlamaConfig, cache_dtype) -> tuple[str, jax.Array | 
     return "auto", None
 
 
-def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, slot_mapping, tp_axis: str | None = None, num_heads: int | None = None, num_kv_heads: int | None = None, kv_quant: tuple[str, jax.Array | None] = ("auto", None), mlp_fn=None, lora_sel: jax.Array | None = None, cache_mode: str = "rmw"):
+def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, slot_mapping, tp_axis: str | None = None, num_heads: int | None = None, num_kv_heads: int | None = None, kv_quant: tuple[str, jax.Array | None] = ("auto", None), mlp_fn=None, lora_sel: jax.Array | None = None, cache_mode: str = "rmw", heavy: dict | None = None):
     """Build the scanned per-layer function shared by prefill and decode.
 
     With ``tp_axis`` set (inside a shard_map), the per-chip head counts are
@@ -274,6 +274,13 @@ def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, 
     deltas are added *before* the row-parallel psum, so under TP the
     K-sharded ``A`` factors of wo/w_down reduce through the same
     collective as the base matmul.
+
+    ``heavy`` carries the big projection weights OUT of the scan: the
+    stacked (L, ...) QuantizedLinear pytrees stay scan-invariant and each
+    GEMM selects its layer via the kernel's scalar-prefetch index
+    (:meth:`QuantizedLinear.apply_stacked`). Scanning them as xs slices
+    makes XLA materialize a copy of every weight per layer per step —
+    measured 2-7x GEMM bandwidth loss on v5e (exp_lmhead_r4b.log).
     """
     eps = config.rms_norm_eps
     num_heads = num_heads or config.num_heads
@@ -297,7 +304,10 @@ def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, 
         lora_layer = layer.get("__lora__")
 
         def proj(name, x):
-            y = layer[name].apply(x)
+            if heavy is not None and name in heavy:
+                y = heavy[name].apply_stacked(x, l_idx)
+            else:
+                y = layer[name].apply(x)
             if lora_layer is not None and name in lora_layer:
                 from conch_tpu.models.lora import lora_delta
 
@@ -370,6 +380,28 @@ def _splice_lora(layers: dict, lora: dict | None, lora_ids: jax.Array | None):
     return spliced, lora_selector(lora_ids, lora["scales"])
 
 
+_HEAVY_PROJ_NAMES = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def _split_heavy(layers: dict) -> tuple[dict | None, dict]:
+    """Split the stacked layer dict into (heavy projections, the rest).
+
+    Heavy QuantizedLinear stacks are closed over as scan invariants and
+    indexed inside the GEMM kernels (scalar prefetch); everything else
+    (norm vectors, biases, LoRA stacks, MoE experts) keeps riding the scan
+    xs — their slices are small or owned by ``mlp_fn``.
+    """
+    from conch_tpu.models.linear import QuantizedLinear
+
+    heavy = {
+        k: v
+        for k, v in layers.items()
+        if k in _HEAVY_PROJ_NAMES and isinstance(v, QuantizedLinear)
+    }
+    light = {k: v for k, v in layers.items() if k not in heavy}
+    return (heavy or None), light
+
+
 def llama_prefill(
     params: dict,
     config: LlamaConfig,
@@ -410,14 +442,15 @@ def llama_prefill(
             layer_idx=l_idx,
         )
 
+    heavy, light = _split_heavy(layers)
     layer_step = _layer_step_factory(
         config, attn_fn, params["cos_sin_cache"], positions, slot_mapping,
         tp_axis=tp_axis, num_heads=num_kv_heads * group, num_kv_heads=num_kv_heads,
-        kv_quant=kv_quant, lora_sel=lora_sel, cache_mode="scatter",
+        kv_quant=kv_quant, lora_sel=lora_sel, cache_mode="scatter", heavy=heavy,
     )
     layer_ids = jnp.arange(k_caches.shape[0], dtype=jnp.int32)
     (hidden, k_caches, v_caches), _ = jax.lax.scan(
-        layer_step, (hidden, k_caches, v_caches), (layers, layer_ids)
+        layer_step, (hidden, k_caches, v_caches), (light, layer_ids)
     )
 
     # Only the last token of each sequence produces next-token logits.
@@ -466,14 +499,15 @@ def llama_verify_forward(
             layer_idx=l_idx,
         )
 
+    heavy, light = _split_heavy(layers)
     layer_step = _layer_step_factory(
         config, attn_fn, params["cos_sin_cache"], positions, slot_mapping,
         tp_axis=tp_axis, num_heads=num_kv_heads * group, num_kv_heads=num_kv_heads,
-        kv_quant=kv_quant, lora_sel=lora_sel, cache_mode="scatter",
+        kv_quant=kv_quant, lora_sel=lora_sel, cache_mode="scatter", heavy=heavy,
     )
     layer_ids = jnp.arange(k_caches.shape[0], dtype=jnp.int32)
     (hidden, k_caches, v_caches), _ = jax.lax.scan(
-        layer_step, (hidden, k_caches, v_caches), (layers, layer_ids)
+        layer_step, (hidden, k_caches, v_caches), (light, layer_ids)
     )
 
     hidden = rms_norm(hidden, params["final_norm"], config.rms_norm_eps)
@@ -517,14 +551,15 @@ def llama_decode_step(
             layer_idx=l_idx,
         )
 
+    heavy, light = _split_heavy(layers)
     layer_step = _layer_step_factory(
         config, attn_fn, params["cos_sin_cache"], positions, slot_mapping,
         tp_axis=tp_axis, num_heads=num_kv_heads * group, num_kv_heads=num_kv_heads,
-        kv_quant=kv_quant, lora_sel=lora_sel,
+        kv_quant=kv_quant, lora_sel=lora_sel, heavy=heavy,
     )
     layer_ids = jnp.arange(k_caches.shape[0], dtype=jnp.int32)
     (hidden, k_caches, v_caches), _ = jax.lax.scan(
-        layer_step, (hidden, k_caches, v_caches), (layers, layer_ids)
+        layer_step, (hidden, k_caches, v_caches), (light, layer_ids)
     )
 
     hidden = rms_norm(hidden, params["final_norm"], config.rms_norm_eps)

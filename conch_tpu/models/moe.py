@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from conch_tpu.models.linear import QuantizedLinear, quantize_linear
-from conch_tpu.models.llama import LlamaConfig, _kv_cache_quant, _layer_step_factory
+from conch_tpu.models.llama import LlamaConfig, _kv_cache_quant, _layer_step_factory, _split_heavy
 from conch_tpu.ops.attention import paged_attention, varlen_attention
 from conch_tpu.ops.normalization import rms_norm
 from conch_tpu.reference.embedding.rotary_embedding import compute_cos_sin_cache
@@ -308,15 +308,17 @@ def mixtral_decode_step(
             layer_idx=l_idx,
         )
 
+    heavy, light = _split_heavy(params["layers"])
     layer_step = _layer_step_factory(
         c, attn_fn, params["cos_sin_cache"], positions, slot_mapping,
         tp_axis=tp_axis, num_heads=num_kv_heads * group, num_kv_heads=num_kv_heads,
         kv_quant=kv_quant,
         mlp_fn=_moe_mlp_fn(config, config.capacity(token_ids.shape[0]), tp_axis),
+        heavy=heavy,
     )
     layer_ids = jnp.arange(k_caches.shape[0], dtype=jnp.int32)
     (hidden, k_caches, v_caches), _ = jax.lax.scan(
-        layer_step, (hidden, k_caches, v_caches), (params["layers"], layer_ids)
+        layer_step, (hidden, k_caches, v_caches), (light, layer_ids)
     )
 
     hidden = rms_norm(hidden, params["final_norm"], c.rms_norm_eps)
@@ -354,16 +356,18 @@ def mixtral_prefill(
             layer_idx=l_idx,
         )
 
+    heavy, light = _split_heavy(params["layers"])
     layer_step = _layer_step_factory(
         c, attn_fn, params["cos_sin_cache"], positions, slot_mapping,
         tp_axis=tp_axis, num_heads=num_kv_heads * group, num_kv_heads=num_kv_heads,
         kv_quant=kv_quant,
         mlp_fn=_moe_mlp_fn(config, config.capacity(token_ids.shape[0]), tp_axis),
         cache_mode="scatter",
+        heavy=heavy,
     )
     layer_ids = jnp.arange(k_caches.shape[0], dtype=jnp.int32)
     (hidden, k_caches, v_caches), _ = jax.lax.scan(
-        layer_step, (hidden, k_caches, v_caches), (params["layers"], layer_ids)
+        layer_step, (hidden, k_caches, v_caches), (light, layer_ids)
     )
 
     last_rows = cu_seqlens_q[1:] - 1
@@ -406,16 +410,18 @@ def mixtral_verify_forward(
             layer_idx=l_idx,
         )
 
+    heavy, light = _split_heavy(params["layers"])
     layer_step = _layer_step_factory(
         c, attn_fn, params["cos_sin_cache"], positions, slot_mapping,
         tp_axis=tp_axis, num_heads=num_kv_heads * group, num_kv_heads=num_kv_heads,
         kv_quant=kv_quant,
         mlp_fn=_moe_mlp_fn(config, config.capacity(token_ids.shape[0]), tp_axis),
         cache_mode="scatter",
+        heavy=heavy,
     )
     layer_ids = jnp.arange(k_caches.shape[0], dtype=jnp.int32)
     (hidden, k_caches, v_caches), _ = jax.lax.scan(
-        layer_step, (hidden, k_caches, v_caches), (params["layers"], layer_ids)
+        layer_step, (hidden, k_caches, v_caches), (light, layer_ids)
     )
 
     hidden = rms_norm(hidden, params["final_norm"], c.rms_norm_eps)

@@ -123,6 +123,7 @@ def mixed_precision_gemm(
     strict: bool = False,
     codebook: tuple[float, ...] | None = None,
     layout: str = "gptq",
+    layer_index: jax.Array | None = None,
 ) -> jax.Array:
     """Mixed-precision GEMM: ``x @ dequant(w_q_packed)``.
 
@@ -139,11 +140,14 @@ def mixed_precision_gemm(
         layout: packed-word layout — "gptq" (reference row-interleaved) or
             "planar" (TPU-fast within-group planar packing, see
             ``conch_tpu.utils.quant_utils.pack_rows_planar``).
+        layer_index: scalar layer selector for stacked (L, ...) weights;
+            rides Pallas scalar prefetch so no slice is materialized (see
+            the launcher docstring).
     """
     metadata = create_mixed_precision_metadata(
         x,
-        w_q_packed,
-        w_s,
+        w_q_packed[0] if w_q_packed.ndim == 3 else w_q_packed,
+        w_s[0] if w_s.ndim == 3 else w_s,
         w_zp,
         weight_size_bits,
         weight_bias,
@@ -166,6 +170,7 @@ def mixed_precision_gemm(
         out_dtype=metadata.output_dtype,
         codebook=codebook,
         layout=layout,
+        layer_index=layer_index,
     )
 
 

@@ -1,23 +1,23 @@
 # Copyright 2026 Conch-TPU authors.
 # SPDX-License-Identifier: Apache-2.0
-"""Round-4 bnb codec bottleneck hunt: which phase caps quantize at 58 and
-dequantize at 95 GB/s (windows ~740)?
+"""Round-4 bnb codec bottleneck hunt (v2, against the reshape-free kernels).
 
-Phase-isolated variants at 16M elements, bf16 in, bs=64:
-  copy_roofline   : pallas read+write same bytes, no compute (harness ceiling)
-  q_launcher      : shipped quantize_blockwise op (XLA pre/post included)
-  q_direct        : _quantize4_pallas on a pre-shaped flat input
-  q_noencode      : kernel with encode replaced by a cast (isolates the
-                    15-compare NF4 threshold tree)
-  q_nopack        : kernel writing raw codes u8 at full width (isolates the
-                    MXU nibble-pack dot)
-  q_noam          : kernel with the absmax store padded to 128 lanes
-                    (isolates the (bt, 8) narrow-lane store)
-  d_launcher      : shipped dequantize_blockwise
-  d_direct        : _dequantize4_pallas pre-shaped
-  d_nointerleave  : kernel skipping the MXU even/odd scatter (wrong values,
-                    right traffic - isolates the 512-MAC/elem interleave)
-All rows via the robust differenced timer.
+The original Pallas codecs never compiled on real Mosaic (the in-kernel 3D
+``(bt, k, bs)`` reshape hits "infer-vector-layout: unsupported shape
+cast"); the shipped kernels are now roll-based (blockwise.py). This probe
+phase-isolates the rewritten quantize/dequantize at 16M elements, bs=64:
+
+  copy_roofline : pallas read+write same bytes, no compute (harness ceiling)
+  q_launcher    : shipped quantize_blockwise op (XLA pre/post included)
+  q_norolls     : roll-absmax replaced by a fake (isolates 24 roll/max ops)
+  q_noencode    : encode replaced by a cast (isolates the 15-compare tree)
+  q_nopack      : raw codes stored at full width (isolates the MXU pack dot)
+  q_noamout     : absmax extract dot + narrow store skipped
+  d_launcher    : shipped dequantize_blockwise
+  d_nointerleave: skip the MXU even/odd scatter (wrong values, right traffic)
+  d_nodecode    : decode tree replaced by a cast
+  d_noam        : absmax expand dot + scale skipped
+Every row is failure-isolated; all rows use the robust differenced timer.
 """
 
 from __future__ import annotations
@@ -62,54 +62,28 @@ def bench(tag, fn, xs, bytes_per, iters=ITERS):
         c, _ = jax.lax.scan(outer, jnp.zeros((1,), jnp.float32), None, length=n)
         return c
 
-    _ = np.asarray(run(xs, n=1)); _ = np.asarray(run(xs, n=1 + iters // L))
-    per, ok = robust_diff_time(
-        lambda: np.asarray(run(xs, n=1)),
-        lambda: np.asarray(run(xs, n=1 + iters // L)),
-        (iters // L) * L,
-    )
+    try:
+        _ = np.asarray(run(xs, n=1)); _ = np.asarray(run(xs, n=1 + iters // L))
+        per, ok = robust_diff_time(
+            lambda: np.asarray(run(xs, n=1)),
+            lambda: np.asarray(run(xs, n=1 + iters // L)),
+            (iters // L) * L,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"{tag:16s} FAILED: {type(e).__name__}: {str(e)[:140]}", flush=True)
+        return
     flag = "" if ok else "  [unstable]"
     print(f"{tag:16s} {per*1e3:8.4f} ms  {bytes_per/per/1e9:7.1f} GB/s{flag}", flush=True)
-
-
-def _roll_absmax_wide(x: jax.Array, bs: int) -> jax.Array:
-    """Per-contiguous-bs-lane-group absmax, broadcast back to full width.
-
-    Pure lane-rotate ops — no 3D reshape (minor-dim-bs relayout) at all:
-    log2(bs) roll+max steps leave the group max at each group's first
-    lane; log2(bs) roll+select steps broadcast it across the group.
-    """
-    w = x.shape[-1]
-    a = jnp.abs(x)
-    s = 1
-    while s < bs:
-        a = jnp.maximum(a, pltpu.roll(a, w - s, 1))  # lane l sees a[l+s]
-        s *= 2
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % bs
-    b = a
-    s = 1
-    while s < bs:
-        b = jnp.where(lane >= s, pltpu.roll(b, s, 1), b)
-        s *= 2
-    return b
 
 
 def variant_quant_kernel(x_ref, packed_ref, am_ref, *, bs, k, mode):
     bt, w = x_ref.shape
     x = x_ref[...].astype(jnp.float32)
-    if mode == "noabsmax":
-        am = jnp.zeros((bt, k), jnp.float32) + x[:, :1]  # wrong, data-dep
-        scaled = x
-    elif mode == "rollrecip":
-        # recip applied via lane rolls; am OUTPUT still via the 3D reduce
-        am_wide = _roll_absmax_wide(x, bs)
-        scaled = x * jnp.where(am_wide > 0.0, 1.0 / am_wide, 0.0)
-        am = jnp.max(jnp.abs(x.reshape(bt, k, bs)), axis=2)
+    if mode == "norolls":
+        am_wide = jnp.abs(x) + 1.0  # wrong, data-dependent, no rolls
     else:
-        x3 = x.reshape(bt, k, bs)
-        am = jnp.max(jnp.abs(x3), axis=2)
-        recip = jnp.where(am > 0.0, 1.0 / am, 0.0)
-        scaled = x * jnp.broadcast_to(recip[:, :, None], (bt, k, bs)).reshape(bt, w)
+        am_wide = bw._roll_absmax_wide(x, bs)
+    scaled = x * jnp.where(am_wide > 0.0, 1.0 / am_wide, 0.0)
     if mode == "noencode":
         codes = jnp.clip(scaled.astype(jnp.int32) + 8, 0, 15)
     else:
@@ -123,13 +97,15 @@ def variant_quant_kernel(x_ref, packed_ref, am_ref, *, bs, k, mode):
         packmat = bw._pack_matrix_iota(w)
         packed = jnp.dot(codes.astype(jnp.bfloat16), packmat, preferred_element_type=jnp.float32)
         packed_ref[...] = packed[:, : w // 2].astype(jnp.int32).astype(jnp.uint8)
-    if am_ref.shape[1] == k:
-        am_ref[...] = am
-    else:  # padded-lane store variant
-        am_ref[...] = jnp.pad(am, ((0, 0), (0, am_ref.shape[1] - k)))
+    if mode == "noamout":
+        am_ref[...] = am_wide[:, : am_ref.shape[1]]  # no extract dot
+        return
+    ext = bw._extract_matrix_iota(w, bs)
+    am = jnp.dot(am_wide.astype(jnp.bfloat16), ext, preferred_element_type=jnp.float32)
+    am_ref[...] = am[:, :k]
 
 
-def make_quant_variant(mode, am_pad=False, bt_override=None):
+def make_quant_variant(mode, bt_override=None):
     def fn(x):
         flat = x.reshape(-1)
         bt, w, k = bw._work_geometry(BS)
@@ -138,18 +114,17 @@ def make_quant_variant(mode, am_pad=False, bt_override=None):
         rows = -(-(NUMEL // BS) // k)
         rows_pad = round_up(rows, bt)
         x2 = flat.reshape(rows_pad, w)
-        am_w = 128 if am_pad else k
         packed, am = pl.pallas_call(
             functools.partial(variant_quant_kernel, bs=BS, k=k, mode=mode),
             out_shape=(
                 jax.ShapeDtypeStruct((rows_pad, w // 2), jnp.uint8),
-                jax.ShapeDtypeStruct((rows_pad, am_w), jnp.float32),
+                jax.ShapeDtypeStruct((rows_pad, k), jnp.float32),
             ),
             grid=(rows_pad // bt,),
             in_specs=[pl.BlockSpec((bt, w), lambda i: (i, 0), memory_space=pltpu.VMEM)],
             out_specs=(
                 pl.BlockSpec((bt, w // 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((bt, am_w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
             ),
             interpret=use_interpret_mode(),
         )(x2)
@@ -170,26 +145,19 @@ def variant_deq_kernel(p_ref, am_ref, out_ref, *, bs, k, mode):
         cf = jnp.dot(hi, e, preferred_element_type=jnp.float32)
         cf += jnp.dot(lo, o, preferred_element_type=jnp.float32)
         codes = cf[:, :w].astype(jnp.int32)
-    values = bw._nf4_decode(codes)
-    am = am_ref[...].astype(jnp.float32)
+    if mode == "nodecode":
+        values = codes.astype(jnp.float32) * 0.066 - 0.5
+    else:
+        values = bw._nf4_decode(codes)
     if mode == "noam":
         out_ref[...] = values.astype(out_ref.dtype)  # wrong values, right traffic
         return
-    if mode == "amdot":
-        # (bt, k) -> (bt, w) via an exact 3-term one-hot MXU expand: no 3D
-        # broadcast/reshape (minor-dim-bs relayout) on the wide tensor.
-        j = jax.lax.broadcasted_iota(jnp.int32, (k, w), 0)
-        c = jax.lax.broadcasted_iota(jnp.int32, (k, w), 1)
-        expand = jnp.where(c // bs == j, 1.0, 0.0).astype(jnp.bfloat16)
-        a0 = am.astype(jnp.bfloat16)
-        r1 = am - a0.astype(jnp.float32)
-        a1 = r1.astype(jnp.bfloat16)
-        a2 = (r1 - a1.astype(jnp.float32)).astype(jnp.bfloat16)
-        am_wide = sum(
-            jnp.dot(t, expand, preferred_element_type=jnp.float32) for t in (a0, a1, a2)
-        )
-    else:
-        am_wide = jnp.broadcast_to(am[:, :, None], (bt, k, bs)).reshape(bt, w)
+    am = am_ref[...].astype(jnp.float32)
+    exp = bw._expand_matrix_iota(k, w)
+    am_wide = sum(
+        jnp.dot(t, exp, preferred_element_type=jnp.float32)
+        for t in bw._split_bf16_terms(am, True)
+    )
     out_ref[...] = (values * am_wide).astype(out_ref.dtype)
 
 
@@ -246,12 +214,11 @@ def main():
 
     bench("q_launcher", lambda x: quantize_blockwise(x, blocksize=BS, quant_type="nf4")[0], xs, q_bytes)
     bench("q_direct", make_quant_variant("full"), xs, q_bytes)
+    bench("q_norolls", make_quant_variant("norolls"), xs, q_bytes)
     bench("q_noencode", make_quant_variant("noencode"), xs, q_bytes)
     bench("q_nopack", make_quant_variant("nopack"), xs, q_bytes)
-    bench("q_noam_pad128", make_quant_variant("full", am_pad=True), xs, q_bytes)
+    bench("q_noamout", make_quant_variant("noamout"), xs, q_bytes)
     bench("q_bt2048", make_quant_variant("full", bt_override=2048), xs, q_bytes)
-    bench("q_noabsmax", make_quant_variant("noabsmax"), xs, q_bytes)
-    bench("q_rollrecip", make_quant_variant("rollrecip"), xs, q_bytes)
 
     bench(
         "d_launcher",
@@ -262,8 +229,8 @@ def main():
     )
     bench("d_direct", make_deq_variant("full"), (packed_s, am_s), d_bytes)
     bench("d_nointerleave", make_deq_variant("nointerleave"), (packed_s, am_s), d_bytes)
+    bench("d_nodecode", make_deq_variant("nodecode"), (packed_s, am_s), d_bytes)
     bench("d_noam", make_deq_variant("noam"), (packed_s, am_s), d_bytes)
-    bench("d_amdot", make_deq_variant("amdot"), (packed_s, am_s), d_bytes)
 
 
 if __name__ == "__main__":

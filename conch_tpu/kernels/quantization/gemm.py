@@ -388,18 +388,40 @@ def mixed_precision_gemm_launcher(
     # Mosaic constrains only the last two block dims (sublane x lane),
     # and (1, bn) is legal for any group_size/bk combo.
     gpt = bk // group_size
+    # Meta (scales/zero-points) blocks must put a Mosaic-legal pair in the
+    # last two dims. The (.., gpt, 1, bn) reshape trick used elsewhere is a
+    # LAYOUT-CHANGING copy of the whole array — executed inside the
+    # launcher, i.e. inside the model's layer loop, it re-copied the full
+    # (L, gp, N) scale stack every layer (~9 ms/step at Llama-8B, the r4
+    # regression). When (gpt, bn) is itself legal (gpt % 8 == 0 or the
+    # tile covers all groups), deliver raw 3D/2D blocks with NO reshape.
+    meta_direct = gpt >= 1 and (gpt % 8 == 0 or gpt == gp) and layout in ("magic", "planar")
     if stacked:
         num_layers = w_q_packed.shape[0]
-        if gpt >= 1:
+        if meta_direct:
+            meta_spec = pl.BlockSpec(
+                (1, gpt, bn), lambda i, j, k, li: (li[0], k, j), memory_space=pltpu.VMEM
+            )
+
+            def meta_operand(a):
+                return a  # raw (L, gp, N): zero-copy
+        elif gpt >= 1:
             meta_spec = pl.BlockSpec(
                 (1, gpt, 1, bn), lambda i, j, k, li: (li[0], k, 0, j), memory_space=pltpu.VMEM
             )
+
+            def meta_operand(a):
+                return a.reshape(num_layers, gp, 1, np_)
         else:
             meta_spec = pl.BlockSpec(
                 (1, 1, 1, bn),
                 lambda i, j, k, li: (li[0], k * bk // group_size, 0, j),
                 memory_space=pltpu.VMEM,
             )
+
+            def meta_operand(a):
+                return a.reshape(num_layers, gp, 1, np_)
+
         in_specs = [
             pl.BlockSpec((bm, bk), lambda i, j, k, li: (i, k), memory_space=pltpu.VMEM),
             pl.BlockSpec(
@@ -407,14 +429,14 @@ def mixed_precision_gemm_launcher(
             ),
             meta_spec,
         ]
-        operands = [x, w_q_packed, w_s.reshape(num_layers, gp, 1, np_)]
+        operands = [x, w_q_packed, meta_operand(w_s)]
         if has_zp:
             if zero_is_scalar:
                 in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
                 operands.append(w_zp.reshape(1).astype(jnp.float32))
             else:
                 in_specs.append(meta_spec)
-                operands.append(w_zp.reshape(num_layers, gp, 1, np_))
+                operands.append(meta_operand(w_zp))
         else:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
             operands.append(jnp.zeros((1,), dtype=jnp.float32))
@@ -454,6 +476,7 @@ def mixed_precision_gemm_launcher(
             zero_is_scalar=zero_is_scalar,
             num_k=kp // bk,
             stacked=stacked,
+            meta_direct=meta_direct,
         )
     elif layout == "planar":
         kernel = functools.partial(
@@ -468,6 +491,7 @@ def mixed_precision_gemm_launcher(
             zero_is_scalar=zero_is_scalar,
             num_k=kp // bk,
             stacked=stacked,
+            meta_direct=meta_direct,
         )
     else:
         kernel = functools.partial(
@@ -549,6 +573,7 @@ def _mixed_gemm_planar_kernel(
     zero_is_scalar: bool,
     num_k: int,
     stacked: bool = False,
+    meta_direct: bool = False,
 ):
     """Decode-speed mixed GEMM over planar-within-group packing.
 
@@ -583,12 +608,20 @@ def _mixed_gemm_planar_kernel(
         xg = x[:, g * group_size : (g + 1) * group_size]
         part = jnp.dot(xg, codes.astype(x.dtype), preferred_element_type=jnp.float32)
         xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)  # (bm, 1)
-        sg = (s_ref[0, g] if stacked else s_ref[g]).astype(jnp.float32)  # (1, bn)
+        if stacked:
+            sg = s_ref[0, g : g + 1] if meta_direct else s_ref[0, g]
+        else:
+            sg = s_ref[g]
+        sg = sg.astype(jnp.float32)  # (1, bn)
         if has_zp:
             if zero_is_scalar:
                 zp = zp_ref[0]
             else:
-                zp = (zp_ref[0, g] if stacked else zp_ref[g]).astype(jnp.float32)
+                if stacked:
+                    zp = zp_ref[0, g : g + 1] if meta_direct else zp_ref[0, g]
+                else:
+                    zp = zp_ref[g]
+                zp = zp.astype(jnp.float32)
         else:
             zp = jnp.float32(weight_bias)
         acc_ref[...] += (part - zp * xsum) * sg
@@ -614,6 +647,7 @@ def _mixed_gemm_magic_kernel(
     zero_is_scalar: bool,
     num_k: int,
     stacked: bool = False,
+    meta_direct: bool = False,
 ):
     """Decode-speed int4 GEMM over the magic bf16-bitcast packing.
 
@@ -659,10 +693,18 @@ def _mixed_gemm_magic_kernel(
             if zero_is_scalar:
                 zp = zp_ref[0]
             else:
-                zp = (zp_ref[0, g] if stacked else zp_ref[g]).astype(jnp.float32)
+                if stacked:
+                    zp = zp_ref[0, g : g + 1] if meta_direct else zp_ref[0, g]
+                else:
+                    zp = zp_ref[g]
+                zp = zp.astype(jnp.float32)
         else:
             zp = jnp.float32(weight_bias)
-        sg = (s_ref[0, g] if stacked else s_ref[g]).astype(jnp.float32)
+        if stacked:
+            sg = s_ref[0, g : g + 1] if meta_direct else s_ref[0, g]
+        else:
+            sg = s_ref[g]
+        sg = sg.astype(jnp.float32)
         acc_ref[...] += (part - (128.0 + zp) * xsum) * sg
 
     @pl.when(k == num_k - 1)

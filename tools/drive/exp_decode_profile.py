@@ -115,15 +115,19 @@ def time_gemms(layout="magic"):
 
         @functools.partial(jax.jit, static_argnames=("iters",))
         def run(x, pk, sc, iters):
+            # Stacked scalar-prefetch path (the model configuration):
+            # weights stay scan-invariant; each iteration indexes a layer.
+            # Scanning (pk, sc) as xs makes XLA copy every slice before the
+            # pallas_call (exp_lmhead_r4b.log: 109 vs 817 GB/s).
             def outer(x, _):
-                def body(x, w):
+                def body(x, li):
                     y = mixed_precision_gemm_launcher(
-                        x, w[0], w[1], None, weight_size_bits=4, weight_bias=8,
-                        group_size=GS, layout=layout,
+                        x, pk, sc, None, weight_size_bits=4, weight_bias=8,
+                        group_size=GS, layout=layout, layer_index=li,
                     )
                     nf = min(K, NP)
                     return x.at[:, :nf].add(y[:, :nf].astype(x.dtype) * 1e-6), ()
-                x, _ = jax.lax.scan(body, x, (pk, sc))
+                x, _ = jax.lax.scan(body, x, jnp.arange(pk.shape[0], dtype=jnp.int32))
                 return x, ()
             x, _ = jax.lax.scan(outer, x, None, length=iters)
             return x

@@ -76,7 +76,10 @@ def run_and_report(args, cases: list[tuple]) -> list[BenchmarkResult]:
       updates). ``rotated`` operands carry a leading buffer dim cycled
       per iteration so weights can't stay VMEM-resident across the loop
       (see ``benchmark_loop``); use it for every loop-invariant operand
-      bigger than a few hundred KB.
+      bigger than a few hundred KB. An optional 7th element
+      ``pass_index=True`` calls ``step_fn(carry, i, *operands)`` with the
+      loop counter instead — zero-copy rotation for ops with a native
+      buffer index (the stacked scalar-prefetch GEMM).
     """
     results = []
     for case in cases:
@@ -85,12 +88,14 @@ def run_and_report(args, cases: list[tuple]) -> list[BenchmarkResult]:
             operands = case[3] if len(case) > 3 else ()
             state = case[4] if len(case) > 4 else None
             rotated = case[5] if len(case) > 5 else ()
+            pass_index = case[6] if len(case) > 6 else False
             results.append(
                 benchmark_loop(
                     step_fn, tag, operands=operands, state=state,
                     rotated_operands=rotated,
                     iters_per_dispatch=args.loop,
                     reps=max(3, args.iterations // args.loop), bytes_moved=bytes_moved,
+                    pass_index=pass_index,
                 )
             )
             continue

@@ -59,25 +59,40 @@ def main() -> None:
     out_bytes = args.m * args.n * 2
     per_packed = packed.nbytes // L + scales.nbytes // L + x.nbytes + out_bytes
     per_planar = packed_planar.nbytes // L + scales.nbytes // L + x.nbytes + out_bytes
+
+    # Zero-copy rotation via the stacked scalar-prefetch path (the model's
+    # own configuration): the kernel indexes layer i % L straight out of
+    # the (L, ...) stack, so there is no dynamic-slice materialization
+    # depressing the row (exp_lmhead_r4b.log: 816 vs 201 GB/s). Falls back
+    # to sliced rotation when the shape has no pad-free tiling.
+    import jax
+
+    def stacked_case(tag, pk, sc, layout, nbytes):
+        def step(carry, i, x, pk, sc):
+            return mixed_precision_gemm(
+                x + carry, pk, sc, None, args.bits, qt.bias, args.group_size,
+                layout=layout, layer_index=i % L)
+        try:
+            jax.eval_shape(lambda x, pk, sc: step(jnp.float32(0), jnp.int32(0), x, pk, sc), x, pk, sc)
+        except ValueError:
+            return (tag,
+                    lambda carry, x, pkl, scl: mixed_precision_gemm(
+                        x + carry, pkl, scl, None, args.bits, qt.bias, args.group_size,
+                        layout=layout),
+                    nbytes, (x,), None, (pk, sc))
+        return (tag, step, nbytes, (x, pk, sc), None, (), True)
+
     magic_cases = []
     if packed_magic is not None:
-        magic_cases = [(
+        magic_cases = [stacked_case(
             f"mixed_gemm_w{args.bits}a16_m{args.m}_magic",
-            lambda carry, x, pm, scales: mixed_precision_gemm(
-                x + carry, pm, scales, None, args.bits, qt.bias, args.group_size,
-                layout="magic"),
-            per_planar, (x,), None, (packed_magic, scales))]
+            packed_magic, scales, "magic", per_planar)]
     run_and_report(args, [
         *magic_cases,
-        (f"mixed_gemm_w{args.bits}a16_m{args.m}",
-         lambda carry, x, packed, scales: mixed_precision_gemm(
-             x + carry, packed, scales, None, args.bits, qt.bias, args.group_size),
-         per_packed, (x,), None, (packed, scales)),
-        (f"mixed_gemm_w{args.bits}a16_m{args.m}_planar",
-         lambda carry, x, pp, scales: mixed_precision_gemm(
-             x + carry, pp, scales, None, args.bits, qt.bias, args.group_size,
-             layout="planar"),
-         per_planar, (x,), None, (packed_planar, scales)),
+        stacked_case(f"mixed_gemm_w{args.bits}a16_m{args.m}", packed, scales, "gptq", per_packed),
+        stacked_case(
+            f"mixed_gemm_w{args.bits}a16_m{args.m}_planar",
+            packed_planar, scales, "planar", per_planar),
         ("dense_bf16_matmul",
          lambda carry, x, wd: dense(x + carry, wd),
          w_dense.nbytes // L + x.nbytes + out_bytes, (x,), None, (w_dense,)),

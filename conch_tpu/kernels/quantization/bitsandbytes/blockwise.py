@@ -293,19 +293,38 @@ def _split_bf16_terms(x: jax.Array, exact: bool) -> list[jax.Array]:
 
 
 def _quantize4_kernel(x_ref, packed_ref, am_ref, *, quant_type: str, bs: int, k: int):
-    """k quantization blocks per 512-lane row: roll-based per-block absmax
-    at FULL lane width (the 30-op threshold encode dominates; a
-    one-block-per-row (BT, 64) layout ran every VPU op at half lanes and
-    measured 58 GB/s), then scale/encode/pack. The cross-lane pair packing
-    and the narrow (BT, k) absmax extraction ride the MXU (codes <= 15 and
-    packed bytes <= 255 are bf16-exact; bf16 inputs' absmax is bf16-exact,
-    f32 inputs use an exact 3-term bf16 split)."""
+    """k quantization blocks per 512-lane row, every phase at FULL lane
+    width (a one-block-per-row (BT, 64) layout ran every VPU op at half
+    lanes and measured 58 GB/s). Mosaic rejects the 3D (bt, k, bs) reshape
+    a minor-dim reduce would need, and log2(bs) lane-roll reductions
+    measured 2x the whole kernel's budget (exp_bnb_r4.log q_norolls), so:
+
+    - per-block absmax = k native lane reductions over 64-lane slices,
+      concatenated to the narrow (BT, k) output directly (no extract dot);
+    - the reciprocal is computed on the tiny (BT, k) tile and expanded to
+      (BT, W) by a one-hot MXU dot (exact 3-term bf16 split: three
+      non-overlapping 8-bit mantissa slices reconstruct the f32 exactly);
+    - the cross-lane pair packing rides the MXU (codes <= 15 and packed
+      bytes <= 255 are bf16-exact)."""
     bt, w = x_ref.shape
-    exact_needs_split = x_ref.dtype.itemsize > 2
     x = x_ref[...].astype(jnp.float32)  # (BT, W)
-    am_wide = _roll_absmax_wide(x, bs)
-    recip = jnp.where(am_wide > 0.0, 1.0 / am_wide, 0.0)
-    scaled = x * recip
+    a = jnp.abs(x)
+    if k == 1:
+        am = jnp.max(a, axis=1, keepdims=True)  # (BT, 1)
+        recip = jnp.where(am > 0.0, 1.0 / am, 0.0)
+        recip_wide = jnp.broadcast_to(recip, (bt, w))
+    else:
+        am = jnp.concatenate(
+            [jnp.max(a[:, g * bs : (g + 1) * bs], axis=1, keepdims=True) for g in range(k)],
+            axis=1,
+        )  # (BT, k)
+        recip = jnp.where(am > 0.0, 1.0 / am, 0.0)
+        exp = _expand_matrix_iota(k, w)
+        recip_wide = sum(
+            jnp.dot(t, exp, preferred_element_type=jnp.float32)
+            for t in _split_bf16_terms(recip, True)
+        )
+    scaled = x * recip_wide
     codes = _nf4_encode(scaled) if quant_type == "nf4" else _fp4_encode(scaled)
     packmat = _pack_matrix_iota(w)
     packed = jnp.dot(codes.astype(jnp.bfloat16), packmat, preferred_element_type=jnp.float32)
@@ -313,15 +332,7 @@ def _quantize4_kernel(x_ref, packed_ref, am_ref, *, quant_type: str, bs: int, k:
     # Mosaic has no f32->u8 convert: round-trip through i32 (values are
     # exact integers <= 255, so the truncating casts are lossless).
     packed_ref[...] = packed.astype(jnp.int32).astype(jnp.uint8)
-    if k == 1:
-        am_ref[...] = am_wide[:, :1]
-    else:
-        ext = _extract_matrix_iota(w, bs)
-        am = sum(
-            jnp.dot(t, ext, preferred_element_type=jnp.float32)
-            for t in _split_bf16_terms(am_wide, exact_needs_split)
-        )
-        am_ref[...] = am[:, :k]
+    am_ref[...] = am
 
 
 def _dequantize4_kernel(p_ref, am_ref, out_ref, *, quant_type: str, bs: int, k: int):

@@ -157,6 +157,7 @@ def benchmark_loop(
     bytes_moved: int | None = None,
     window_gbps: float | None = None,
     metadata: dict[str, Any] | None = None,
+    pass_index: bool = False,
 ) -> BenchmarkResult:
     """Time ``iters_per_dispatch`` chained invocations under ONE dispatch.
 
@@ -195,11 +196,20 @@ def benchmark_loop(
     ``rotated_operands`` defeats the other way loop timing can lie: a
     loop-INVARIANT weight gets hoisted into VMEM once, so marginal
     iterations measure compute-only bandwidth the serving path never sees
-    (round-2 tables published 9890 GB/s rows this way). Each rotated
-    operand is an array with a leading buffer dimension L >= 2 (total
-    bytes ideally > VMEM); iteration ``i`` dynamically slices buffer
-    ``i % L`` and passes it to ``step_fn`` after the plain operands, so
-    consecutive iterations touch different HBM and residency is impossible.
+    (round-2 tables published 9890 GB/s rows this way; re-confirmed on
+    round-4 hardware — a fixed-operand invariant pallas copy measured an
+    impossible 11882 GB/s, tools/drive/logs/exp_harness_r4.log). Each
+    rotated operand is an array with a leading buffer dimension L >= 2
+    (total bytes ideally > VMEM); iteration ``i`` dynamically slices
+    buffer ``i % L`` and passes it to ``step_fn`` after the plain
+    operands, so consecutive iterations touch different HBM and residency
+    is impossible. CAVEAT: XLA may MATERIALIZE the slice before an opaque
+    pallas_call (measured 816 -> 201 GB/s on the lm_head GEMM,
+    exp_lmhead_r4b.log), so rotated rows are conservative LOWER bounds.
+    For ops with a native layer/buffer index (the stacked scalar-prefetch
+    GEMM), prefer ``pass_index``: step_fn is then called
+    ``step_fn(carry, i, *operands)`` with the loop counter, and can
+    rotate zero-copy by indexing inside the kernel.
 
     Reports the per-iteration milliseconds over ``reps`` differenced pairs.
     """
@@ -217,6 +227,8 @@ def benchmark_loop(
                     for r in rops
                 )
                 args = (*ops, *rslices)
+                if pass_index:
+                    args = (i, *args)
                 out = step_fn(carry, s, *args) if state is not None else step_fn(carry, *args)
                 leaf = jax.tree_util.tree_leaves(out)[0]
                 new_s = out if state is not None else s

@@ -675,13 +675,20 @@ def varlen_attention_launcher(
         bufs = 2 * 2 * num_kv_heads * ct * head_size * kv_itemsize
         stats = num_kv_heads * cq * (2 * 128 + head_size) * 4
         qo = 2 * 2 * num_kv_heads * cq * head_size * jnp.dtype(query.dtype).itemsize
-        return bufs + stats + qo
+        # In-kernel chunk-load temporaries: each processed KV chunk is
+        # loaded from its double buffer and reshaped ((slot) -> (ct, KH*D))
+        # before the MXU dots — Mosaic stack-allocates those copies on top
+        # of the declared scratch. Omitting this term let a 13.6 MB
+        # estimate compile to a 22.4 MB stack and OOM scoped VMEM at
+        # page_size 16 (engine prefill, tools/drive/logs/engine_r4.log).
+        temps = 2 * num_kv_heads * ct * head_size * kv_itemsize
+        return bufs + stats + qo + temps
 
     # Refetch traffic scales as total_rows / cq_rows (each query chunk
     # re-reads its KV prefix), so prefer the LARGEST cq_rows the VMEM
     # budget allows, shrinking whichever of (kv bufs, stats+q/o) costs
     # more. Floors: one page per chunk, one GQA group of rows.
-    budget = 13 * 1024 * 1024
+    budget = 12 * 1024 * 1024
     ah_cq, ah_ct = q_chunk_rows, chunk_tokens
     while _allheads_vmem(ah_cq, ah_ct) > budget:
         kv_cost = 4 * num_kv_heads * ah_ct * head_size * kv_itemsize

@@ -379,7 +379,7 @@ def init_deepseek_params(
     def proj(k_dim, n_dim):
         kwargs = {"group_size": group_size} if quant_mode in ("int4", "int8") else {}
         return quantize_linear(
-            rng.normal(size=(k_dim, n_dim)).astype(np.float32) * std, quant_mode, **kwargs
+            rng.standard_normal((k_dim, n_dim), dtype=np.float32) * std, quant_mode, **kwargs
         )
 
     def arr(*shape):
@@ -431,7 +431,7 @@ def init_deepseek_params(
     )
     n_moe = config.num_layers - n_dense
     return {
-        "embedding": jnp.asarray(rng.normal(size=(config.vocab_size, h)) * std, config.dtype),
+        "embedding": jnp.asarray(rng.standard_normal((config.vocab_size, h), dtype=np.float32) * std, config.dtype),
         "layers_dense": stack(n_dense, moe=False),
         "layers_moe": stack(n_moe, moe=True),
         "final_norm": jnp.ones((h,), config.dtype),

@@ -159,7 +159,7 @@ def init_llama_params(
     std = 0.02
 
     def make_proj(k_dim: int, n_dim: int) -> QuantizedLinear:
-        w = rng.normal(size=(k_dim, n_dim)).astype(np.float32) * std
+        w = rng.standard_normal((k_dim, n_dim), dtype=np.float32) * std
         kwargs = {"group_size": group_size} if quant_mode in ("int4", "int8") else {}
         if quant_mode == "nf4":
             kwargs = {"blocksize": blocksize}
@@ -190,11 +190,11 @@ def init_llama_params(
     layer_params = stack_layers(make_layer)
 
     return {
-        "embedding": jnp.asarray(rng.normal(size=(config.vocab_size, h)) * std, dtype=config.dtype),
+        "embedding": jnp.asarray(rng.standard_normal((config.vocab_size, h), dtype=np.float32) * std, dtype=config.dtype),
         "layers": layer_params,
         "final_norm": jnp.ones((h,), dtype=config.dtype),
         "lm_head": quantize_linear(
-            rng.normal(size=(h, config.vocab_size)).astype(np.float32) * std,
+            rng.standard_normal((h, config.vocab_size), dtype=np.float32) * std,
             quant_mode if quant_mode != "int4" else "bf16",
             **({"group_size": group_size} if quant_mode == "int8" else {}),
         ),

@@ -239,7 +239,7 @@ def init_moe_params(
     std = 0.02
 
     def make_proj(k_dim: int, n_dim: int) -> QuantizedLinear:
-        w = rng.normal(size=(k_dim, n_dim)).astype(np.float32) * std
+        w = rng.standard_normal((k_dim, n_dim), dtype=np.float32) * std
         kwargs = {"group_size": group_size} if quant_mode in ("int4", "int8") else {}
         return quantize_linear(w, quant_mode, **kwargs)
 
@@ -259,11 +259,11 @@ def init_moe_params(
 
     layers = [make_layer() for _ in range(c.num_layers)]
     return {
-        "embedding": jnp.asarray(rng.normal(size=(c.vocab_size, h)) * std, dtype=c.dtype),
+        "embedding": jnp.asarray(rng.standard_normal((c.vocab_size, h), dtype=np.float32) * std, dtype=c.dtype),
         "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
         "final_norm": jnp.ones((h,), dtype=c.dtype),
         "lm_head": quantize_linear(
-            rng.normal(size=(h, c.vocab_size)).astype(np.float32) * std, "bf16"
+            rng.standard_normal((h, c.vocab_size), dtype=np.float32) * std, "bf16"
         ),
         "cos_sin_cache": compute_cos_sin_cache(
             c.rope_theta, c.head_dim, c.max_position, rope_scaling=c.rope_scaling_dict()

@@ -103,10 +103,21 @@ def test_beam_search_with_eos(model, rng):
     """EOS retires hypotheses; the engine and oracle agree on the rule."""
     cfg, params = model
     prompt = list(rng.integers(0, cfg.vocab_size, size=15))
-    # pick the most likely token 2 steps in as "eos" so it actually fires
-    lp0 = _lp(params, cfg, prompt)
-    t1 = int(np.argmax(lp0))
-    eos = int(np.argmax(_lp(params, cfg, prompt + [t1])))
+    # Pick an EOS the oracle confirms actually fires: scan tokens emitted on
+    # the eos-free beam paths (by depth, then beam rank) and take the first
+    # whose oracle run retires a hypothesis INTO the final top-width set.
+    # Robust to any change in the seeded weight stream, unlike hard-coding.
+    free_run = _oracle_beam(params, cfg, prompt, 3, 6, 1.0, eos=None)
+    candidates = []
+    for depth in range(1, 6):
+        for toks, _ in free_run:
+            if depth < len(toks) and toks[depth] not in candidates:
+                candidates.append(int(toks[depth]))
+    for eos in candidates:
+        if any(t and t[-1] == eos for t, _ in _oracle_beam(params, cfg, prompt, 3, 6, 1.0, eos=eos)):
+            break
+    else:
+        pytest.fail("no candidate EOS retires a top-width hypothesis")
     eng = LLMEngine(params, cfg, _ecfg())
     hyps = beam_search(eng, prompt, beam_width=3, max_tokens=6, eos_token_id=eos)
     expect = _oracle_beam(params, cfg, prompt, 3, 6, 1.0, eos=eos)

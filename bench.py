@@ -149,8 +149,10 @@ def main() -> None:
     pages_per_seq = -(-args.context // page_size) + 1
     num_pages = args.batch * pages_per_seq + 1
 
+    from conch_tpu.models.llama import fuse_llama_params
+
     _stage("building params")
-    params = build_params(config, args.preset)
+    params = fuse_llama_params(build_params(config, args.preset))
     k_caches, v_caches = init_kv_caches(config, num_pages, page_size)
     _stage("params + caches ready")
 

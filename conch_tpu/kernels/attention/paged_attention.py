@@ -113,10 +113,17 @@ def _paged_allheads_kernel(
     mxu_dtype = kv_dtype if kv_dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
     eff_scale = scale * k_scale_ref[0]
 
-    def wave(seq, lastp, c, slot):
-        copies = []
+    def wave(seq, lastp, c, slot, action):
+        """Start or wait chunk ``c``'s page copies — ONLY the in-range
+        ones. Clamping out-of-range pages to the last page would DMA
+        ``chunk_pages`` pages regardless of sequence length: at ctx 128
+        (2 pages) that is 8x wasted HBM traffic, the round-4 ~100 GB/s
+        short-context ceiling. Start and wait share one predicate, so
+        every started copy is awaited.
+        """
         for j in range(chunk_pages):
-            idx = jnp.minimum(c * chunk_pages + j, lastp)
+            pos = c * chunk_pages + j
+            idx = jnp.minimum(pos, lastp)
             if ring_pages > 0:
                 # Rolling KV buffer: true position page -> ring slot (the
                 # window skip bounds the walk to live ring entries).
@@ -124,23 +131,31 @@ def _paged_allheads_kernel(
             page = block_tables_ref[seq, idx]
             ksrc = k_hbm.at[layer_ref[0], page] if stacked else k_hbm.at[page]
             vsrc = v_hbm.at[layer_ref[0], page] if stacked else v_hbm.at[page]
-            copies.append(
-                pltpu.make_async_copy(ksrc, k_buf.at[slot, :, j], sems.at[slot, 0, j])
-            )
-            copies.append(
-                pltpu.make_async_copy(vsrc, v_buf.at[slot, :, j], sems.at[slot, 1, j])
-            )
-        return copies
+            kcp = pltpu.make_async_copy(ksrc, k_buf.at[slot, :, j], sems.at[slot, 0, j])
+            vcp = pltpu.make_async_copy(vsrc, v_buf.at[slot, :, j], sems.at[slot, 1, j])
+
+            @pl.when(pos <= lastp)
+            def _(kcp=kcp, vcp=vcp):
+                if action == "start":
+                    kcp.start()
+                    vcp.start()
+                else:
+                    kcp.wait()
+                    vcp.wait()
 
     last_page = jnp.maximum(num_pages - 1, 0)
 
     # Cross-grid-step pipelining: step b-1's epilogue issued THIS step's
     # first wave (scratch buffers and semaphores persist across grid
-    # steps), so only the very first sequence issues its own.
+    # steps), so only the very first sequence issues its own — and zeroes
+    # the chunk buffers first: skipped (out-of-range) copies leave their
+    # buffer rows untouched, and uninitialized VMEM can hold inf/nan bit
+    # patterns that poison the masked compute (0 * inf in the PV dot).
     @pl.when((num_chunks > 0) & (b == 0))
     def _():
-        for cp in wave(b, last_page, start_chunk, jax.lax.rem(start_chunk, 2)):
-            cp.start()
+        k_buf[...] = jnp.zeros_like(k_buf)
+        v_buf[...] = jnp.zeros_like(v_buf)
+        wave(b, last_page, start_chunk, jax.lax.rem(start_chunk, 2), "start")
 
     def process(c, masked: bool):
         slot = jax.lax.rem(c, 2)
@@ -148,11 +163,9 @@ def _paged_allheads_kernel(
 
         @pl.when(c + 1 < num_chunks)
         def _():
-            for cp in wave(b, last_page, c + 1, next_slot):
-                cp.start()
+            wave(b, last_page, c + 1, next_slot, "start")
 
-        for cp in wave(b, last_page, c, slot):
-            cp.wait()
+        wave(b, last_page, c, slot, "wait")
 
         # Head-BATCHED compute: at decode shapes the per-head op-issue
         # overhead (8 heads x ~8 small VPU/MXU ops per chunk) dominates the
@@ -225,10 +238,7 @@ def _paged_allheads_kernel(
 
         @pl.when(nch1 > 0)
         def _():
-            for cp in wave(
-                b + 1, jnp.maximum(npg1 - 1, 0), sc1, jax.lax.rem(sc1, 2)
-            ):
-                cp.start()
+            wave(b + 1, jnp.maximum(npg1 - 1, 0), sc1, jax.lax.rem(sc1, 2), "start")
 
     for h in range(num_kv_heads):
         r0, r1 = h * group_pad, (h + 1) * group_pad
@@ -285,38 +295,50 @@ def _paged_attention_kernel(
     eff_scale = scale * k_scale_ref[0]
     last_page = jnp.maximum(num_pages - 1, 0)
 
-    def wave(c, slot):
-        """Issue all page copies of chunk ``c`` into buffer ``slot``.
+    def wave(c, slot, action):
+        """Start or wait chunk ``c``'s page copies in buffer ``slot``.
 
-        Pages past the sequence end are clamped to the last valid page
-        (their rows are masked in compute) so every wave is a uniform set
-        of ``chunk_pages`` in-flight copies.
+        Only in-range pages are copied (start and wait share one
+        predicate): clamping out-of-range pages to the last page would
+        DMA ``chunk_pages`` pages regardless of sequence length — 8x
+        wasted HBM traffic at ctx 128 with 1024-token chunks.
         """
-        copies = []
         for j in range(chunk_pages):
-            idx = jnp.minimum(c * chunk_pages + j, last_page)
+            pos = c * chunk_pages + j
+            idx = jnp.minimum(pos, last_page)
             if ring_pages > 0:
                 # Rolling KV buffer: true position page -> ring slot.
                 idx = jax.lax.rem(idx, ring_pages)
             page = block_tables_ref[b, idx]
             ksrc = k_hbm.at[layer_ref[0], page, h] if stacked else k_hbm.at[page, h]
             vsrc = v_hbm.at[layer_ref[0], page, h] if stacked else v_hbm.at[page, h]
-            copies.append(
-                pltpu.make_async_copy(ksrc, k_buf.at[slot, j], sems.at[slot, 0, j])
-            )
-            copies.append(
-                pltpu.make_async_copy(vsrc, v_buf.at[slot, j], sems.at[slot, 1, j])
-            )
-        return copies
+            kcp = pltpu.make_async_copy(ksrc, k_buf.at[slot, j], sems.at[slot, 0, j])
+            vcp = pltpu.make_async_copy(vsrc, v_buf.at[slot, j], sems.at[slot, 1, j])
+
+            @pl.when(pos <= last_page)
+            def _(kcp=kcp, vcp=vcp):
+                if action == "start":
+                    kcp.start()
+                    vcp.start()
+                else:
+                    kcp.wait()
+                    vcp.wait()
 
     start_chunk = (
         jax.lax.div(jnp.maximum(seq_len - window, 0), chunk_tokens) if window > 0 else 0
     )
 
+    # Zero the buffers on the first grid step: skipped copies leave rows
+    # stale, and uninitialized VMEM can hold inf/nan patterns that poison
+    # the masked compute (0 * inf in the PV dot).
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _():
+        k_buf[...] = jnp.zeros_like(k_buf)
+        v_buf[...] = jnp.zeros_like(v_buf)
+
     @pl.when(num_chunks > 0)
     def _():
-        for cp in wave(start_chunk, jax.lax.rem(start_chunk, 2)):
-            cp.start()
+        wave(start_chunk, jax.lax.rem(start_chunk, 2), "start")
 
     def process(c, masked: bool):
         """Online-softmax update for chunk ``c`` (mask only the tail chunk:
@@ -327,11 +349,9 @@ def _paged_attention_kernel(
 
         @pl.when(c + 1 < num_chunks)
         def _():
-            for cp in wave(c + 1, next_slot):
-                cp.start()
+            wave(c + 1, next_slot, "start")
 
-        for cp in wave(c, slot):
-            cp.wait()
+        wave(c, slot, "wait")
 
         k = k_buf[slot].reshape(chunk_tokens, k_buf.shape[-1]).astype(mxu_dtype)
         s = jax.lax.dot_general(

@@ -296,7 +296,8 @@ def deepseek_route(
 
 
 def _moe_mlp(
-    layer: dict, x: jax.Array, config: DeepseekV2Config, tp_axis: str | None = None
+    layer: dict, x: jax.Array, config: DeepseekV2Config, tp_axis: str | None = None,
+    proj=None,
 ) -> jax.Array:
     """Routed experts (dense-einsum dispatch, GShard capacity) + shared
     experts. Routed combine weights already carry the scaling factor.
@@ -334,10 +335,12 @@ def _moe_mlp(
     y = jnp.einsum("ecf,efh->ech", act, layer["e_down"])
     out = jnp.einsum("tec,ech->th", combine.astype(x.dtype), y)
     if config.n_shared_experts > 0:
-        sg = layer["shared_gate"].apply(x)
-        su = layer["shared_up"].apply(x)
-        shared = layer["shared_down"].apply(
-            (jax.nn.silu(sg.astype(jnp.float32)) * su.astype(jnp.float32)).astype(x.dtype)
+        proj = proj or (lambda name, xx: layer[name].apply(xx))
+        sg = proj("shared_gate", x)
+        su = proj("shared_up", x)
+        shared = proj(
+            "shared_down",
+            (jax.nn.silu(sg.astype(jnp.float32)) * su.astype(jnp.float32)).astype(x.dtype),
         )
         out = out + shared
     if tp_axis is not None:
@@ -345,11 +348,13 @@ def _moe_mlp(
     return out
 
 
-def _dense_mlp(layer: dict, x: jax.Array, tp_axis: str | None = None) -> jax.Array:
-    gate = layer["w_gate"].apply(x)
-    up = layer["w_up"].apply(x)
-    out = layer["w_down"].apply(
-        (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(x.dtype)
+def _dense_mlp(layer: dict, x: jax.Array, tp_axis: str | None = None, proj=None) -> jax.Array:
+    proj = proj or (lambda name, xx: layer[name].apply(xx))
+    gate = proj("w_gate", x)
+    up = proj("w_up", x)
+    out = proj(
+        "w_down",
+        (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(x.dtype),
     )
     return jax.lax.psum(out, tp_axis) if tp_axis is not None else out
 
@@ -443,6 +448,30 @@ def init_deepseek_params(
 # -- forward ---------------------------------------------------------------
 
 
+_DS_HEAVY_NAMES = (
+    "wq", "wq_a", "wq_b", "w_kv_a", "wo",
+    "w_gate", "w_up", "w_down",
+    "shared_gate", "shared_up", "shared_down",
+)
+
+
+def _split_heavy_ds(layers: dict) -> tuple[dict | None, dict]:
+    """Split a stacked DeepSeek layer dict into (heavy QuantizedLinear
+    stacks, everything else). Heavy stacks are closed over as scan
+    invariants and indexed inside the GEMM kernels (scalar prefetch);
+    norms, the absorbed w_uk/w_uv einsum tensors, and the raw expert
+    stacks keep riding the scan xs."""
+    from conch_tpu.models.linear import QuantizedLinear
+
+    heavy = {
+        k: v
+        for k, v in layers.items()
+        if k in _DS_HEAVY_NAMES and isinstance(v, QuantizedLinear)
+    }
+    light = {k: v for k, v in layers.items() if k not in heavy}
+    return (heavy or None), light
+
+
 def _mla_layer_step(
     config: DeepseekV2Config,
     positions: jax.Array,  # (T,)
@@ -454,8 +483,17 @@ def _mla_layer_step(
     rope_cache: jax.Array,
     mlp_fn,
     tp_axis: str | None = None,
+    heavy: dict | None = None,
 ):
     """One scanned decoder layer (absorbed MLA attention + residual MLP).
+
+    ``heavy`` carries the stacked (L, ...) QuantizedLinear projections OUT
+    of the scan (same mechanism as ``models.llama``): each GEMM selects
+    its layer via the kernel's scalar-prefetch index
+    (``QuantizedLinear.apply_stacked``) instead of consuming a scan slice
+    — XLA materializes a copy of any sliced weight fed to an opaque
+    pallas_call, a measured 2-7x GEMM bandwidth loss on v5e
+    (tools/drive/logs/exp_lmhead_r4b.log).
 
     Under shard_map (``tp_axis``): q/W_uk/W_uv/wo carry only the LOCAL
     head shard (the head count is read from ``w_uk`` at runtime); the
@@ -474,23 +512,29 @@ def _mla_layer_step(
     cos, sin = cs[:, : rope_d // 2], cs[:, rope_d // 2 :]
 
     def layer_step(hidden, scanned):
-        layer, kv_cache = scanned
+        layer, kv_cache, l_idx = scanned
         nh = layer["w_uk"].shape[0]  # LOCAL head count under shard_map
         t = hidden.shape[0]
+
+        def proj(name, xx):
+            if heavy is not None and name in heavy:
+                return heavy[name].apply_stacked(xx, l_idx)
+            return layer[name].apply(xx)
+
         x = rms_norm(hidden, layer["input_norm"], config.rms_norm_eps)
 
         if config.q_lora_rank:
-            qa = rms_norm(layer["wq_a"].apply(x), layer["q_a_norm"], config.rms_norm_eps)
-            q = layer["wq_b"].apply(qa)
+            qa = rms_norm(proj("wq_a", x), layer["q_a_norm"], config.rms_norm_eps)
+            q = proj("wq_b", qa)
         else:
-            q = layer["wq"].apply(x)
+            q = proj("wq", x)
         q = q.reshape(t, nh, nope + rope_d)
         q_nope, q_pe = q[..., :nope], q[..., nope:]
         q_pe = _apply_rope_interleaved(
             q_pe.astype(jnp.float32), cos[:, None, :], sin[:, None, :]
         ).astype(q.dtype)
 
-        kv_a = layer["w_kv_a"].apply(x)  # (T, lora + rope)
+        kv_a = proj("w_kv_a", x)  # (T, lora + rope)
         c_kv = rms_norm(kv_a[:, :lora], layer["kv_a_norm"], config.rms_norm_eps)
         k_pe = _apply_rope_interleaved(
             kv_a[:, lora:].astype(jnp.float32), cos, sin
@@ -517,13 +561,13 @@ def _mla_layer_step(
         )
         attn = jnp.einsum("thl,hlv->thv", out_lat.astype(jnp.float32),
                           layer["w_uv"].astype(jnp.float32)).astype(hidden.dtype)
-        attn_out = layer["wo"].apply(attn.reshape(t, nh * v_dim))
+        attn_out = proj("wo", attn.reshape(t, nh * v_dim))
         if tp_axis is not None:
             attn_out = jax.lax.psum(attn_out, tp_axis)
         hidden = hidden + attn_out
 
         mlp_in = rms_norm(hidden, layer["post_attn_norm"], config.rms_norm_eps)
-        hidden = hidden + mlp_fn(layer, mlp_in)
+        hidden = hidden + mlp_fn(layer, mlp_in, proj)
         return hidden, kv_cache
 
     return layer_step
@@ -540,23 +584,29 @@ def _deepseek_forward(
     if params["layers_dense"] is not None:
         n_dense = jax.tree.leaves(params["layers_dense"])[0].shape[0]
 
-    def step(mlp_fn):
+    def step(mlp_fn, heavy):
         return _mla_layer_step(
             config, positions, slot_mapping, cu_seqlens_q, max_seqlen_q,
             seq_lens, block_tables, params["rope_cache"], mlp_fn, tp_axis=tp_axis,
+            heavy=heavy,
         )
 
     new_caches = []
     if params["layers_dense"] is not None:
+        heavy, light = _split_heavy_ds(params["layers_dense"])
         hidden, dense_caches = jax.lax.scan(
-            step(lambda layer, x: _dense_mlp(layer, x, tp_axis)),
-            hidden, (params["layers_dense"], kv_caches[:n_dense]),
+            step(lambda layer, x, proj: _dense_mlp(layer, x, tp_axis, proj), heavy),
+            hidden,
+            (light, kv_caches[:n_dense], jnp.arange(n_dense, dtype=jnp.int32)),
         )
         new_caches.append(dense_caches)
     if params["layers_moe"] is not None:
+        n_moe = jax.tree.leaves(params["layers_moe"])[0].shape[0]
+        heavy, light = _split_heavy_ds(params["layers_moe"])
         hidden, moe_caches = jax.lax.scan(
-            step(lambda layer, x: _moe_mlp(layer, x, config, tp_axis)),
-            hidden, (params["layers_moe"], kv_caches[n_dense:]),
+            step(lambda layer, x, proj: _moe_mlp(layer, x, config, tp_axis, proj), heavy),
+            hidden,
+            (light, kv_caches[n_dense:], jnp.arange(n_moe, dtype=jnp.int32)),
         )
         new_caches.append(moe_caches)
     return hidden, jnp.concatenate(new_caches, axis=0)

@@ -227,6 +227,45 @@ class QuantizedLinear:
         msg = f"Unknown linear kind: {self.kind}"
         raise ValueError(msg)
 
+    @staticmethod
+    def concat_n(qls: list["QuantizedLinear"]) -> "QuantizedLinear":
+        """Concatenate projections along N: ``[x@W1 | x@W2 | ...]``.
+
+        Every storage format keeps N as the LAST axis of every array
+        (packed/scales/absmax are (…, K', N); all K-axis interleaving in
+        the magic/planar layouts is per-column), so column concatenation
+        of the packed arrays equals packing the column-concatenated dense
+        weight. Used to fuse QKV and gate|up into single wide-N GEMMs:
+        small-N decode GEMMs (N=1024) cannot amortize the dequant
+        pipeline and measure 128-198 GB/s where wide-N tiles of the same
+        kernel reach 750+ GB/s on v5e (exp_stacked_gemm_r4.log). Works on
+        stacked (L, …) arrays unchanged.
+
+        Raises ValueError when the pieces are not fusable (mixed kinds,
+        mismatched quantization geometry, or pack-time N padding — padded
+        columns would land mid-concat and corrupt the split points).
+        """
+        if not qls:
+            raise ValueError("concat_n needs at least one projection")
+        first = qls[0]
+        if any(q.kind != first.kind for q in qls):
+            raise ValueError("concat_n requires a single storage kind")
+        if any(q.meta != first.meta for q in qls):
+            raise ValueError("concat_n requires identical quantization metadata")
+        if "out_features" in first.meta or "shape" in first.meta:
+            raise ValueError("concat_n does not support pack-time-padded or shape-pinned projections")
+        if first.kind == "w8a8":
+            arrays = {
+                "w8": jnp.concatenate([q.arrays["w8"] for q in qls], axis=-1),
+                "out_scales": jnp.concatenate([q.arrays["out_scales"] for q in qls], axis=-1),
+            }
+            return QuantizedLinear("w8a8", arrays, dict(first.meta))
+        arrays = {
+            k: jnp.concatenate([q.arrays[k] for q in qls], axis=-1)
+            for k in first.arrays
+        }
+        return QuantizedLinear(first.kind, arrays, dict(first.meta))
+
     def take_layer(self, layer_index: jax.Array) -> "QuantizedLinear":
         """Select one layer from stacked (L, ...) arrays (materializes the
         slice — use :meth:`apply_stacked` on the hot path)."""

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from conch_tpu.models.linear import QuantizedLinear, quantize_linear
-from conch_tpu.ops.activation import silu_and_mul_parts
+from conch_tpu.ops.activation import silu_and_mul, silu_and_mul_parts
 from conch_tpu.ops.attention import paged_attention, varlen_attention
 from conch_tpu.ops.cache import reshape_and_cache, reshape_and_cache_stacked
 from conch_tpu.ops.embedding import rotary_embedding
@@ -303,11 +303,7 @@ def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, 
         t = hidden.shape[0]
         lora_layer = layer.get("__lora__")
 
-        def proj(name, x):
-            if heavy is not None and name in heavy:
-                y = heavy[name].apply_stacked(x, l_idx)
-            else:
-                y = layer[name].apply(x)
+        def lora_add(name, x, y):
             if lora_layer is not None and name in lora_layer:
                 from conch_tpu.models.lora import lora_delta
 
@@ -315,10 +311,31 @@ def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, 
                 y = (y.astype(jnp.float32) + lora_delta(x, ab["a"], ab["b"], lora_sel)).astype(y.dtype)
             return y
 
+        def proj(name, x):
+            if heavy is not None and name in heavy:
+                y = heavy[name].apply_stacked(x, l_idx)
+            else:
+                y = layer[name].apply(x)
+            return lora_add(name, x, y)
+
+        def has(name):
+            return (heavy is not None and name in heavy) or name in layer
+
         attn_in = rms_norm(hidden, layer["input_norm"], eps)
-        q = proj("wq", attn_in)
-        k = proj("wk", attn_in)
-        v = proj("wv", attn_in)
+        if has("wqkv"):
+            # Fused [q|k|v] wide-N GEMM (fuse_llama_params); slice the
+            # output. Per-name LoRA deltas attach to the slices so adapter
+            # checkpoints stay per-projection.
+            q_dim = num_heads * config.head_dim
+            kv_dim = num_kv_heads * config.head_dim
+            qkv = proj("wqkv", attn_in)
+            q = lora_add("wq", attn_in, qkv[:, :q_dim])
+            k = lora_add("wk", attn_in, qkv[:, q_dim : q_dim + kv_dim])
+            v = lora_add("wv", attn_in, qkv[:, q_dim + kv_dim :])
+        else:
+            q = proj("wq", attn_in)
+            k = proj("wk", attn_in)
+            v = proj("wv", attn_in)
         if "bq" in layer:  # Qwen2-style attention bias
             q = q + layer["bq"].astype(q.dtype)
             k = k + layer["bk"].astype(k.dtype)
@@ -355,6 +372,16 @@ def _layer_step_factory(config: LlamaConfig, attn_fn, cos_sin_cache, positions, 
         mlp_in = rms_norm(hidden, layer["post_attn_norm"], eps)
         if mlp_fn is not None:
             hidden = hidden + mlp_fn(layer, mlp_in)
+        elif has("w_gateup"):
+            gu = proj("w_gateup", mlp_in)
+            if lora_layer is not None and ("w_gate" in lora_layer or "w_up" in lora_layer):
+                inter = gu.shape[-1] // 2
+                gate = lora_add("w_gate", mlp_in, gu[:, :inter])
+                up = lora_add("w_up", mlp_in, gu[:, inter:])
+                act = silu_and_mul_parts(gate, up)
+            else:
+                act = silu_and_mul(gu)
+            hidden = hidden + reduce_tp(proj("w_down", act))
         else:
             gate = proj("w_gate", mlp_in)
             up = proj("w_up", mlp_in)
@@ -380,7 +407,48 @@ def _splice_lora(layers: dict, lora: dict | None, lora_ids: jax.Array | None):
     return spliced, lora_selector(lora_ids, lora["scales"])
 
 
-_HEAVY_PROJ_NAMES = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+_HEAVY_PROJ_NAMES = (
+    "wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "wqkv", "w_gateup"
+)
+
+_FUSION_GROUPS = (("wqkv", ("wq", "wk", "wv")), ("w_gateup", ("w_gate", "w_up")))
+
+
+def fuse_llama_params(params: dict) -> dict:
+    """Fuse QKV and gate|up into single wide-N projections (eager, one-time).
+
+    Returns a new params dict whose layer stack stores ``wqkv`` =
+    [wq|wk|wv] and ``w_gateup`` = [w_gate|w_up] (column concatenation via
+    :meth:`QuantizedLinear.concat_n`); the scanned layer step slices the
+    GEMM *output* instead. Rationale: at decode the small-N projections
+    (wk/wv at N=1024) measure 128-198 GB/s on v5e while the same kernel
+    reaches 750+ GB/s on wide-N tiles — one (N=6144) QKV GEMM and one
+    (N=28672) gate|up GEMM put every per-layer GEMM in the amortized
+    regime and halve kernel launches (round-4 profile,
+    exp_decode_profile_r4b.log). Must run OUTSIDE jit (e.g. at engine
+    init): inside a traced step the concat would re-run every call.
+
+    Pieces that cannot fuse (mixed kinds, padded N, non-QuantizedLinear
+    MoE expert stacks) are left unfused — the layer step handles either
+    schema. Per-name attention biases and LoRA adapters stay separate and
+    are applied to the sliced outputs.
+    """
+    from conch_tpu.models.linear import QuantizedLinear
+
+    layers = dict(params["layers"])
+    for fused_name, parts in _FUSION_GROUPS:
+        if not all(isinstance(layers.get(p), QuantizedLinear) for p in parts):
+            continue
+        try:
+            fused = QuantizedLinear.concat_n([layers[p] for p in parts])
+        except ValueError:
+            continue
+        layers[fused_name] = fused
+        for p in parts:
+            del layers[p]
+    out = dict(params)
+    out["layers"] = layers
+    return out
 
 
 def _split_heavy(layers: dict) -> tuple[dict | None, dict]:

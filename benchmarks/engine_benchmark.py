@@ -96,8 +96,39 @@ def main() -> None:
         r.state == RequestState.RUNNING for r in engine.running
     ) and not engine.waiting, "decode budget exhausted mid-benchmark: timed empty steps"
     toks_per_step = args.batch * args.multi_step
-    print(f"# prefill: {args.batch}x{args.context} tokens in {prefill_s:.3f}s over {prefill_steps} steps")
+    print(
+        f"# prefill (cold engine, INCLUDES per-shape jit compiles): "
+        f"{args.batch}x{args.context} tokens in {prefill_s:.3f}s over {prefill_steps} steps"
+    )
     print(f"# decode throughput: {toks_per_step / (med_ms / 1e3):.1f} tok/s at {config.num_layers} layers")
+
+    # Steady-state prefill: abort the decode requests and prefill a fresh
+    # same-shape batch on the SAME engine, so every chunked-prefill jit is
+    # already compiled. The cold number above is compile-dominated — one
+    # compile per (chunk shape, batch-bucket) through the remote-compile
+    # tunnel (~20-40 s each) — which is a warmup cost, not throughput; a
+    # serving deployment pays it once per process (see docs/serving.md).
+    for r in list(engine.running):
+        engine.abort_request(r.request_id)
+    assert not engine.running and not engine.waiting, "abort left requests behind"
+    for p in prompts:
+        engine.add_request(p, SamplingParams(max_tokens=10**9))
+    pf_steps = 0
+    t0 = time.perf_counter()
+    while engine.waiting or any(r.state == RequestState.PREFILLING for r in engine.running):
+        engine.step()
+        pf_steps += 1
+        if pf_steps > 1000:
+            break
+    pf_s = time.perf_counter() - t0
+    pf_tokens = args.batch * args.context
+    print(
+        f"# prefill steady-state (jits warm): {pf_tokens} tokens in "
+        f"{pf_s:.3f}s over {pf_steps} steps = {pf_tokens / pf_s:.0f} tok/s "
+        f"at {config.num_layers} layers"
+    )
+    for r in list(engine.running):
+        engine.abort_request(r.request_id)
 
     # TTFT: per-request latency from submission to the first output token
     # on an otherwise-idle engine (chunked prefill + first sample) — the

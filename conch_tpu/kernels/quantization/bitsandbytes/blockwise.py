@@ -116,21 +116,50 @@ def _apply_lut(idx: jax.Array, lut) -> jax.Array:
     return sel(0, len(values) - 1, levels - 1)
 
 
-def _nf4_encode(scaled: jax.Array) -> jax.Array:
-    """Map scaled values in [-1, 1] to NF4 codes [0, 15] via threshold compares."""
-    code = jnp.zeros(scaled.shape, dtype=jnp.int32)
-    for t in NF4_THRESHOLDS:
-        code += (scaled > t).astype(jnp.int32)
+def _rank_bisect(x: jax.Array, thresholds) -> jax.Array:
+    """``sum(x > t for t in thresholds)`` by branchless binary search.
+
+    ``thresholds`` must be sorted ascending with ``len == 2**L - 1``. Each
+    of the L rounds compares against ONE threshold chosen by a select
+    tree over the bits found so far: 4 compares + 11 selects for 15
+    thresholds, vs 15 compare+accumulates for the flat sum — the encode
+    tree was the quantize kernel's top ablation cost (exp_bnb_r4.log
+    ``q_noencode``). Bit-identical to the flat sum: the compares use the
+    same f32 constants, only their order changes.
+    """
+    n = len(thresholds) + 1
+    levels = n.bit_length() - 1
+    if n != 1 << levels:
+        msg = f"_rank_bisect needs 2**L - 1 thresholds, got {len(thresholds)}"
+        raise ValueError(msg)
+    bits: list[jax.Array] = []
+    for level in range(levels):
+        span = n >> (level + 1)
+        cands = [(2 * j + 1) * span - 1 for j in range(1 << level)]
+
+        def sel(lo: int, hi: int, depth: int) -> jax.Array:
+            if lo == hi:
+                return jnp.float32(thresholds[cands[lo]])
+            mid = (lo + hi + 1) // 2
+            return jnp.where(bits[depth], sel(mid, hi, depth + 1), sel(lo, mid - 1, depth + 1))
+
+        bits.append(x > sel(0, (1 << level) - 1, 0))
+    code = bits[0].astype(jnp.int32) << (levels - 1)
+    for i, b in enumerate(bits[1:], start=1):
+        code |= b.astype(jnp.int32) << (levels - 1 - i)
     return code
+
+
+def _nf4_encode(scaled: jax.Array) -> jax.Array:
+    """Map scaled values in [-1, 1] to NF4 codes [0, 15]."""
+    return _rank_bisect(scaled, NF4_THRESHOLDS)
 
 
 def _fp4_encode(scaled: jax.Array) -> jax.Array:
     """Map scaled values to FP4 codes: sign bit (8) + 3-bit magnitude code."""
     sign = jnp.where(scaled < 0, 8, 0).astype(jnp.int32)
     mag = jnp.abs(scaled)
-    level = jnp.zeros(mag.shape, dtype=jnp.int32)
-    for t in FP4_THRESHOLDS:
-        level += (mag > t).astype(jnp.int32)
+    level = _rank_bisect(mag, FP4_THRESHOLDS)
     code = _apply_lut(level, FP4_LEVEL_TO_CODE).astype(jnp.int32)
     return sign + code
 

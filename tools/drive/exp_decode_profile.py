@@ -29,15 +29,15 @@ from conch_tpu.utils.benchmark import robust_diff_time
 
 B, GS = 8, 128
 
-# Llama-3-8B projection shapes (K, N, count-per-layer)
+# Llama-3-8B projection shapes (K, N, count-per-layer) in the FUSED
+# serving configuration (fuse_llama_params: wqkv = [wq|wk|wv],
+# w_gateup = [gate|up]); "wk_unfused" kept as the small-N contrast row.
 PROJS = [
-    ("wq", 4096, 4096, 1),
-    ("wk", 4096, 1024, 1),
-    ("wv", 4096, 1024, 1),
+    ("wqkv", 4096, 6144, 1),
     ("wo", 4096, 4096, 1),
-    ("gate", 4096, 14336, 1),
-    ("up", 4096, 14336, 1),
+    ("gateup", 4096, 28672, 1),
     ("down", 14336, 4096, 1),
+    ("wk_unfused", 4096, 1024, 1),
 ]
 LMHEAD = ("lm_head", 4096, 128256, 1)
 
@@ -51,7 +51,9 @@ def time_step(context, iters=12, steps_per_call=8):
     page_size = 64
     pages_per_seq = -(-context // page_size) + 1
     num_pages = B * pages_per_seq + 1
-    params = bench.build_params(config, "int4")
+    from conch_tpu.models.llama import fuse_llama_params
+
+    params = fuse_llama_params(bench.build_params(config, "int4"))
     kc, vc = init_kv_caches(config, num_pages, page_size)
     rng = np.random.default_rng(0)
     block_tables = jnp.asarray(
@@ -142,7 +144,8 @@ def time_gemms(layout="magic"):
         )
         gbps = (packed.nbytes // L + scales.nbytes // L) / per / 1e9
         elrate = (K * NP) / per / 1e9
-        total += per * cnt * (32 if name != "lm_head" else 1)
+        if not name.endswith("_unfused"):
+            total += per * cnt * (32 if name != "lm_head" else 1)
         flag = "" if ok else "  [unstable]"
         print(
             f"gemm_{name:8s} {per*1e3:8.4f} ms  {gbps:7.1f} GB/s  {elrate:7.1f} Gel/s  (K={K}, N={NP}){flag}",

@@ -451,6 +451,57 @@ def fuse_llama_params(params: dict) -> dict:
     return out
 
 
+def fuse_llama_params_sharded(params: dict, mesh) -> dict:
+    """Tensor-parallel variant of :func:`fuse_llama_params`.
+
+    Takes params ALREADY sharded by ``parallel.sharding.shard_llama_params``
+    (column-parallel wq/wk/wv/w_gate/w_up) and concatenates each chip's
+    LOCAL shards inside a ``shard_map`` — no cross-chip data movement.
+    The resulting global weight's column order is chip-blocked
+    ([q0|k0|v0 | q1|k1|v1 | ...]) rather than [q|k|v]: that is exactly
+    right, because under shard_map the layer step slices the fused GEMM
+    output by the per-chip LOCAL head counts. Naively sharding a fused
+    [q|k|v] weight instead would give chip 0 only q columns (guarded in
+    ``shard_llama_params``).
+    """
+    from jax.sharding import NamedSharding
+    from jax.experimental.shard_map import shard_map
+
+    from conch_tpu.models.linear import QuantizedLinear
+
+    layers = dict(params["layers"])
+    for fused_name, parts in _FUSION_GROUPS:
+        if not all(isinstance(layers.get(p), QuantizedLinear) for p in parts):
+            continue
+        pieces = [layers[p] for p in parts]
+        specs = []
+        ok = True
+        for piece in pieces:
+            leaves = jax.tree.leaves(piece)
+            if not all(isinstance(a.sharding, NamedSharding) for a in leaves):
+                ok = False
+                break
+            specs.append(jax.tree.map(lambda a: a.sharding.spec, piece))
+        if not ok:
+            continue
+        try:
+            fused = shard_map(
+                lambda *ps: QuantizedLinear.concat_n(list(ps)),
+                mesh=mesh,
+                in_specs=tuple(specs),
+                out_specs=specs[0],
+                check_rep=False,
+            )(*pieces)
+        except ValueError:  # not fusable (mixed meta / padded N)
+            continue
+        layers[fused_name] = fused
+        for p in parts:
+            del layers[p]
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
 def _split_heavy(layers: dict) -> tuple[dict | None, dict]:
     """Split the stacked layer dict into (heavy projections, the rest).
 

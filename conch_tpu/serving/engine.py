@@ -331,15 +331,19 @@ class LLMEngine:
 
         self._model_decode_fn = decode_fn or llama_decode_step
         self._multi_step_cache: dict[int, Any] = {}
-        if mesh is None and prefill_fn is None and decode_fn is None and verify_fn is None:
-            # Default Llama-family path on one device: fuse QKV / gate|up
-            # into single wide-N GEMMs (eager, one-time; see
-            # models.llama.fuse_llama_params). Custom model fns keep their
-            # own schema; the TP path keeps per-name shards for the
-            # path-keyed sharding rules.
-            from conch_tpu.models.llama import fuse_llama_params
+        if prefill_fn is None and decode_fn is None and verify_fn is None:
+            # Default Llama-family path: fuse QKV / gate|up into single
+            # wide-N GEMMs (eager, one-time). Single-device params fuse
+            # directly; TP params were sharded per-name above, then each
+            # chip's LOCAL shards concatenate inside a shard_map (see
+            # models.llama.fuse_llama_params_sharded). Custom model fns
+            # keep their own schema.
+            from conch_tpu.models.llama import fuse_llama_params, fuse_llama_params_sharded
 
-            self.params = fuse_llama_params(self.params)
+            if mesh is None:
+                self.params = fuse_llama_params(self.params)
+            else:
+                self.params = fuse_llama_params_sharded(self.params, mesh)
         if mesh is not None:
             self._prefill_fn, self._decode_fn, self._verify_fn = self._make_tp_steps(
                 mesh, prefill_fn, decode_fn, verify_fn

@@ -108,6 +108,9 @@ def run_and_report(args, cases: list[tuple]) -> list[BenchmarkResult]:
         from conch_tpu.utils.benchmark import calibrate_hbm_bw
 
         cal_gbps = calibrate_hbm_bw() / 1e9
+    from conch_tpu.utils.benchmark import record_measurements
+
+    record_measurements(results, calibration_gbps=cal_gbps)
     if args.csv:
         if cal_gbps is not None:
             print(f"# calibration_gbps,{cal_gbps:.1f}")

@@ -69,6 +69,65 @@ class BenchmarkResult:
         )
 
 
+def record_measurements(
+    results: list["BenchmarkResult"],
+    calibration_gbps: float | None = None,
+    path: str | None = None,
+) -> None:
+    """Append results to the persistent cross-window measurement ledger.
+
+    The tunneled dev chip's delivered bandwidth swings ~2x between
+    windows; a single row can therefore contradict an earlier row without
+    either being "wrong". The ledger keeps every measurement with its
+    timestamp and same-window calibration so
+    ``tools/check_window_consistency.py`` can detect inter-window
+    contradictions (same tag, >1.5x calibration-normalized spread) —
+    the [UNSTABLE] flag only catches *intra*-window noise. Best-effort:
+    IO errors never fail a benchmark run. Set ``CONCH_BENCH_LEDGER`` to
+    override the path, or to "" to disable.
+    """
+    import json
+    import os
+    import pathlib
+
+    env = os.environ.get("CONCH_BENCH_LEDGER")
+    if env == "":
+        return
+    if path is None:
+        path = env or str(
+            pathlib.Path(__file__).resolve().parents[2] / "tools" / "drive" / "logs" / "measurements.jsonl"
+        )
+    try:
+        device = jax.devices()[0].device_kind
+    except Exception:
+        device = "unknown"
+    ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    try:
+        pathlib.Path(path).parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "a") as f:
+            for r in results:
+                f.write(
+                    json.dumps(
+                        {
+                            "ts": ts,
+                            "tag": r.tag,
+                            "median_ms": r.median_ms,
+                            "min_ms": r.min_ms,
+                            "max_ms": r.max_ms,
+                            "n": r.num_iterations,
+                            "achieved_gbps": r.achieved_gbps,
+                            "calibration_gbps": calibration_gbps,
+                            "device": device,
+                            "unstable": bool(r.metadata.get("unstable")),
+                            "over_window": bool(r.metadata.get("over_window")),
+                        }
+                    )
+                    + "\n"
+                )
+    except OSError:
+        pass
+
+
 def benchmark_it(
     fn: Callable[[], Any],
     tag: str = "",

@@ -25,9 +25,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from conch_tpu.models.linear import QuantizedLinear, quantize_linear
-from conch_tpu.ops.activation import gelu_tanh_and_mul_parts
+from conch_tpu.ops.activation import gelu_tanh_and_mul, gelu_tanh_and_mul_parts
 from conch_tpu.ops.attention import paged_attention, varlen_attention
-from conch_tpu.models.llama import _kv_cache_quant
+from conch_tpu.models.llama import _kv_cache_quant, _split_heavy
 from conch_tpu.ops.cache import reshape_and_cache
 from conch_tpu.ops.embedding import rotary_embedding
 from conch_tpu.ops.normalization import gemma_rms_norm
@@ -146,17 +146,45 @@ def _gemma_layers(config: GemmaConfig, params, hidden, positions, slot_mapping, 
     num_kv_heads = k_caches.shape[2]
     group = config.num_heads // config.num_kv_heads
     num_heads = num_kv_heads * group
+    q_dim = num_heads * config.head_dim
+    kv_dim = num_kv_heads * config.head_dim
+
+    # Heavy QuantizedLinear stacks ride OUTSIDE the scan and are indexed
+    # by the GEMM scalar-prefetch layer index (same mechanism as
+    # models.llama: scanning them as xs makes XLA materialize a copy of
+    # every weight per layer per step). Fused wqkv / w_gateup stacks
+    # (fuse_llama_params works on Gemma layer dicts too) are sliced at
+    # the GEMM output.
+    heavy, light = _split_heavy(params["layers"])
 
     def reduce_tp(x):
         return jax.lax.psum(x, tp_axis) if tp_axis else x
 
-    def attend(hidden, layer, k_cache, v_cache, fn):
+    def make_proj(layer, l_idx):
+        def proj(name, x):
+            if heavy is not None and name in heavy:
+                return heavy[name].apply_stacked(x, l_idx)
+            return layer[name].apply(x)
+
+        def has(name):
+            return (heavy is not None and name in heavy) or name in layer
+
+        return proj, has
+
+    def attend(hidden, layer, l_idx, k_cache, v_cache, fn):
         """Attention half up to (pre-residual) projected output."""
         t = hidden.shape[0]
+        proj, has = make_proj(layer, l_idx)
         attn_in = gemma_rms_norm(hidden, layer["input_norm"], eps)
-        q = layer["wq"].apply(attn_in)
-        k = layer["wk"].apply(attn_in)
-        v = layer["wv"].apply(attn_in)
+        if has("wqkv"):
+            qkv = proj("wqkv", attn_in)
+            q = qkv[:, :q_dim]
+            k = qkv[:, q_dim : q_dim + kv_dim]
+            v = qkv[:, q_dim + kv_dim :]
+        else:
+            q = proj("wq", attn_in)
+            k = proj("wk", attn_in)
+            v = proj("wv", attn_in)
         q, k = rotary_embedding(positions, q, k, config.head_dim, params["cos_sin_cache"])
 
         k = k.reshape(t, num_kv_heads, config.head_dim)
@@ -167,12 +195,15 @@ def _gemma_layers(config: GemmaConfig, params, hidden, positions, slot_mapping, 
             kv_cache_dtype=kv_dtype, k_scale=kv_scale, v_scale=kv_scale,
         )
         attn_out = fn(q.reshape(t, num_heads, config.head_dim), k_cache, v_cache)
-        return reduce_tp(layer["wo"].apply(attn_out.reshape(t, -1))), k_cache, v_cache
+        return reduce_tp(proj("wo", attn_out.reshape(t, -1))), k_cache, v_cache
 
-    def mlp(x, layer):
-        gate = layer["w_gate"].apply(x)
-        up = layer["w_up"].apply(x)
-        return reduce_tp(layer["w_down"].apply(gelu_tanh_and_mul_parts(gate, up)))
+    def mlp(x, layer, l_idx):
+        proj, has = make_proj(layer, l_idx)
+        if has("w_gateup"):
+            act = gelu_tanh_and_mul(proj("w_gateup", x))
+        else:
+            act = gelu_tanh_and_mul_parts(proj("w_gate", x), proj("w_up", x))
+        return reduce_tp(proj("w_down", act))
 
     if config.gemma2:
         # Gemma-2: sandwich norms + alternating local/global attention,
@@ -182,29 +213,29 @@ def _gemma_layers(config: GemmaConfig, params, hidden, positions, slot_mapping, 
         assert config.num_layers % 2 == 0, "gemma2 alternation needs even num_layers"
         assert attn_fn_local is not None
 
-        def sub_layer(hidden, layer, k_cache, v_cache, fn):
-            attn_h, k_cache, v_cache = attend(hidden, layer, k_cache, v_cache, fn)
+        def sub_layer(hidden, layer, l_idx, k_cache, v_cache, fn):
+            attn_h, k_cache, v_cache = attend(hidden, layer, l_idx, k_cache, v_cache, fn)
             hidden = hidden + gemma_rms_norm(attn_h, layer["post_attn_norm"], eps)
             mlp_in = gemma_rms_norm(hidden, layer["pre_ff_norm"], eps)
-            hidden = hidden + gemma_rms_norm(mlp(mlp_in, layer), layer["post_ff_norm"], eps)
+            hidden = hidden + gemma_rms_norm(mlp(mlp_in, layer, l_idx), layer["post_ff_norm"], eps)
             return hidden, k_cache, v_cache
 
         def pair_step(hidden, xs):
-            layers2, k2, v2 = xs  # leading dim 2: (local, global)
+            layers2, k2, v2, pair_idx = xs  # leading dim 2: (local, global)
             l0 = jax.tree.map(lambda x: x[0], layers2)
             l1 = jax.tree.map(lambda x: x[1], layers2)
-            hidden, k0, v0 = sub_layer(hidden, l0, k2[0], v2[0], attn_fn_local)
-            hidden, k1, v1 = sub_layer(hidden, l1, k2[1], v2[1], attn_fn)
+            hidden, k0, v0 = sub_layer(hidden, l0, 2 * pair_idx, k2[0], v2[0], attn_fn_local)
+            hidden, k1, v1 = sub_layer(hidden, l1, 2 * pair_idx + 1, k2[1], v2[1], attn_fn)
             return hidden, (jnp.stack([k0, k1]), jnp.stack([v0, v1]))
 
         half = config.num_layers // 2
-        layers_pairs = jax.tree.map(
-            lambda x: x.reshape(half, 2, *x.shape[1:]), params["layers"]
-        )
+        layers_pairs = jax.tree.map(lambda x: x.reshape(half, 2, *x.shape[1:]), light)
         kc_pairs = k_caches.reshape(half, 2, *k_caches.shape[1:])
         vc_pairs = v_caches.reshape(half, 2, *v_caches.shape[1:])
         hidden, (kc_out, vc_out) = jax.lax.scan(
-            pair_step, hidden, (layers_pairs, kc_pairs, vc_pairs)
+            pair_step,
+            hidden,
+            (layers_pairs, kc_pairs, vc_pairs, jnp.arange(half, dtype=jnp.int32)),
         )
         return hidden, (
             kc_out.reshape(config.num_layers, *k_caches.shape[1:]),
@@ -212,14 +243,18 @@ def _gemma_layers(config: GemmaConfig, params, hidden, positions, slot_mapping, 
         )
 
     def layer_step(hidden, xs):
-        layer, k_cache, v_cache = xs
-        attn_h, k_cache, v_cache = attend(hidden, layer, k_cache, v_cache, attn_fn)
+        layer, k_cache, v_cache, l_idx = xs
+        attn_h, k_cache, v_cache = attend(hidden, layer, l_idx, k_cache, v_cache, attn_fn)
         hidden = hidden + attn_h
         mlp_in = gemma_rms_norm(hidden, layer["post_attn_norm"], eps)
-        hidden = hidden + mlp(mlp_in, layer)
+        hidden = hidden + mlp(mlp_in, layer, l_idx)
         return hidden, (k_cache, v_cache)
 
-    return jax.lax.scan(layer_step, hidden, (params["layers"], k_caches, v_caches))
+    return jax.lax.scan(
+        layer_step,
+        hidden,
+        (light, k_caches, v_caches, jnp.arange(config.num_layers, dtype=jnp.int32)),
+    )
 
 
 def _final_logits(params, config: GemmaConfig, hidden: jax.Array) -> jax.Array:

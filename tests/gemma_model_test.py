@@ -143,3 +143,35 @@ def test_gemma_int8_kv_decode_close_to_fp32():
         return np.asarray(logits)
 
     np.testing.assert_allclose(run(jnp.int8), run(jnp.float32), atol=0.1, rtol=0.1)
+
+
+def test_gemma_fused_params_parity(tiny_gemma):
+    """fuse_llama_params works on Gemma layer dicts: fused wqkv/w_gateup
+    prefill+decode logits match the unfused model."""
+    import numpy as np
+
+    from conch_tpu.models.llama import fuse_llama_params
+
+    cfg, params = tiny_gemma
+    fused = fuse_llama_params(params)
+    assert "wqkv" in fused["layers"] and "wq" not in fused["layers"]
+    assert "w_gateup" in fused["layers"]
+
+    tokens = jnp.asarray([1, 2, 3, 4, 5], jnp.int32)
+    positions = jnp.arange(5, dtype=jnp.int32)
+    cu = jnp.asarray([0, 5], jnp.int32)
+    bt = jnp.asarray([[0, 1]], jnp.int32)
+    slots = jnp.arange(5, dtype=jnp.int32)
+    outs = []
+    for p in (params, fused):
+        k, v = init_gemma_kv_caches(cfg, 16, 16)
+        lo, k, v = gemma_prefill(
+            p, cfg, tokens, positions, cu, 8, jnp.asarray([5], jnp.int32), bt, slots, k, v
+        )
+        lo2, _, _ = gemma_decode_step(
+            p, cfg, jnp.argmax(lo, -1).astype(jnp.int32), jnp.asarray([5], jnp.int32),
+            jnp.asarray([6], jnp.int32), bt, jnp.asarray([5], jnp.int32), k, v,
+        )
+        outs.append((np.asarray(lo), np.asarray(lo2)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], atol=2e-4, rtol=1e-4)

@@ -40,6 +40,7 @@ import numpy as np
 from conch_tpu.kernels.common import round_up
 from conch_tpu.models.linear import QuantizedLinear, quantize_linear
 from conch_tpu.models.moe import make_dispatch
+from conch_tpu.ops.activation import silu_and_mul
 from conch_tpu.ops.attention import mla_attention
 from conch_tpu.ops.cache import reshape_and_cache_mla
 from conch_tpu.ops.normalization import rms_norm
@@ -297,7 +298,7 @@ def deepseek_route(
 
 def _moe_mlp(
     layer: dict, x: jax.Array, config: DeepseekV2Config, tp_axis: str | None = None,
-    proj=None,
+    proj=None, has=None,
 ) -> jax.Array:
     """Routed experts (dense-einsum dispatch, GShard capacity) + shared
     experts. Routed combine weights already carry the scaling factor.
@@ -336,26 +337,29 @@ def _moe_mlp(
     out = jnp.einsum("tec,ech->th", combine.astype(x.dtype), y)
     if config.n_shared_experts > 0:
         proj = proj or (lambda name, xx: layer[name].apply(xx))
-        sg = proj("shared_gate", x)
-        su = proj("shared_up", x)
-        shared = proj(
-            "shared_down",
-            (jax.nn.silu(sg.astype(jnp.float32)) * su.astype(jnp.float32)).astype(x.dtype),
-        )
-        out = out + shared
+        has = has or (lambda name: name in layer)
+        if has("shared_gateup"):
+            act = silu_and_mul(proj("shared_gateup", x)).astype(x.dtype)
+        else:
+            sg = proj("shared_gate", x)
+            su = proj("shared_up", x)
+            act = (jax.nn.silu(sg.astype(jnp.float32)) * su.astype(jnp.float32)).astype(x.dtype)
+        out = out + proj("shared_down", act)
     if tp_axis is not None:
         out = jax.lax.psum(out, tp_axis)
     return out
 
 
-def _dense_mlp(layer: dict, x: jax.Array, tp_axis: str | None = None, proj=None) -> jax.Array:
+def _dense_mlp(layer: dict, x: jax.Array, tp_axis: str | None = None, proj=None, has=None) -> jax.Array:
     proj = proj or (lambda name, xx: layer[name].apply(xx))
-    gate = proj("w_gate", x)
-    up = proj("w_up", x)
-    out = proj(
-        "w_down",
-        (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(x.dtype),
-    )
+    has = has or (lambda name: name in layer)
+    if has("w_gateup"):
+        act = silu_and_mul(proj("w_gateup", x)).astype(x.dtype)
+    else:
+        gate = proj("w_gate", x)
+        up = proj("w_up", x)
+        act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(x.dtype)
+    out = proj("w_down", act)
     return jax.lax.psum(out, tp_axis) if tp_axis is not None else out
 
 
@@ -452,7 +456,53 @@ _DS_HEAVY_NAMES = (
     "wq", "wq_a", "wq_b", "w_kv_a", "wo",
     "w_gate", "w_up", "w_down",
     "shared_gate", "shared_up", "shared_down",
+    "wq_kva", "w_gateup", "shared_gateup",
 )
+
+
+def fuse_deepseek_params(params: dict) -> dict:
+    """Column-fuse DeepSeek projections that share an input (eager,
+    one-time; the DeepSeek analogue of ``models.llama.fuse_llama_params``):
+
+    - ``wq_kva`` = [wq_a|w_kv_a] (q-LoRA) or [wq|w_kv_a] (full-rank q) —
+      both consume the post-norm hidden state, so one wide-N GEMM feeds
+      the query path and the latent KV projection;
+    - ``w_gateup`` = [w_gate|w_up] (dense-MLP layers);
+    - ``shared_gateup`` = [shared_gate|shared_up] (MoE shared experts).
+
+    Small-N decode GEMMs cannot amortize the dequant pipeline
+    (exp_decode_profile_r4b.log); fusion halves launches and widens N.
+    Apply per stacked group (layers_dense / layers_moe). Single-device
+    serving only — the TP path keeps per-name shards.
+    """
+    from conch_tpu.models.linear import QuantizedLinear
+
+    groups = (
+        ("wq_kva", ("wq_a", "w_kv_a")),
+        ("wq_kva", ("wq", "w_kv_a")),
+        ("w_gateup", ("w_gate", "w_up")),
+        ("shared_gateup", ("shared_gate", "shared_up")),
+    )
+    out = dict(params)
+    for stack_name in ("layers_dense", "layers_moe"):
+        layers = params.get(stack_name)
+        if layers is None:
+            continue
+        layers = dict(layers)
+        for fused_name, parts in groups:
+            if fused_name in layers:
+                continue
+            if not all(isinstance(layers.get(p), QuantizedLinear) for p in parts):
+                continue
+            try:
+                fused = QuantizedLinear.concat_n([layers[p] for p in parts])
+            except ValueError:
+                continue
+            layers[fused_name] = fused
+            for p in parts:
+                del layers[p]
+        out[stack_name] = layers
+    return out
 
 
 def _split_heavy_ds(layers: dict) -> tuple[dict | None, dict]:
@@ -521,9 +571,24 @@ def _mla_layer_step(
                 return heavy[name].apply_stacked(xx, l_idx)
             return layer[name].apply(xx)
 
+        def has(name):
+            return (heavy is not None and name in heavy) or name in layer
+
         x = rms_norm(hidden, layer["input_norm"], config.rms_norm_eps)
 
-        if config.q_lora_rank:
+        if has("wq_kva"):
+            # Fused [wq_a|w_kv_a] (q-LoRA) or [wq|w_kv_a]: one wide-N GEMM
+            # feeds the query path and the latent KV projection
+            # (fuse_deepseek_params).
+            head = config.q_lora_rank if config.q_lora_rank else nh * (nope + rope_d)
+            both = proj("wq_kva", x)
+            q_part, kv_a = both[:, :head], both[:, head:]
+            if config.q_lora_rank:
+                qa = rms_norm(q_part, layer["q_a_norm"], config.rms_norm_eps)
+                q = proj("wq_b", qa)
+            else:
+                q = q_part
+        elif config.q_lora_rank:
             qa = rms_norm(proj("wq_a", x), layer["q_a_norm"], config.rms_norm_eps)
             q = proj("wq_b", qa)
         else:
@@ -534,7 +599,8 @@ def _mla_layer_step(
             q_pe.astype(jnp.float32), cos[:, None, :], sin[:, None, :]
         ).astype(q.dtype)
 
-        kv_a = proj("w_kv_a", x)  # (T, lora + rope)
+        if not has("wq_kva"):
+            kv_a = proj("w_kv_a", x)  # (T, lora + rope)
         c_kv = rms_norm(kv_a[:, :lora], layer["kv_a_norm"], config.rms_norm_eps)
         k_pe = _apply_rope_interleaved(
             kv_a[:, lora:].astype(jnp.float32), cos, sin
@@ -567,7 +633,7 @@ def _mla_layer_step(
         hidden = hidden + attn_out
 
         mlp_in = rms_norm(hidden, layer["post_attn_norm"], config.rms_norm_eps)
-        hidden = hidden + mlp_fn(layer, mlp_in, proj)
+        hidden = hidden + mlp_fn(layer, mlp_in, proj, has)
         return hidden, kv_cache
 
     return layer_step
@@ -595,7 +661,7 @@ def _deepseek_forward(
     if params["layers_dense"] is not None:
         heavy, light = _split_heavy_ds(params["layers_dense"])
         hidden, dense_caches = jax.lax.scan(
-            step(lambda layer, x, proj: _dense_mlp(layer, x, tp_axis, proj), heavy),
+            step(lambda layer, x, proj, has: _dense_mlp(layer, x, tp_axis, proj, has), heavy),
             hidden,
             (light, kv_caches[:n_dense], jnp.arange(n_dense, dtype=jnp.int32)),
         )
@@ -604,7 +670,7 @@ def _deepseek_forward(
         n_moe = jax.tree.leaves(params["layers_moe"])[0].shape[0]
         heavy, light = _split_heavy_ds(params["layers_moe"])
         hidden, moe_caches = jax.lax.scan(
-            step(lambda layer, x, proj: _moe_mlp(layer, x, config, tp_axis, proj), heavy),
+            step(lambda layer, x, proj, has: _moe_mlp(layer, x, config, tp_axis, proj, has), heavy),
             hidden,
             (light, kv_caches[n_dense:], jnp.arange(n_moe, dtype=jnp.int32)),
         )

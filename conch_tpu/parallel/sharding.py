@@ -115,15 +115,18 @@ def llama_param_pspecs(params: Any) -> Any:
 
 def shard_llama_params(params: Any, mesh: Mesh) -> Any:
     """Place params on the mesh according to the TP rules."""
-    layers = params.get("layers") if isinstance(params, dict) else None
-    if isinstance(layers, dict) and ("wqkv" in layers or "w_gateup" in layers):
-        # Naive column-parallel sharding of a fused [q|k|v] weight would
-        # give chip 0 the first N/tp columns — q columns only, not a
-        # (q, k, v) head shard. Shard per-name params, then fuse each
-        # chip's local shards (models.llama.fuse_llama_params is the
-        # single-device transform).
-        msg = "shard_llama_params requires UNFUSED params (wq/wk/wv, w_gate/w_up)"
-        raise ValueError(msg)
+    fused_keys = ("wqkv", "w_gateup", "wq_kva", "shared_gateup")
+    if isinstance(params, dict):
+        for stack in ("layers", "layers_dense", "layers_moe"):
+            layers = params.get(stack)
+            if isinstance(layers, dict) and any(k in layers for k in fused_keys):
+                # Naive column-parallel sharding of a fused [q|k|v] weight
+                # would give chip 0 the first N/tp columns — q columns
+                # only, not a (q, k, v) head shard. Shard per-name params,
+                # then fuse each chip's local shards
+                # (models.llama.fuse_llama_params_sharded).
+                msg = "shard_llama_params requires UNFUSED params (wq/wk/wv, w_gate/w_up)"
+                raise ValueError(msg)
     return jax.device_put(params, llama_param_shardings(params, mesh))
 
 

@@ -179,3 +179,54 @@ def test_requantize_matches_native_init(rng):
     preds = _replay_argmax(requant, cfg, prompt + out)
     for j, tok in enumerate(out):
         assert preds[len(prompt) - 1 + j] == tok
+
+
+def test_deepseek_fused_params_parity(moe_model, rng):
+    """fuse_deepseek_params ([wq|w_kv_a], gate|up, shared gate|up): fused
+    verify-forward logits match the unfused model."""
+    from conch_tpu.models.deepseek import fuse_deepseek_params
+
+    cfg, params = moe_model
+    fused = fuse_deepseek_params(params)
+    assert "wq_kva" in fused["layers_moe"] and "w_kv_a" not in fused["layers_moe"]
+    assert "w_gateup" in fused["layers_dense"]
+    assert "shared_gateup" in fused["layers_moe"]
+    tokens = rng.integers(0, cfg.vocab_size, 12).tolist()
+    a = _replay_argmax(params, cfg, tokens)
+    b = _replay_argmax(fused, cfg, tokens)
+    np.testing.assert_array_equal(a, b)
+
+    # full-logit closeness, not just argmax
+    t = len(tokens)
+    pages = -(-t // 16) + 1
+    outs = []
+    for p in (params, fused):
+        cache = init_deepseek_kv_cache(cfg, pages, 16, dtype=jnp.float32)
+        positions = jnp.arange(t, dtype=jnp.int32)
+        logits, _, _ = deepseek_verify_forward(
+            p, cfg, jnp.asarray(tokens, jnp.int32), positions,
+            jnp.asarray([0, t], jnp.int32), t, jnp.asarray([t], jnp.int32),
+            jnp.arange(pages, dtype=jnp.int32)[None, :], positions,
+            cache, jnp.zeros((0,), jnp.float32),
+        )
+        outs.append(np.asarray(logits))
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-4, rtol=1e-4)
+
+
+def test_deepseek_qlora_fused_parity(rng):
+    """q-LoRA variant: fused [wq_a|w_kv_a] with the in-path q_a_norm."""
+    from conch_tpu.models.deepseek import fuse_deepseek_params
+
+    cfg = DeepseekV2Config(
+        vocab_size=128, hidden_size=64, num_layers=2, num_heads=4,
+        q_lora_rank=32, kv_lora_rank=32, qk_rope_head_dim=16,
+        qk_nope_head_dim=32, v_head_dim=32, intermediate_size=64,
+        dtype=jnp.float32,
+    )
+    params = init_deepseek_params(7, cfg)
+    fused = fuse_deepseek_params(params)
+    assert "wq_kva" in fused["layers_dense"] and "wq_a" not in fused["layers_dense"]
+    tokens = rng.integers(0, cfg.vocab_size, 10).tolist()
+    np.testing.assert_array_equal(
+        _replay_argmax(params, cfg, tokens), _replay_argmax(fused, cfg, tokens)
+    )

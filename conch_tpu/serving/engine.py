@@ -344,6 +344,20 @@ class LLMEngine:
                 self.params = fuse_llama_params(self.params)
             else:
                 self.params = fuse_llama_params_sharded(self.params, mesh)
+        elif mesh is None:
+            # Known model families fuse too (their layer steps consume
+            # fused stacks); unrecognized custom fns keep their schema.
+            from conch_tpu.models.deepseek import deepseek_decode_step, fuse_deepseek_params
+            from conch_tpu.models.gemma import gemma_decode_step
+            from conch_tpu.models.llama import fuse_llama_params
+            from conch_tpu.models.moe import mixtral_decode_step
+
+            if decode_fn is deepseek_decode_step:
+                self.params = fuse_deepseek_params(self.params)
+            elif decode_fn in (gemma_decode_step, mixtral_decode_step):
+                # Mixtral: attention QKV only — the expert stacks are raw
+                # arrays and fuse_llama_params skips non-QuantizedLinear.
+                self.params = fuse_llama_params(self.params)
         if mesh is not None:
             self._prefill_fn, self._decode_fn, self._verify_fn = self._make_tp_steps(
                 mesh, prefill_fn, decode_fn, verify_fn

@@ -52,13 +52,19 @@ def padded_out_features(n: int) -> int:
     vs 300-460 for the 2048-tiled projections on v5e) — padding N up to a
     2048 multiple at PACK time (+0.6%% bytes for the vocab case) buys the
     full-width tile without any per-call jnp.pad of the weight.
+
+    N is ALWAYS rounded up to a 128 multiple: the stacked scalar-prefetch
+    kernel refuses tile padding (it would copy the weight stack per
+    call), so a non-128-multiple N (DeepSeek's w_kv_a at 576, tiny test
+    shapes) would silently fall back to the slice-copy path — the exact
+    2-7x bandwidth tax stacked mode exists to avoid.
     """
     from conch_tpu.kernels.common import round_up
 
     n128 = round_up(n, 128)
     best = max(d for d in range(128, min(n128, 2048) + 1, 128) if n128 % d == 0)
     if best >= 1024 or n <= 4096:
-        return n
+        return n128
     return round_up(n, 2048)
 
 

@@ -67,7 +67,11 @@ def quantize_weights(
     s_full = np.repeat(w_s, group_size, axis=0)  # (K, N)
     zp_full = np.repeat(w_zp, group_size, axis=0) if w_zp is not None else 0
 
-    w_q = np.round(w / s_full).astype(np.int64) + zp_full
+    # All-zero columns (pack-time N padding) have scale 0: quantize them
+    # with scale 1 so 0/0 never produces nan codes (dequant is exact
+    # either way — scale 0 times any code is 0).
+    s_safe = np.where(s_full == 0.0, 1.0, s_full)
+    w_q = np.round(w / s_safe).astype(np.int64) + zp_full
     w_q = np.clip(w_q, min_q, max_q)
 
     w_ref = ((w_q - zp_full) * s_full).astype(orig_dtype)

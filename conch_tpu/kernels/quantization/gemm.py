@@ -192,6 +192,20 @@ def _mixed_gemm_kernel(
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+# Measured-best (bk, bn) for the fused Llama-8B serving shapes, m=8 decode,
+# magic layout, v5e (tools/drive/logs/exp_gemm_tiles_r5.log + confirms).
+# The generic heuristic covers everything else; these pins also encode the
+# two shapes where it guesses wrong (N=6144 prefers 2048 over 3072/6144;
+# N=129024 prefers 3584 over 7168 — 1062 vs 801 GB/s).
+_MAGIC_TILE_PINS: dict[tuple[int, int], tuple[int, int]] = {
+    (4096, 6144): (2048, 2048),    # fused wqkv
+    (4096, 4096): (2048, 4096),    # wo
+    (4096, 28672): (2048, 4096),   # fused gate|up
+    (14336, 4096): (2048, 4096),   # w_down
+    (4096, 129024): (2048, 3584),  # lm_head (padded 128256 vocab)
+}
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -313,10 +327,15 @@ def mixed_precision_gemm_launcher(
                 bk *= 2
         if block_n is not None:
             bn = block_n
+        elif (k_dim, n_dim) in _MAGIC_TILE_PINS:
+            pk, pn = _MAGIC_TILE_PINS[(k_dim, n_dim)]
+            bk, bn = (pk if block_k is None else bk), pn
         else:
-            # Widest lane tile that fits scoped VMEM: weight tile double-
-            # buffered + x + f32 acc + out + scales. bk2048/bn7168 at bm16
-            # compiles on v5e (est 16.2 MB); bk4096/bn3584 does not.
+            # Lane tile: widest divisor whose DOUBLE-BUFFERED weight tile
+            # stays <= 8 MB. Wider tiles still "fit" the 16 MB scoped VMEM
+            # on paper but measurably lose DMA/compute overlap (r5 sweep,
+            # exp_gemm_tiles_r5.log: gateup N=28672 bn7168 573 GB/s vs
+            # bn4096 849; lm_head N=129024 bn7168 801 vs bn3584 1062).
             def vmem_est(bn_c: int) -> int:
                 return (
                     2 * (bk // 8) * bn_c * 4
@@ -328,7 +347,8 @@ def mixed_precision_gemm_launcher(
 
             cands = [d for d in range(128, min(n128, 7168) + 1, 128) if n128 % d == 0]
             fitting = [d for d in cands if vmem_est(d) <= 16_200_000]
-            bn = max(fitting) if fitting else min(cands)
+            comfy = [d for d in fitting if 2 * (bk // 8) * d * 4 <= 8 * 1024 * 1024]
+            bn = max(comfy) if comfy else (max(fitting) if fitting else min(cands))
     else:
         if block_n is not None:
             bn = block_n

@@ -327,7 +327,11 @@ def mixed_precision_gemm_launcher(
                 bk *= 2
         if block_n is not None:
             bn = block_n
-        elif (k_dim, n_dim) in _MAGIC_TILE_PINS:
+        elif (k_dim, n_dim) in _MAGIC_TILE_PINS and bm <= 32:
+            # Decode-only pins: they were swept at m=8 (bm=16). At prefill
+            # bm=256 the x/acc/out tiles grow ~16x and the pinned bn blows
+            # the 16 MB scoped VMEM (engine_benchmark OOM, r5) — fall
+            # through to the est-based heuristic there.
             pk, pn = _MAGIC_TILE_PINS[(k_dim, n_dim)]
             bk, bn = (pk if block_k is None else bk), pn
         else:

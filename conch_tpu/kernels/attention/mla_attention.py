@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from conch_tpu.kernels.common import round_up, use_interpret_mode
+from conch_tpu.kernels.common import round_up, use_interpret_mode, cast_kv, kv_mxu_dtype
 
 _NEG_INF = -1e30
 _LOG2E = 1.4426950408889634
@@ -102,7 +102,7 @@ def _mla_dma_kernel(
     acc_scr[...] = jnp.zeros_like(acc_scr)
 
     kv_dtype = kv_buf.dtype
-    mxu_dtype = kv_dtype if kv_dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    mxu_dtype = kv_mxu_dtype(kv_dtype)
     q = q_ref[0].astype(mxu_dtype)  # (cq_rows, KD)
     last_page = jnp.maximum(jax.lax.div(kv_limit - 1, page_size), 0)
 
@@ -141,7 +141,7 @@ def _mla_dma_kernel(
         for cp in wave(c, slot):
             cp.wait()
 
-        k = kv_buf[slot].reshape(chunk_tokens, kv_buf.shape[-1]).astype(mxu_dtype)
+        k = cast_kv(kv_buf[slot].reshape(chunk_tokens, kv_buf.shape[-1]), mxu_dtype)
         # One dot covers latent + rope scores (pad columns hit zero q).
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32

@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from conch_tpu.kernels.common import round_up, use_interpret_mode
+from conch_tpu.kernels.common import round_up, use_interpret_mode, cast_kv, kv_mxu_dtype
 
 _NEG_INF = -1e30
 _LOG2E = 1.4426950408889634  # softmax in base 2 (exp2 is cheaper on the VPU)
@@ -110,7 +110,7 @@ def _paged_allheads_kernel(
     acc_scr[...] = jnp.zeros_like(acc_scr)
 
     kv_dtype = k_buf.dtype
-    mxu_dtype = kv_dtype if kv_dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    mxu_dtype = kv_mxu_dtype(kv_dtype)
     eff_scale = scale * k_scale_ref[0]
 
     def wave(seq, lastp, c, slot, action):
@@ -174,7 +174,7 @@ def _paged_allheads_kernel(
         kh, gp = num_kv_heads, group_pad
         d = k_buf.shape[-1]
         q3 = q_ref[0].astype(mxu_dtype)  # (KH, G_pad, D)
-        k3 = k_buf[slot].reshape(kh, chunk_tokens, d).astype(mxu_dtype)
+        k3 = cast_kv(k_buf[slot].reshape(kh, chunk_tokens, d), mxu_dtype)
         s = jax.lax.dot_general(
             q3, k3, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -205,7 +205,7 @@ def _paged_allheads_kernel(
             l_new.reshape(kh * gp, 1), (kh * gp, l_scr.shape[-1])
         )
 
-        v3 = v_buf[slot].reshape(kh, chunk_tokens, d).astype(mxu_dtype)
+        v3 = cast_kv(v_buf[slot].reshape(kh, chunk_tokens, d), mxu_dtype)
         pv = jax.lax.dot_general(
             p.astype(mxu_dtype), v3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -290,7 +290,7 @@ def _paged_attention_kernel(
     # MXU eats the cache dtype directly (bf16 x bf16 -> f32): no VMEM-wide
     # f32 casts in the hot loop. int8/fp8 caches still upcast (no bf16 rep).
     kv_dtype = k_buf.dtype
-    mxu_dtype = kv_dtype if kv_dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    mxu_dtype = kv_mxu_dtype(kv_dtype)
     q = q_ref[0, 0].astype(mxu_dtype)  # (G_pad, D)
     eff_scale = scale * k_scale_ref[0]
     last_page = jnp.maximum(num_pages - 1, 0)
@@ -353,7 +353,7 @@ def _paged_attention_kernel(
 
         wave(c, slot, "wait")
 
-        k = k_buf[slot].reshape(chunk_tokens, k_buf.shape[-1]).astype(mxu_dtype)
+        k = cast_kv(k_buf[slot].reshape(chunk_tokens, k_buf.shape[-1]), mxu_dtype)
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * eff_scale  # (G_pad, chunk_tokens)
@@ -376,7 +376,7 @@ def _paged_attention_kernel(
         alpha = jnp.exp(m_prev - m_new)
         l_scr[...] = jnp.broadcast_to(l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True), l_scr.shape)
 
-        v = v_buf[slot].reshape(chunk_tokens, v_buf.shape[-1]).astype(mxu_dtype)
+        v = cast_kv(v_buf[slot].reshape(chunk_tokens, v_buf.shape[-1]), mxu_dtype)
         acc_scr[...] = acc_scr[...] * alpha + jnp.dot(
             p.astype(mxu_dtype), v, preferred_element_type=jnp.float32
         )

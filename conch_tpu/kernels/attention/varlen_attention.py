@@ -45,7 +45,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from conch_tpu.kernels.common import round_up, use_interpret_mode
+from conch_tpu.kernels.common import round_up, use_interpret_mode, cast_kv, kv_mxu_dtype
 
 _NEG_INF = -1e30
 _LOG2E = 1.4426950408889634  # softmax in base 2: exp2 is cheaper than exp
@@ -133,7 +133,7 @@ def _varlen_dma_kernel(
     acc_scr[...] = jnp.zeros_like(acc_scr)
 
     kv_dtype = k_buf.dtype
-    mxu_dtype = kv_dtype if kv_dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    mxu_dtype = kv_mxu_dtype(kv_dtype)
     q = q_ref[0, 0].astype(mxu_dtype)  # (cq_rows, D)
     eff_scale = qk_scale_ref[0]
     last_page = jnp.maximum(jax.lax.div(kv_limit - 1, page_size), 0)
@@ -189,7 +189,7 @@ def _varlen_dma_kernel(
         for cp in wave(c, slot):
             cp.wait()
 
-        k = k_buf[slot].reshape(chunk_tokens, k_buf.shape[-1]).astype(mxu_dtype)
+        k = cast_kv(k_buf[slot].reshape(chunk_tokens, k_buf.shape[-1]), mxu_dtype)
         if softcap > 0.0:
             s = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -218,7 +218,7 @@ def _varlen_dma_kernel(
         alpha = jnp.exp2(m_prev - m_new)
         l_scr[...] = jnp.broadcast_to(l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True), l_scr.shape)
 
-        v = v_buf[slot].reshape(chunk_tokens, v_buf.shape[-1]).astype(mxu_dtype)
+        v = cast_kv(v_buf[slot].reshape(chunk_tokens, v_buf.shape[-1]), mxu_dtype)
         acc_scr[...] = acc_scr[...] * alpha + jnp.dot(
             p.astype(mxu_dtype), v, preferred_element_type=jnp.float32
         )
@@ -262,9 +262,6 @@ def _varlen_dma_allheads_kernel(
     k_buf,  # (2, KH, C, ps, D) VMEM
     v_buf,
     sems,  # DMA semaphores (2, 2, C)
-    m_scr,  # (KH*cq_rows, 128) f32
-    l_scr,
-    acc_scr,  # (KH*cq_rows, D) f32
     *,
     page_size: int,
     chunk_pages: int,
@@ -284,6 +281,14 @@ def _varlen_dma_allheads_kernel(
     ~100-280 GB/s no matter how wide the waves are). Copying whole
     (KH, ps, D) pages moves KH x the bytes per descriptor; the head loop
     runs inside the kernel over the shared chunk buffer.
+
+    The online-softmax state (m, l, acc) rides the chunk loop as fori_loop
+    VALUE carries, not VMEM scratch: the scratch form re-broadcast m/l to
+    (KH*cq, 128) lanes and re-initialized 3 MB of scratch every grid
+    step — a fixed cost that decode amortizes over many KV chunks but
+    causal prefill (~2-4 chunks per query chunk) does not; the scratch
+    kernel measured 3% of window bandwidth at b8 s2048 prefill
+    (BENCH_RESULTS round-5 first pass).
     """
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -323,12 +328,8 @@ def _varlen_dma_allheads_kernel(
         full_start = jnp.zeros_like(num_chunks)
     start_chunk = jnp.minimum(start_chunk, num_chunks)
 
-    m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
-    l_scr[...] = jnp.zeros_like(l_scr)
-    acc_scr[...] = jnp.zeros_like(acc_scr)
-
     kv_dtype = k_buf.dtype
-    mxu_dtype = kv_dtype if kv_dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    mxu_dtype = kv_mxu_dtype(kv_dtype)
     eff_scale = qk_scale_ref[0]
     last_page = jnp.maximum(jax.lax.div(kv_limit - 1, page_size), 0)
 
@@ -371,7 +372,10 @@ def _varlen_dma_allheads_kernel(
         for cp in wave(start_chunk, jax.lax.rem(start_chunk, 2)):
             cp.start()
 
-    def process(c, masked: bool):
+    kh, d = num_kv_heads, k_buf.shape[-1]
+
+    def process(c, carry, masked: bool):
+        m_prev, l_prev, acc = carry  # (KH, cq), (KH, cq), (KH, cq, D)
         slot = jax.lax.rem(c, 2)
         next_slot = jax.lax.rem(c + 1, 2)
 
@@ -392,9 +396,8 @@ def _varlen_dma_allheads_kernel(
         # Head-BATCHED compute (see paged_attention.py): one batched QK
         # dot, one 3D online-softmax update, one batched PV — avoids
         # num_kv_heads sequential small-op chains per chunk.
-        kh, d = num_kv_heads, k_buf.shape[-1]
         q3 = q_ref[0].astype(mxu_dtype)  # (KH, cq_rows, D)
-        k3 = k_buf[slot].reshape(kh, chunk_tokens, d).astype(mxu_dtype)
+        k3 = cast_kv(k_buf[slot].reshape(kh, chunk_tokens, d), mxu_dtype)
         s = jax.lax.dot_general(
             q3, k3, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -408,52 +411,43 @@ def _varlen_dma_allheads_kernel(
         if masked:
             s = jnp.where(mask[None, :, :], s, _NEG_INF)
 
-        m_prev = m_scr[:, :1].reshape(kh, cq_rows, 1)
-        l_prev = l_scr[:, :1].reshape(kh, cq_rows, 1)
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
 
-        p = jnp.exp2(s - m_new)
+        p = jnp.exp2(s - m_new[:, :, None])
         if masked:
             # Fully-masked rows (query padding): keep p at 0.
-            p = jnp.where(m_new > _NEG_INF / 2, p, 0.0)
+            p = jnp.where((m_new > _NEG_INF / 2)[:, :, None], p, 0.0)
         alpha = jnp.exp2(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        l_scr[...] = jnp.broadcast_to(
-            l_new.reshape(kh * cq_rows, 1), (kh * cq_rows, l_scr.shape[-1])
-        )
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1)
 
-        v3 = v_buf[slot].reshape(kh, chunk_tokens, d).astype(mxu_dtype)
+        v3 = cast_kv(v_buf[slot].reshape(kh, chunk_tokens, d), mxu_dtype)
         pv = jax.lax.dot_general(
             p.astype(mxu_dtype), v3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (KH, cq_rows, D)
-        acc_scr[...] = acc_scr[...] * alpha.reshape(kh * cq_rows, 1) + pv.reshape(
-            kh * cq_rows, d
-        )
-        m_scr[...] = jnp.broadcast_to(
-            m_new.reshape(kh * cq_rows, 1), (kh * cq_rows, m_scr.shape[-1])
-        )
+        acc = acc * alpha[:, :, None] + pv
+        return m_new, l_new, acc
 
-    def full_body(c, _):
-        process(c, masked=False)
-        return 0
+    def full_body(c, carry):
+        return process(c, carry, masked=False)
 
-    def masked_body(c, _):
-        process(c, masked=True)
-        return 0
+    def masked_body(c, carry):
+        return process(c, carry, masked=True)
 
+    carry = (
+        jnp.full((kh, cq_rows), _NEG_INF, jnp.float32),
+        jnp.zeros((kh, cq_rows), jnp.float32),
+        jnp.zeros((kh, cq_rows, d), jnp.float32),
+    )
     if window > 0:
-        jax.lax.fori_loop(start_chunk, full_start, masked_body, 0)
-        jax.lax.fori_loop(full_start, num_full, full_body, 0)
+        carry = jax.lax.fori_loop(start_chunk, full_start, masked_body, carry)
+        carry = jax.lax.fori_loop(full_start, num_full, full_body, carry)
     else:
-        jax.lax.fori_loop(0, num_full, full_body, 0)
-    jax.lax.fori_loop(num_full, num_chunks, masked_body, 0)
+        carry = jax.lax.fori_loop(0, num_full, full_body, carry)
+    m_fin, l_fin, acc_fin = jax.lax.fori_loop(num_full, num_chunks, masked_body, carry)
 
-    for h in range(num_kv_heads):
-        r0, r1 = h * cq_rows, (h + 1) * cq_rows
-        l = l_scr[r0:r1, :1]
-        normalized = acc_scr[r0:r1, :] / jnp.where(l > 0.0, l, 1.0)
-        o_ref[0, h] = (normalized * v_scale_ref[0]).astype(o_ref.dtype)
+    normalized = acc_fin / jnp.where(l_fin > 0.0, l_fin, 1.0)[:, :, None]
+    o_ref[0] = (normalized * v_scale_ref[0]).astype(o_ref.dtype)
 
 
 def _varlen_attention_kernel(
@@ -673,7 +667,9 @@ def varlen_attention_launcher(
 
     def _allheads_vmem(cq: int, ct: int) -> int:
         bufs = 2 * 2 * num_kv_heads * ct * head_size * kv_itemsize
-        stats = num_kv_heads * cq * (2 * 128 + head_size) * 4
+        # Online-softmax state is fori_loop-carried (m, l, acc) — roughly
+        # one (KH, cq, D) f32 acc plus narrow m/l vectors.
+        stats = num_kv_heads * cq * (head_size + 2 * 8) * 4
         qo = 2 * 2 * num_kv_heads * cq * head_size * jnp.dtype(query.dtype).itemsize
         # In-kernel chunk-load temporaries: each processed KV chunk is
         # loaded from its double buffer and reshaped ((slot) -> (ct, KH*D))
@@ -682,7 +678,11 @@ def varlen_attention_launcher(
         # estimate compile to a 22.4 MB stack and OOM scoped VMEM at
         # page_size 16 (engine prefill, tools/drive/logs/engine_r4.log).
         temps = 2 * num_kv_heads * ct * head_size * kv_itemsize
-        return bufs + stats + qo + temps
+        # s and p — the (KH, cq, ct) f32 softmax logits/weights — are the
+        # largest stack temporaries with the loop-carried state (r5: an
+        # unmodeled pair OOM'd at cq=256, ct=512 with 17.96 MB).
+        softmax_tmp = 2 * num_kv_heads * cq * ct * 4
+        return bufs + stats + qo + temps + softmax_tmp
 
     # Refetch traffic scales as total_rows / cq_rows (each query chunk
     # re-reads its KV prefix), so prefer the LARGEST cq_rows the VMEM
@@ -740,9 +740,6 @@ def varlen_attention_launcher(
                 pltpu.VMEM((2, num_kv_heads, chunk_pages, page_size, head_size), key_cache.dtype),
                 pltpu.VMEM((2, num_kv_heads, chunk_pages, page_size, head_size), value_cache.dtype),
                 pltpu.SemaphoreType.DMA((2, 2, chunk_pages)),
-                pltpu.VMEM((num_kv_heads * cq_rows, 128), jnp.float32),
-                pltpu.VMEM((num_kv_heads * cq_rows, 128), jnp.float32),
-                pltpu.VMEM((num_kv_heads * cq_rows, head_size), jnp.float32),
             ],
         )
 

@@ -75,3 +75,47 @@ def min_sublane(dtype) -> int:
 
     itemsize = jnp.dtype(dtype).itemsize
     return {4: 8, 2: 16, 1: 32}.get(itemsize, 8)
+
+
+def kv_mxu_dtype(kv_dtype):
+    """MXU compute dtype for a KV-cache buffer dtype.
+
+    bf16/f32 feed the MXU directly. fp8 (e4m3) converts to bf16 via
+    :func:`cast_kv`'s bit algebra — v5e has no native fp8, and XLA's
+    fp8->f32 convert lowers to a scalar ladder that measured ~70 GB/s
+    attention vs 698 for int8 on identical geometry
+    (tools/drive/logs/kvquant_fp8_ctx8192_r5.log). int8 keeps the native
+    int->f32 convert.
+    """
+    import jax.numpy as jnp
+
+    if kv_dtype in (jnp.bfloat16, jnp.float32):
+        return kv_dtype
+    if kv_dtype == jnp.float8_e4m3fn:
+        return jnp.bfloat16
+    return jnp.float32
+
+
+def cast_kv(x, target):
+    """``x.astype(target)`` with an exact bit-algebra fast path for
+    fp8e4m3 -> bf16: sign/exponent/mantissa remap (bias 7 -> 127, mantissa
+    << 4) for normals plus the exact subnormal path (mant * 2^-9). All
+    finite e4m3 values convert exactly; e4m3's single NaN encoding maps to
+    a finite value (KV caches never legitimately hold NaN).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if x.dtype == jnp.float8_e4m3fn and target == jnp.bfloat16:
+        bits = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.int32)
+        sign = (bits >> 7) & 1
+        exp = (bits >> 3) & 0xF
+        mant = bits & 0x7
+        normal = (sign << 15) | ((exp + 120) << 7) | (mant << 4)
+        normal_bf16 = jax.lax.bitcast_convert_type(
+            normal.astype(jnp.uint16), jnp.bfloat16
+        )
+        sub = (mant.astype(jnp.float32) * 2.0**-9).astype(jnp.bfloat16)
+        sub = jnp.where(sign == 1, -sub, sub)
+        return jnp.where(exp == 0, sub, normal_bf16)
+    return x.astype(target)

@@ -373,6 +373,12 @@ def _varlen_dma_allheads_kernel(
             cp.start()
 
     kh, d = num_kv_heads, k_buf.shape[-1]
+    # Natural-layout q block (cq_q, QH, D) -> (KH, cq_rows, D) GQA row
+    # packing, ONCE per grid step in VMEM (hoisted out of the chunk loop).
+    # This replaces a host-side transpose of the whole padded query.
+    cq_q = cq_rows // group
+    q4 = q_ref[0].reshape(cq_q, num_kv_heads, group, d)
+    q3 = jnp.transpose(q4, (1, 0, 2, 3)).reshape(kh, cq_rows, d).astype(mxu_dtype)
 
     def process(c, carry, masked: bool):
         m_prev, l_prev, acc = carry  # (KH, cq), (KH, cq), (KH, cq, D)
@@ -396,7 +402,6 @@ def _varlen_dma_allheads_kernel(
         # Head-BATCHED compute (see paged_attention.py): one batched QK
         # dot, one 3D online-softmax update, one batched PV — avoids
         # num_kv_heads sequential small-op chains per chunk.
-        q3 = q_ref[0].astype(mxu_dtype)  # (KH, cq_rows, D)
         k3 = cast_kv(k_buf[slot].reshape(kh, chunk_tokens, d), mxu_dtype)
         s = jax.lax.dot_general(
             q3, k3, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -446,8 +451,10 @@ def _varlen_dma_allheads_kernel(
         carry = jax.lax.fori_loop(0, num_full, full_body, carry)
     m_fin, l_fin, acc_fin = jax.lax.fori_loop(num_full, num_chunks, masked_body, carry)
 
-    normalized = acc_fin / jnp.where(l_fin > 0.0, l_fin, 1.0)[:, :, None]
-    o_ref[0] = (normalized * v_scale_ref[0]).astype(o_ref.dtype)
+    normalized = (acc_fin / jnp.where(l_fin > 0.0, l_fin, 1.0)[:, :, None]) * v_scale_ref[0]
+    # Invert the GQA packing into the natural (cq_q, QH, D) output block.
+    o4 = normalized.reshape(kh, cq_q, group, d)
+    o_ref[0] = jnp.transpose(o4, (1, 0, 2, 3)).reshape(cq_q, kh * group, d).astype(o_ref.dtype)
 
 
 def _varlen_attention_kernel(
@@ -645,16 +652,25 @@ def varlen_attention_launcher(
         query = query.astype(jnp.float32)
 
     # --- Ragged -> padded rectangle (B, max_q, QH, D) -------------------
+    # GATHER with clamped indices, not zeros+scatter: the scatter lowers
+    # ~40% slower on TPU (3.0 vs 2.2 ms at b8 s2048 qh32, r5 probe), and
+    # rows past a sequence's length may hold garbage — they are masked to
+    # -inf in the kernel (row_limit = -1) and never gathered back out.
     token_ids = jnp.arange(total_q, dtype=jnp.int32)
     seq_of_token = jnp.searchsorted(cu_seqlens_q.astype(jnp.int32), token_ids, side="right") - 1
     pos_in_seq = token_ids - cu_seqlens_q.astype(jnp.int32)[seq_of_token]
 
-    q_pad = jnp.zeros((batch, max_seqlen_q, num_q_heads, head_size), dtype=query.dtype)
-    q_pad = q_pad.at[seq_of_token, pos_in_seq].set(query)
-
-    # (B, max_q, KH, G, D) -> (B, KH, max_q*G, D): group packs fastest.
-    q_pad = q_pad.reshape(batch, max_seqlen_q, num_kv_heads, group, head_size)
-    q_pad = q_pad.transpose(0, 2, 1, 3, 4).reshape(batch, num_kv_heads, max_seqlen_q * group, head_size)
+    def padded_q(mq: int) -> jax.Array:
+        """(B, mq, QH, D) row-padded queries (clamped gather)."""
+        pad_idx = jnp.clip(
+            cu_seqlens_q.astype(jnp.int32)[:-1, None]
+            + jnp.arange(mq, dtype=jnp.int32)[None, :],
+            0,
+            total_q - 1,
+        )
+        return jnp.take(query, pad_idx.reshape(-1), axis=0).reshape(
+            batch, mq, num_q_heads, head_size
+        )
 
     total_rows = max_seqlen_q * group
     # Path choice. Manual-DMA kernels need lane-aligned heads; among them,
@@ -704,9 +720,28 @@ def varlen_attention_launcher(
     cq_cap = (ah_cq if all_heads else q_chunk_rows) if dma_path else 256
     cq_rows = min(round_up(total_rows, 8), cq_cap if group <= cq_cap else round_up(group, 8))
     cq_rows = max(cq_rows, round_up(group, 8))
-    rows_padded = round_up(total_rows, cq_rows)
-    if rows_padded != total_rows:
-        q_pad = jnp.pad(q_pad, ((0, 0), (0, 0), (0, rows_padded - total_rows), (0, 0)))
+    if all_heads:
+        # Natural-q layout: the kernel consumes (1, cq_q, QH, D) blocks
+        # and repacks to (KH, cq_rows, D) in VMEM — the host-side GQA
+        # transpose of the whole padded query (2 x 134 MB of HBM layout
+        # traffic at Llama-8B prefill, ~40% of the op's wall time in
+        # round-5 profiling) disappears. cq_rows must then be a whole
+        # number of query tokens.
+        cq_rows = round_up(cq_rows, group)
+        cq_q = cq_rows // group
+        mq_pad = round_up(max_seqlen_q, cq_q)
+        rows_padded = mq_pad * group
+        q_pad = padded_q(mq_pad)
+    else:
+        q_nat = padded_q(max_seqlen_q)
+        # (B, max_q, KH, G, D) -> (B, KH, max_q*G, D): group packs fastest.
+        q_pad = q_nat.reshape(batch, max_seqlen_q, num_kv_heads, group, head_size)
+        q_pad = q_pad.transpose(0, 2, 1, 3, 4).reshape(
+            batch, num_kv_heads, max_seqlen_q * group, head_size
+        )
+        rows_padded = round_up(total_rows, cq_rows)
+        if rows_padded != total_rows:
+            q_pad = jnp.pad(q_pad, ((0, 0), (0, 0), (0, rows_padded - total_rows), (0, 0)))
     num_q_chunks = rows_padded // cq_rows
 
     seq_lens_q = (cu_seqlens_q[1:] - cu_seqlens_q[:-1]).astype(jnp.int32)
@@ -721,20 +756,20 @@ def varlen_attention_launcher(
         chunk_pages = max(1, min(ah_ct // page_size, max_pages))
 
         def q_index_ah(b, t, bt, slq, slk, li):
-            return (b, 0, t, 0)
+            return (b, t, 0, 0)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(batch, num_q_chunks),
             in_specs=[
-                pl.BlockSpec((1, num_kv_heads, cq_rows, head_size), q_index_ah, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cq_q, num_q_heads, head_size), q_index_ah, memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, num_kv_heads, cq_rows, head_size), q_index_ah, memory_space=pltpu.VMEM
+                (1, cq_q, num_q_heads, head_size), q_index_ah, memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, num_kv_heads, chunk_pages, page_size, head_size), key_cache.dtype),
@@ -757,7 +792,7 @@ def varlen_attention_launcher(
                 num_kv_heads=num_kv_heads,
                 stacked=stacked,
             ),
-            out_shape=jax.ShapeDtypeStruct((batch, num_kv_heads, rows_padded, head_size), out_dtype),
+            out_shape=jax.ShapeDtypeStruct((batch, mq_pad, num_q_heads, head_size), out_dtype),
             grid_spec=grid_spec,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary"),
@@ -774,6 +809,9 @@ def varlen_attention_launcher(
             qk_scale.reshape(1),
             v_scale_arr,
         )
+        # Natural layout out: (B, mq_pad, QH, D) -> ragged rows directly.
+        out = out.reshape(batch * mq_pad, num_q_heads, head_size)
+        return jnp.take(out, seq_of_token * mq_pad + pos_in_seq, axis=0)
     elif dma_path:
         chunk_pages = max(1, min(chunk_tokens // page_size, max_pages))
 
@@ -910,7 +948,8 @@ def varlen_attention_launcher(
             v_scale_arr,
         )
 
-    # Padded rectangle -> ragged: invert the packing and gather valid rows.
+    # Padded rectangle -> ragged: invert the packing, then ONE flat take
+    # (a 2D advanced-index gather lowers to a slower multi-dim gather).
     out = out[:, :, :total_rows, :].reshape(batch, num_kv_heads, max_seqlen_q, group, head_size)
-    out = out.transpose(0, 2, 1, 3, 4).reshape(batch, max_seqlen_q, num_q_heads, head_size)
-    return out[seq_of_token, pos_in_seq]
+    out = out.transpose(0, 2, 1, 3, 4).reshape(batch * max_seqlen_q, num_q_heads, head_size)
+    return jnp.take(out, seq_of_token * max_seqlen_q + pos_in_seq, axis=0)

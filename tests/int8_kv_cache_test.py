@@ -56,3 +56,19 @@ def test_paged_attention_int8_kv(rng):
         sm_scale, k_scale=scale, v_scale=scale,
     )
     np.testing.assert_allclose(np.asarray(out, np.float32), expected, atol=3e-2, rtol=3e-2)
+
+
+def test_fp8_bit_algebra_cast_exhaustive():
+    """cast_kv's e4m3->bf16 bit algebra is exact for every finite encoding
+    (the kernels' fp8 dequant fast path; v5e has no native fp8)."""
+    import jax
+    import numpy as np
+
+    from conch_tpu.kernels.common import cast_kv
+
+    bits = np.arange(256, dtype=np.uint8)
+    x = jax.lax.bitcast_convert_type(jnp.asarray(bits), jnp.float8_e4m3fn)
+    got = np.asarray(cast_kv(x, jnp.bfloat16), np.float32)
+    want = np.asarray(x.astype(jnp.float32))
+    finite = ~np.isnan(want)
+    np.testing.assert_array_equal(got[finite], want[finite])

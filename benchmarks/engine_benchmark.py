@@ -87,7 +87,10 @@ def main() -> None:
 
     decode_step()  # warm the decode jit before timing
 
-    tag = "engine_decode_step_b%d_ctx%d" % (args.batch, args.context)
+    # num_layers MUST be in the tag: r5's ledger held a 32-layer and a
+    # default-layer row under one name and flagged a phantom 2.1x
+    # inter-window contradiction.
+    tag = "engine_decode_step_l%d_b%d_ctx%d" % (args.num_layers, args.batch, args.context)
     if args.multi_step > 1:
         tag += "_k%d" % args.multi_step
     results = run_and_report(args, [(tag, decode_step)])

@@ -101,6 +101,20 @@ def record_measurements(
         device = jax.devices()[0].device_kind
     except Exception:
         device = "unknown"
+    # Stamp the code version: a "contradiction" between two windows is
+    # only a measurement problem when the code was the same — before/after
+    # a kernel fix, a 2x spread is the *point* (e.g. the r5 fp8 bit-algebra
+    # dequant moved 70 -> 196 GB/s; the checker groups by (tag, git)).
+    try:
+        import subprocess
+
+        git = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=5,
+            cwd=pathlib.Path(__file__).resolve().parents[2],
+        ).stdout.strip() or None
+    except Exception:
+        git = None
     ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     try:
         pathlib.Path(path).parent.mkdir(parents=True, exist_ok=True)
@@ -118,6 +132,7 @@ def record_measurements(
                             "achieved_gbps": r.achieved_gbps,
                             "calibration_gbps": calibration_gbps,
                             "device": device,
+                            "git": git,
                             "unstable": bool(r.metadata.get("unstable")),
                             "over_window": bool(r.metadata.get("over_window")),
                         }

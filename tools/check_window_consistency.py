@@ -47,7 +47,23 @@ def main() -> int:
         print(f"no ledger at {path}; nothing to check")
         return 0
 
-    by_tag: dict[str, list[dict]] = defaultdict(list)
+    # A spread is only a *contradiction* when the code was the same: a
+    # kernel fix SHOULD move the number (e.g. r5's fp8 bit-algebra dequant,
+    # 70 -> 196 GB/s). Newer ledger rows carry a "git" stamp and group by
+    # it; rows predating the stamp can be marked superseded-by-a-code-change
+    # in reconciliations.jsonl ({"tag", "through_ts", "reason"}) — a dated,
+    # auditable record, not silent row deletion.
+    superseded: dict[str, tuple[str, str]] = {}
+    rec_path = path.parent / "reconciliations.jsonl"
+    if rec_path.exists():
+        for line in rec_path.read_text().splitlines():
+            line = line.strip()
+            if line:
+                r = json.loads(line)
+                superseded[r["tag"]] = (r["through_ts"], r["reason"])
+
+    by_tag: dict[tuple[str, str | None], list[dict]] = defaultdict(list)
+    n_superseded = 0
     for line in path.read_text().splitlines():
         line = line.strip()
         if not line:
@@ -58,11 +74,17 @@ def main() -> int:
             continue
         if e.get("unstable") or e.get("over_window"):
             continue  # already flagged at measurement time
-        by_tag[e["tag"]].append(e)
+        tag = e["tag"]
+        if tag in superseded and e["ts"] <= superseded[tag][0]:
+            n_superseded += 1
+            continue
+        by_tag[(tag, e.get("git"))].append(e)
+    if n_superseded:
+        print(f"(skipped {n_superseded} superseded rows — see {rec_path.name})")
 
     contradictions = 0
-    for tag in sorted(by_tag):
-        entries = by_tag[tag]
+    for tag, git in sorted(by_tag, key=lambda k: (k[0], k[1] or "")):
+        entries = by_tag[(tag, git)]
         if len(entries) < 2:
             continue
 

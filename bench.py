@@ -144,9 +144,24 @@ def main() -> None:
             vocab_size=512, hidden_size=512, intermediate_size=1024,
             num_layers=2, num_heads=4, num_kv_heads=2, head_dim=128, max_position=4096,
         )
-    # Cap context to the benchmark block-table width.
+    # Run STEPS decode steps inside ONE jitted scan (token feedback via
+    # argmax) so per-dispatch host/tunnel latency amortizes away; the
+    # caches advance one real token per step, exactly like serving.
+    # exp_wallclock_r5.log fits the per-call cost at ~25 ms fixed
+    # (dispatch + readback through the dev tunnel) over an ~8.1 ms/step
+    # device step (11.2/9.6/8.9 ms/step at scan lengths 8/16/32), so
+    # longer scans measure the chip, not the tunnel; 64 leaves ~0.4
+    # ms/step of fixed cost. Greedy multi-step decode is the engine's
+    # own production mode (serving/engine.py multi_step_decode).
+    steps_per_call = 64
+
+    # Positions START at context-1 and grow upward through the timed
+    # steps, so every timed step reads >= `context` tokens of KV — the
+    # roofline denominator assumes exactly `context`, making vs_baseline
+    # strictly conservative. Size the block tables for the full excursion.
     page_size = 64
-    pages_per_seq = -(-args.context // page_size) + 1
+    max_pos = args.context + (args.iters + 2) * steps_per_call
+    pages_per_seq = -(-max_pos // page_size) + 1
     num_pages = args.batch * pages_per_seq + 1
 
     from conch_tpu.models.llama import fuse_llama_params
@@ -159,20 +174,9 @@ def main() -> None:
     rng = np.random.default_rng(0)
     batch = args.batch
     token_ids = jnp.asarray(rng.integers(0, config.vocab_size, batch), jnp.int32)
-    positions = jnp.full((batch,), args.context - 1, jnp.int32)
-    seq_lens = jnp.full((batch,), args.context, jnp.int32)
     block_tables = jnp.asarray(
         rng.permutation(num_pages - 1)[: batch * pages_per_seq].reshape(batch, pages_per_seq), jnp.int32
     )
-    slot_mapping = (
-        block_tables[jnp.arange(batch), (args.context - 1) // page_size] * page_size
-        + (args.context - 1) % page_size
-    )
-
-    # Run STEPS decode steps inside ONE jitted scan (token feedback via
-    # argmax) so per-dispatch host/tunnel latency amortizes away; the
-    # caches advance one real token per step, exactly like serving.
-    steps_per_call = 16
 
     def multi_step(p, tokens0, positions0, kc, vc):
         def body(carry, _):
@@ -199,8 +203,7 @@ def main() -> None:
     bw_pre = None if args.no_calibrate else calibrate_hbm_bw(nominal)
     _stage(f"calibration pre done: {bw_pre and bw_pre/1e9:.0f} GB/s" if bw_pre else "calibration skipped")
 
-    positions0 = jnp.full((batch,), args.context - 1 - args.iters * steps_per_call - steps_per_call, jnp.int32)
-    positions0 = jnp.maximum(positions0, 0)
+    positions0 = jnp.full((batch,), args.context - 1, jnp.int32)
     _stage("compiling + first step")
     tok, pos, k_caches, v_caches = step(params, token_ids, positions0, k_caches, v_caches)
     jax.block_until_ready(tok)

@@ -155,12 +155,16 @@ def main() -> None:
     # own production mode (serving/engine.py multi_step_decode).
     steps_per_call = 64
 
-    # Positions START at context-1 and grow upward through the timed
-    # steps, so every timed step reads >= `context` tokens of KV — the
-    # roofline denominator assumes exactly `context`, making vs_baseline
-    # strictly conservative. Size the block tables for the full excursion.
+    # Positions are CENTERED on `context`: the excursion (warmup + timed
+    # steps) starts excursion/2 below context-1 and ends excursion/2
+    # above, so the average KV tokens read per timed step equals exactly
+    # the `context` the roofline denominator charges (KV bytes are linear
+    # in position, so the mean is exact). Starting at context-1 and only
+    # growing (r5d) overcharged the run ~30% KV vs the denominator;
+    # starting excursion below and ending at context-1 (r4) undercharged.
     page_size = 64
-    max_pos = args.context + (args.iters + 2) * steps_per_call
+    excursion = (args.iters + 2) * steps_per_call
+    max_pos = args.context + excursion // 2 + steps_per_call
     pages_per_seq = -(-max_pos // page_size) + 1
     num_pages = args.batch * pages_per_seq + 1
 
@@ -203,7 +207,7 @@ def main() -> None:
     bw_pre = None if args.no_calibrate else calibrate_hbm_bw(nominal)
     _stage(f"calibration pre done: {bw_pre and bw_pre/1e9:.0f} GB/s" if bw_pre else "calibration skipped")
 
-    positions0 = jnp.full((batch,), args.context - 1, jnp.int32)
+    positions0 = jnp.full((batch,), max(args.context - 1 - excursion // 2, 0), jnp.int32)
     _stage("compiling + first step")
     tok, pos, k_caches, v_caches = step(params, token_ids, positions0, k_caches, v_caches)
     jax.block_until_ready(tok)
